@@ -1,0 +1,161 @@
+"""Batch CDC apply + replay + the independent final-state oracle.
+
+The oracle is the reference's "final state after replaying the change log"
+semantics — rank-1-by-position per key, drop keys whose winning event is a
+delete (``datalake/athena_ddl.sql:659-669`` balances snapshot;
+``parser/db.py:310-330`` LWW guards; ``parser/main.py:15-16`` delete rule) —
+computed in ONE pass over the whole log, independently of the incremental
+MERGE path.  Tests assert byte-equality of both paths under out-of-order +
+duplicate + schema-evolving delivery.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ton_etl_spark.cdc.schema import (
+    KEY_COLS,
+    LSN_COL,
+    OP_COL,
+    TS_COL,
+    op_priority_expr,
+)
+from ton_etl_spark.functions.tokens import with_token_validation
+from ton_etl_spark.lake.table import LakeTable
+from ton_etl_spark.lake.merge import merge_lww, reduce_batch_lww
+
+
+def final_state_oracle(events: DataFrame) -> DataFrame:
+    """Single-pass LWW reduction of a (possibly duplicated, unordered) log.
+
+    Exact duplicate redeliveries collapse because the winner per key is
+    picked by (lsn, ts_ms, op_priority) and duplicates share all three.
+    """
+    w = W.partitionBy(*KEY_COLS).orderBy(
+        F.col(LSN_COL).desc(),
+        F.coalesce(F.col(TS_COL), F.lit(0)).desc(),
+        op_priority_expr().desc(),
+    )
+    cols = events.columns
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(F.col(OP_COL) != "d")
+        .select(*cols)
+    )
+
+
+def read_state(table: LakeTable) -> DataFrame:
+    """Consumer view of a sequences table: live rows only (tombstones are
+    retained in storage for out-of-order protection; see lake/merge.py)."""
+    return table.read().where(F.col(OP_COL) != "d")
+
+
+def make_sequences_table(
+    spark: SparkSession, root: str, n_buckets: int = 16
+) -> LakeTable:
+    from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
+
+    if LakeTable.exists(root):
+        return LakeTable.load(spark, root)
+    # start from the PRE-evolution schema: extra_meta must arrive mid-stream
+    return LakeTable.create(
+        spark, root, schema=CDC_EVENT_SCHEMA, key_cols=KEY_COLS, n_buckets=n_buckets
+    )
+
+
+def apply_cdc_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: int,
+    lineage: LakeTable | None = None,
+    validate: bool = True,
+) -> dict:
+    """Apply one delivery micro-batch: validate tokens (vectorized pandas
+    UDF), record per-partition lineage, LWW-reduce, MERGE.  Idempotent on
+    ``epoch`` (the commit manifest key), so a re-executed foreachBatch or a
+    crash-restart replaying the same epoch is a no-op."""
+    commit_key = f"epoch={epoch}"
+    if table.has_commit(commit_key):
+        return {"applied": False, "epoch": epoch}
+    if validate:
+        batch = with_token_validation(batch)
+
+    if lineage is not None:
+        lin = (
+            batch.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.min(LSN_COL).alias("min_lsn"),
+                F.max(LSN_COL).alias("max_lsn"),
+                F.count(F.lit(1)).alias("event_count"),
+                # order-insensitive content hash of the partition (XOR never
+                # overflows under ANSI mode, unlike SUM of 64-bit hashes)
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in batch.columns])).alias("commit_hash"),
+            )
+            .withColumn("checkpoint_epoch", F.lit(epoch).cast("long"))
+            .select("checkpoint_epoch", "partition_id", "min_lsn", "max_lsn", "event_count", "commit_hash")
+        )
+        lineage.append(lin, commit_key=commit_key)
+
+    stats = merge_lww(table, batch, commit_key=commit_key)
+    stats["epoch"] = epoch
+    return stats
+
+
+def replay_log_batched(
+    spark: SparkSession,
+    batch_dirs: list[str],
+    table_root: str,
+    lineage_root: str | None = None,
+    n_buckets: int = 16,
+) -> LakeTable:
+    """Batch replay of a delivery schedule (the backfill.py analog,
+    ``parser/backfill.py:14-106``): each directory is one micro-batch, read
+    with ITS OWN file schema so pre-evolution batches genuinely lack the
+    late-added column and the table schema evolves mid-replay."""
+    table = make_sequences_table(spark, table_root, n_buckets=n_buckets)
+    lineage = None
+    if lineage_root is not None:
+        lineage = make_lineage_table(spark, lineage_root)
+    for epoch, d in enumerate(batch_dirs):
+        batch = spark.read.parquet(d)
+        apply_cdc_batch(table, batch, epoch=epoch, lineage=lineage)
+    return table
+
+
+LINEAGE_SCHEMA = "checkpoint_epoch long, partition_id int, min_lsn long, max_lsn long, event_count long, commit_hash long"
+
+
+def make_lineage_table(spark: SparkSession, root: str) -> LakeTable:
+    from pyspark.sql.types import StructType
+
+    if LakeTable.exists(root):
+        return LakeTable.load(spark, root)
+    schema = spark.createDataFrame([], LINEAGE_SCHEMA).schema
+    return LakeTable.create(
+        spark, root, schema=schema, key_cols=["checkpoint_epoch", "partition_id"], n_buckets=4
+    )
+
+
+def read_full_log(spark: SparkSession, log_path: str) -> DataFrame:
+    """Read every delivery file of a written log (both phases), normalized to
+    the evolved schema, for the oracle path."""
+    from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA_EVOLVED
+
+    phase_dirs = [
+        os.path.join(log_path, d) for d in sorted(os.listdir(log_path)) if d.startswith("phase=")
+    ]
+    dfs = []
+    for d in phase_dirs:
+        df = spark.read.schema(CDC_EVENT_SCHEMA_EVOLVED).parquet(
+            *[os.path.join(d, s) for s in sorted(os.listdir(d)) if s.startswith("__seq=")]
+        )
+        dfs.append(df)
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1,0 +1,8 @@
+from ton_etl_spark.functions.tokens import validate_tokens_udf, with_token_validation
+from ton_etl_spark.functions.debezium import decode_debezium_decimal_udf
+
+__all__ = [
+    "validate_tokens_udf",
+    "with_token_validation",
+    "decode_debezium_decimal_udf",
+]

@@ -1,0 +1,348 @@
+"""LakeTable — a minimal, from-scratch versioned Parquet table format.
+
+Plays the role Iceberg/Postgres play in the reference pipeline
+(ton-etl keeps keyed state in Postgres with ``ON CONFLICT`` upserts,
+``parser/db.py:258-330``, and append-only S3 Avro/Parquet partitions,
+``datalake/main.py:147-186``).  No Iceberg jars are available in this
+environment, so the table format itself is built here on public Spark +
+filesystem APIs.  Design goals, in order:
+
+1. **Atomic, versioned commits** — a commit is (a) new data files under a
+   fresh commit directory, then (b) a new immutable snapshot JSON, then
+   (c) an atomic ``os.replace`` of the ``_current`` pointer.  Readers only
+   ever see the file list of a published snapshot, so a crashed writer
+   leaves garbage data files but never a torn table (the same
+   write-files-then-commit ordering the reference uses: upload to S3,
+   *then* Kafka commit, ``datalake/main.py:147-186``).
+2. **Idempotent re-application** — every commit carries an application-level
+   ``commit_key`` (e.g. the streaming ``(checkpoint_epoch)``).  A commit
+   whose key is already in the snapshot history is skipped, which is what
+   makes ``foreachBatch`` retries exactly-once (reference analog:
+   ``ON CONFLICT DO NOTHING`` + Athena ``EXCEPT`` dedup,
+   ``parser/db.py:279-283``, ``datalake_daily_sync.py:301-328``).
+3. **Hash-bucketed layout** — every data file belongs to one bucket of
+   ``pmod(xxhash64(key), n_buckets)``.  MERGE reads and rewrites only the
+   buckets touched by the incoming batch (bucket pruning), so a small
+   change batch against a 100 TB table rewrites a bounded slice, not the
+   world.  At 1000-executor scale ``n_buckets`` is sized so one bucket is
+   a few GB (reference analog: ``bucketed_by address ×10``,
+   ``datalake/metadata_snapshot.py:88-89``).
+4. **Additive schema evolution** — the snapshot stores the table schema;
+   a commit may widen it with new nullable columns.  Readers pass the
+   *current* schema to the Parquet scan, so old files yield NULL for
+   late-added columns (reference analog: ``ALTER TABLE ... ADD COLUMN IF
+   NOT EXISTS``, ``parser/createdb.sql:93,114-121``, and Glue auto-create,
+   ``datalake_daily_sync.py:268-296``).
+
+Concurrency contract: single writer per table (exactly how the reference
+runs one consumer-group per sink table).  Readers are lock-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+CURRENT_PTR = "_current"
+BUCKET_COL = "__bucket"
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {"path": self.path, "bucket": self.bucket, "rows": self.rows}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "DataFile":
+        return DataFile(path=d["path"], bucket=int(d["bucket"]), rows=int(d["rows"]))
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str
+    n_buckets: int
+    key_cols: list[str]
+    files: list[DataFile] = field(default_factory=list)
+    commit_keys: list[str] = field(default_factory=list)  # full history, for idempotency
+    properties: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "version": self.version,
+            "schema_json": self.schema_json,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "files": [f.to_json() for f in self.files],
+            "commit_keys": self.commit_keys,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            version=int(d["version"]),
+            schema_json=d["schema_json"],
+            n_buckets=int(d["n_buckets"]),
+            key_cols=list(d["key_cols"]),
+            files=[DataFile.from_json(f) for f in d["files"]],
+            commit_keys=list(d["commit_keys"]),
+            properties=dict(d.get("properties", {})),
+        )
+
+
+def _merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Additive schema union: base columns keep position/type; new incoming
+    columns are appended as nullable.  Type changes are rejected (the
+    reference only ever evolves additively)."""
+    base_names = {f.name: f for f in base.fields}
+    out = list(base.fields)
+    for f in incoming.fields:
+        if f.name in base_names:
+            # nullability differences (e.g. parquet round-trip relaxing
+            # containsNull) are not evolution; compare erased types only
+            if f.dataType.simpleString() != base_names[f.name].dataType.simpleString():
+                raise ValueError(
+                    f"incompatible evolution for column {f.name}: "
+                    f"{base_names[f.name].dataType} -> {f.dataType}"
+                )
+        else:
+            out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)
+
+
+class LakeTable:
+    """A bucketed, versioned Parquet table with atomic commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _meta(self) -> str:
+        return os.path.join(self.root, META_DIR)
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self._meta, f"v{version}.json")
+
+    # ------------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t._meta, exist_ok=True)
+        os.makedirs(os.path.join(t.root, DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_json=json.dumps(schema.jsonValue()),
+            n_buckets=n_buckets,
+            key_cols=list(key_cols),
+            properties=properties or {},
+        )
+        t._publish(snap)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(root), META_DIR, CURRENT_PTR))
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        t.current()  # raises if missing
+        return t
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    # ------------------------------------------------------------------ snapshots
+    def current_version(self) -> int:
+        with open(os.path.join(self._meta, CURRENT_PTR)) as fh:
+            return int(fh.read().strip())
+
+    def current(self) -> Snapshot:
+        return self.snapshot(self.current_version())
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(self._snapshot_path(version)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def _publish(self, snap: Snapshot) -> None:
+        """Write snapshot JSON, then atomically flip the _current pointer."""
+        path = self._snapshot_path(snap.version)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snap.to_json(), fh)
+        os.replace(tmp, path)
+        ptr_tmp = os.path.join(self._meta, CURRENT_PTR + ".tmp")
+        with open(ptr_tmp, "w") as fh:
+            fh.write(str(snap.version))
+        os.replace(ptr_tmp, os.path.join(self._meta, CURRENT_PTR))
+
+    def has_commit(self, commit_key: str) -> bool:
+        return commit_key in set(self.current().commit_keys)
+
+    # ------------------------------------------------------------------ bucketing
+    def bucket_expr(self, n_buckets: int | None = None, key_cols: list[str] | None = None):
+        snap_keys = key_cols if key_cols is not None else self.current().key_cols
+        n = n_buckets if n_buckets is not None else self.current().n_buckets
+        return F.pmod(F.xxhash64(*[F.col(c) for c in snap_keys]), F.lit(n)).cast("int")
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan the table at a snapshot.  ``buckets`` prunes at file level —
+        only the Parquet files registered for those buckets are opened."""
+        snap = self.snapshot(version) if version is not None else self.current()
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f.bucket in bset]
+        schema = snap.schema
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f.path) for f in files]
+        # explicit schema => old files yield NULL for late-added columns
+        # (additive evolution), and column pruning/pushdown still apply.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------------------------------ write
+    def _write_commit_files(
+        self, df: DataFrame, commit_id: str, n_buckets: int, key_cols: list[str]
+    ) -> list[DataFile]:
+        """Write ``df`` as one directory tree partitioned by bucket; return the
+        produced files tagged with their bucket.  One output file per bucket
+        (a MERGE batch touches a bounded set of buckets, so files stay
+        coarse; a real deployment would also split by target-file-size)."""
+        commit_rel = os.path.join(DATA_DIR, commit_id)
+        commit_abs = os.path.join(self.root, commit_rel)
+        out = df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int"),
+        )
+        # repartition by bucket so each bucket directory gets exactly one file
+        (
+            out.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(commit_abs)
+        )
+        files: list[DataFile] = []
+        for entry in os.listdir(commit_abs):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            bdir = os.path.join(commit_abs, entry)
+            for fn in os.listdir(bdir):
+                if fn.endswith(".parquet"):
+                    import pyarrow.parquet as pq
+
+                    rows = pq.ParquetFile(os.path.join(bdir, fn)).metadata.num_rows
+                    files.append(
+                        DataFile(
+                            path=os.path.join(commit_rel, entry, fn),
+                            bucket=bucket,
+                            rows=rows,
+                        )
+                    )
+        return files
+
+    def append(self, df: DataFrame, commit_key: str | None = None) -> bool:
+        """Append rows (no key dedup).  Returns False if commit_key already
+        applied."""
+        snap = self.current()
+        if commit_key is not None and commit_key in set(snap.commit_keys):
+            return False
+        schema = _merge_schemas(snap.schema, df.schema)
+        df = _conform(df, schema)
+        commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+        new_files = self._write_commit_files(df, commit_id, snap.n_buckets, snap.key_cols)
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema_json=json.dumps(schema.jsonValue()),
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files + new_files,
+            commit_keys=snap.commit_keys + ([commit_key] if commit_key else []),
+            properties=snap.properties,
+        )
+        self._publish(new_snap)
+        return True
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        commit_key: str | None = None,
+        schema: T.StructType | None = None,
+    ) -> bool:
+        """Copy-on-write commit: replace all files of ``buckets`` with ``df``
+        (which must contain exactly the surviving rows for those buckets).
+        This is the write half of MERGE.  Returns False on duplicate
+        commit_key (idempotent replay)."""
+        snap = self.current()
+        if commit_key is not None and commit_key in set(snap.commit_keys):
+            return False
+        new_schema = schema if schema is not None else _merge_schemas(snap.schema, df.schema)
+        df = _conform(df, new_schema)
+        commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+        new_files = self._write_commit_files(df, commit_id, snap.n_buckets, snap.key_cols)
+        bset = set(buckets)
+        kept = [f for f in snap.files if f.bucket not in bset]
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema_json=json.dumps(new_schema.jsonValue()),
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=kept + new_files,
+            commit_keys=snap.commit_keys + ([commit_key] if commit_key else []),
+            properties=snap.properties,
+        )
+        self._publish(new_snap)
+        return True
+
+
+def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema column order, adding NULLs for missing cols."""
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in have:
+            # cast only on real type mismatch; Spark 4 rejects casts between
+            # array types differing only in containsNull
+            if have[f.name].simpleString() == f.dataType.simpleString():
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
