@@ -1,0 +1,844 @@
+"""Analytic parity queries with DuckDB oracles.
+
+Each entry re-expresses an operator family from the reference (SURVEY.md §2
+citations inline) over the driver's testdata tables, Spark-first, with an
+ANSI-SQL oracle DuckDB runs on the same parquet.  Conventions that make the
+driver's order-insensitive value-hash comparison stable:
+
+- every computed column is aliased identically in Spark and SQL;
+- counts cast to BIGINT on both sides;
+- floating aggregates rounded (sum order across engines differs in the last
+  ulp; rounding to 2-6 dp removes it);
+- timestamps rendered as strings (no tz/precision ambiguity).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ton_etl_spark.functions import text as TXT
+from ton_etl_spark.operators.asof import asof_join
+from ton_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from ton_etl_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+from ton_etl_spark.operators.snapshot import first_state, lag_transitions, lww_snapshot
+from ton_etl_spark.streaming.metrics import latency_percentiles, tumbling_tps
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# 1. TPC-H Q1-style pricing summary — SURVEY.md A3 (groupBy multi-agg,
+#    reference jetton_price_daily athena_ddl.sql:680-742)
+def q_pricing_summary(spark, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+       CAST(COUNT(*) AS BIGINT)                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. CDC LWW snapshot (the engine's core semantic, SQL-checkable form) —
+#    SURVEY.md A1/W1; reference balances snapshot athena_ddl.sql:659-669,
+#    delete rule parser/main.py:15-16.  events is read as a change log:
+#    event_id = LSN, signup/error/other → c/d/u.
+def q_cdc_lww_snapshot(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("doc_key"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+        F.col("value"),
+    )
+    snap = lww_snapshot(ev, ["doc_key"], [F.col("lsn")])
+    return snap.where(F.col("op") != "d").select(
+        "doc_key", F.col("lsn").alias("last_lsn"), F.col("op").alias("last_op"), "value"
+    )
+
+
+SQL_CDC_LWW = """
+WITH log AS (
+  SELECT user_id AS doc_key, event_id AS lsn,
+         CASE WHEN event_type = 'signup' THEN 'c'
+              WHEN event_type = 'error'  THEN 'd'
+              ELSE 'u' END AS op,
+         value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY lsn DESC) AS rn FROM log
+)
+SELECT doc_key, lsn AS last_lsn, op AS last_op, value
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. First-state per key — SURVEY.md T1 (deployer = first tx in trace,
+#    nft_events.sql:23-24)
+def q_first_event(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    first = first_state(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return first.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_type"),
+    )
+
+
+SQL_FIRST_EVENT = """
+SELECT user_id, event_id AS first_event_id, event_type AS first_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn FROM events)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Lag-based transition detection — SURVEY.md W2 (nft_events.sql:147,174)
+def q_lag_transitions(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    tr = lag_transitions(ev, ["user_id"], [F.col("event_id")], "event_type")
+    return tr.select("user_id", "event_id", "prev_event_type", "event_type")
+
+
+SQL_LAG_TRANSITIONS = """
+SELECT user_id, event_id, prev_event_type, event_type
+FROM (SELECT user_id, event_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_type
+      FROM events)
+WHERE prev_event_type IS NOT NULL AND event_type <> prev_event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Daily ratio-of-sums — SURVEY.md A3 (jetton_price_daily:
+#    SUM(volume)/SUM(amount) per day, athena_ddl.sql:680-742)
+def q_daily_ratio(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+                / F.sum("value"),
+                6,
+            ).alias("purchase_ratio"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_DAILY_RATIO = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) / SUM(value), 6)
+         AS purchase_ratio,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. Anti-join — SURVEY.md J9 (ordinary transfers via LEFT JOIN … IS NULL,
+#    nft_events.sql:118-137)
+def q_customers_without_orders(spark, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. Semi-join — SURVEY.md J10 (IN-subquery, nft_events.sql:219-224)
+def q_customers_with_open_orders(spark, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. Top-N after agg + dim join — SURVEY.md A8/T3/J12 (top-10 TVL rollup
+#    README.md:244-249, metadata top-N join README.md:487-496).
+#    part dim is broadcast (small side).
+def q_top_parts_by_revenue(spark, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        rev.join(F.broadcast(p), rev.l_partkey == p.p_partkey)
+        .select(F.col("l_partkey").alias("partkey"), "p_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("partkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_PARTS = """
+SELECT l_partkey AS partkey, p_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_partkey, p_name
+ORDER BY revenue DESC, partkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. Count-distinct per group — SURVEY.md A7 (approx_distinct per jetton
+#    README.md:487-491; exact form so both engines agree bit-for-bit)
+def q_distinct_users_by_type(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 10. Percentile latency — SURVEY.md A6 (avg/p50/p75/p95,
+#     prometheus_exporter performance.py:131-157)
+def q_value_percentiles(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.75), 6).alias("p75"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(AVG(value), 6)              AS avg_value,
+       ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. Union + dedup — SURVEY.md U3/U5 (nft_events.sql:123-129,551)
+def q_union_dedup_users(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()
+
+
+SQL_UNION = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+# --------------------------------------------------------------------------
+# 12. EXCEPT — SURVEY.md U4 (the lake's dedup mechanism,
+#     datalake_daily_sync.py:301-328)
+def q_clickers_minus_buyers(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.exceptAll(b)
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# 13. As-of join — SURVEY.md J5 (latest price with price_ts < t,
+#     parser/db.py:392-405): for each purchase, the latest strictly-prior
+#     view's value for the same user.
+def q_asof_prev_view(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value"), F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_value", "view_id"],
+        strict=True,
+    )
+    return out.select("event_id", "user_id", "view_value", "view_id")
+
+
+SQL_ASOF = """
+SELECT e.event_id, e.user_id,
+       (SELECT v.value FROM events v
+        WHERE v.user_id = e.user_id AND v.event_type = 'view' AND v.ts < e.ts
+        ORDER BY v.ts DESC, v.value DESC, v.event_id DESC LIMIT 1) AS view_value,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = e.user_id AND v.event_type = 'view' AND v.ts < e.ts
+        ORDER BY v.ts DESC, v.value DESC, v.event_id DESC LIMIT 1) AS view_id
+FROM events e WHERE e.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# 14. Running aggregate — window frame rowsBetween (SURVEY.md §2.5 frame note)
+def q_running_user_spend(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").where(F.col("event_type") == "purchase")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("run_spend")
+    )
+
+
+SQL_RUNNING = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_spend
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# 15. JSON extraction — SURVEY.md §2.8 (json_extract_scalar,
+#     nft_events.sql:151-162)
+def q_json_extract(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+SQL_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# 16. CASE normalization + conditional agg — SURVEY.md §2.8 (token-side
+#     normalization athena_ddl.sql:684-706)
+def q_priority_breakdown(spark, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    pri = (
+        F.when(F.substring("o_orderpriority", 1, 1) == "1", "urgent")
+        .when(F.substring("o_orderpriority", 1, 1) == "2", "high")
+        .otherwise("normal")
+    )
+    return o.groupBy(pri.alias("priority_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+            "finished_price"
+        ),
+    )
+
+
+SQL_PRIORITY = """
+SELECT CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 'urgent'
+            WHEN substr(o_orderpriority, 1, 1) = '2' THEN 'high'
+            ELSE 'normal' END AS priority_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_price
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 17. Tumbling event-time windows — SURVEY.md A4/X7 (TPS gauge tps.py:47-56)
+def q_hourly_windows(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 18. Dim-join chain + rollup — SURVEY.md J3 (jetton wallet → master dim) /
+#     A8; both dims broadcast.
+def q_revenue_by_nation(spark, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_NATION = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# 19. Equi + range join — SURVEY.md J8 (ni.lt <= tx_lt state-as-of join,
+#     nft_events.sql:53): events of the mapped user in the 24h before the
+#     order date.
+def q_orders_with_recent_events(spark, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    ev = load_table(spark, sf, "events")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    j = o.join(
+        ev,
+        (F.pmod(o.o_custkey, F.lit(n_users)) == ev.user_id)
+        & (ev.ts >= F.col("o_orderdate") - F.expr("INTERVAL 1 DAY"))
+        & (ev.ts < F.col("o_orderdate")),
+        "inner",
+    )
+    return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).cast("long").alias("n_recent"))
+
+
+SQL_RANGE_JOIN = """
+SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_recent
+FROM orders JOIN events
+  ON (o_custkey % (SELECT MAX(user_id) + 1 FROM events)) = user_id
+ AND ts >= o_orderdate - INTERVAL 1 DAY AND ts < o_orderdate
+GROUP BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 20. Document fingerprints — SURVEY.md §2.8 binary/encoding (sha256
+#     content-hash filenames datalake/main.py:162) + dedup key
+def q_doc_fingerprints(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FP = """
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# 21. Exact dedup groups (hash-groupBy) — training-data op
+def q_exact_dedup_docs(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return exact_dedup(d)
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 22. Token counting + text stats — training-data op (quality signals)
+def q_doc_token_stats(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TXT.word_count(t).alias("n_words"),
+        F.round(TXT.avg_word_len(t), 6).alias("avg_word_len"),
+        F.round(TXT.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TXT.punct_ratio(t), 6).alias("punct_ratio"),
+    )
+
+
+_SW = "'the','a','of','and','to','in','is','it','for','on'"
+SQL_TOKEN_STATS = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       ROUND(CASE WHEN len(ws) > 0
+             THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+             ELSE 0.0 END, 6) AS avg_word_len,
+       ROUND(CASE WHEN len(ws) > 0
+             THEN CAST(len(list_filter(ws, x -> x IN ({_SW}))) AS DOUBLE) / len(ws)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# 23. Language ID — training-data op (profile-argmax heuristic)
+def q_doc_lang_counts(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(TXT.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+SQL_LANG = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             x -> x IN ('the','and','of','to','is')))  AS s_en,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             x -> x IN ('der','die','und','ist','nicht'))) AS s_de,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             x -> x IN ('el','la','que','de','es')))    AS s_es,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             x -> x IN ('le','la','et','les','des')))   AS s_fr
+  FROM documents
+), lang AS (
+  SELECT CASE
+    WHEN s_fr > GREATEST(0, s_en, s_de, s_es) THEN 'fr'
+    WHEN s_es > GREATEST(0, s_en, s_de)       THEN 'es'
+    WHEN s_de > GREATEST(0, s_en)             THEN 'de'
+    WHEN s_en > 0                             THEN 'en'
+    ELSE 'unknown' END AS lang_guess
+  FROM s
+)
+SELECT lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lang GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 24. Quality score — training-data op (composite heuristic; identical
+#     double arithmetic both sides)
+def q_doc_quality(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", F.round(TXT.quality_score(F.col("text")), 6).alias("quality"))
+
+
+SQL_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS DOUBLE) AS nw,
+         CASE WHEN len(ws) > 0
+              THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS awl,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(list_filter(ws, x -> x IN ({_SW}))) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS stop_r,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_r
+  FROM w
+)
+SELECT doc_id,
+       ROUND(LEAST(nw / 50.0, 1.0) * 0.4
+           + (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+           + LEAST(stop_r * 5.0, 1.0) * 0.2
+           + (1.0 - LEAST(punct_r * 5.0, 1.0)) * 0.2, 6) AS quality
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# 25. Embedding cosine top-k (brute force, exact) — similarity-search
+#     baseline. Query vector = embedding of vec_id 0 (constant-folded).
+def q_embedding_topk(spark, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_bruteforce(emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10)
+
+
+SQL_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# 26. Label centroid distances — embedding agg (vector avg via posexplode,
+#     the distributed centroid shape for IVF partitioning)
+def q_label_centroid_norm(spark, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = ex.groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+        (F.count(F.lit(1)) / F.lit(1)).cast("long").alias("dim"),
+    )
+
+
+SQL_CENTROID = """
+WITH ex AS (
+  SELECT label, i - 1 AS i, CAST(v AS DOUBLE) AS v
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+), cent AS (
+  SELECT label, i, AVG(v) AS c FROM ex GROUP BY label, i
+)
+SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+       CAST(COUNT(*) AS BIGINT) AS dim
+FROM cent GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only entries (no SQL-expressible oracle; pytest covers their
+# semantics against brute-force checks)
+def q_minhash_near_dups(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(d, min_jaccard_est=0.4).select(
+        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
+def q_ngram_jaccard_dups(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, min_jaccard=0.4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_near_dups(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return simhash_near_dups(d, max_hamming=8)
+
+
+def q_embedding_near_dups(spark, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dups(emb, min_cosine=0.9).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_lsh_topk(spark, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_ann_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10)
+
+
+def q_media_features(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=256)
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+def q_tps_windows(spark, sf: str) -> DataFrame:
+    # blocks fixture derived deterministically from events (tx_count = k)
+    ev = load_table(spark, sf, "events")
+    blocks = ev.select(
+        F.unix_timestamp("ts").alias("gen_utime"),
+        F.get_json_object("props", "$.k").cast("int").alias("tx_count"),
+    )
+    return tumbling_tps(blocks, window_sec=3600).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "tx_total",
+        "tps",
+    )
+
+
+SQL_TPS = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS gen_utime,
+         CAST(json_extract_string(props, '$.k') AS INT) AS tx_count
+  FROM events
+)
+SELECT strftime(to_timestamp((gen_utime // 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(SUM(tx_count) AS BIGINT) AS tx_total,
+       ROUND(SUM(tx_count) / 3600.0, 6) AS tps
+FROM b GROUP BY 1
+"""
+
+
+def q_latency_percentiles(spark, sf: str) -> DataFrame:
+    # traces fixture: event pairs per user as start/end (deterministic)
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    traces = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            F.unix_timestamp("prev_ts").alias("start_utime"),
+            F.unix_timestamp("ts").alias("end_utime"),
+        )
+    )
+    return latency_percentiles(traces, group_window_sec=86400).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "avg_delay",
+        "p50",
+        "p75",
+        "p95",
+    )
+
+
+SQL_LATENCY = """
+WITH tr AS (
+  SELECT CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS start_utime,
+         CAST(floor(epoch(ts)) AS BIGINT) AS end_utime
+  FROM events
+), d AS (
+  SELECT start_utime, end_utime,
+         CAST(end_utime - start_utime AS DOUBLE) AS delay,
+         (end_utime // 86400) * 86400 AS wstart
+  FROM tr WHERE start_utime IS NOT NULL
+)
+SELECT strftime(to_timestamp(wstart), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(delay), 6) AS avg_delay,
+       ROUND(quantile_cont(delay, 0.5), 6) AS p50,
+       ROUND(quantile_cont(delay, 0.75), 6) AS p75,
+       ROUND(quantile_cont(delay, 0.95), 6) AS p95
+FROM d GROUP BY 1
+"""
+
+
+# ==========================================================================
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "cdc_lww_snapshot": q_cdc_lww_snapshot,
+    "first_event": q_first_event,
+    "lag_transitions": q_lag_transitions,
+    "daily_ratio": q_daily_ratio,
+    "anti_join_customers": q_customers_without_orders,
+    "semi_join_customers": q_customers_with_open_orders,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "value_percentiles": q_value_percentiles,
+    "union_dedup_users": q_union_dedup_users,
+    "except_users": q_clickers_minus_buyers,
+    "asof_prev_view": q_asof_prev_view,
+    "running_user_spend": q_running_user_spend,
+    "json_extract": q_json_extract,
+    "priority_breakdown": q_priority_breakdown,
+    "hourly_windows": q_hourly_windows,
+    "revenue_by_nation": q_revenue_by_nation,
+    "orders_with_recent_events": q_orders_with_recent_events,
+    "doc_fingerprints": q_doc_fingerprints,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_counts": q_doc_lang_counts,
+    "doc_quality": q_doc_quality,
+    "embedding_topk": q_embedding_topk,
+    "label_centroid_norm": q_label_centroid_norm,
+    "tps_windows": q_tps_windows,
+    "latency_percentiles": q_latency_percentiles,
+    # rows-only (non-SQL-expressible or hash-seeded; pytest verifies)
+    "minhash_near_dups": q_minhash_near_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "media_features": q_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "cdc_lww_snapshot": SQL_CDC_LWW,
+    "first_event": SQL_FIRST_EVENT,
+    "lag_transitions": SQL_LAG_TRANSITIONS,
+    "daily_ratio": SQL_DAILY_RATIO,
+    "anti_join_customers": SQL_ANTI,
+    "semi_join_customers": SQL_SEMI,
+    "top_parts_by_revenue": SQL_TOP_PARTS,
+    "distinct_users_by_type": SQL_DISTINCT_USERS,
+    "value_percentiles": SQL_PERCENTILES,
+    "union_dedup_users": SQL_UNION,
+    "except_users": SQL_EXCEPT,
+    "asof_prev_view": SQL_ASOF,
+    "running_user_spend": SQL_RUNNING,
+    "json_extract": SQL_JSON,
+    "priority_breakdown": SQL_PRIORITY,
+    "hourly_windows": SQL_HOURLY,
+    "revenue_by_nation": SQL_NATION,
+    "orders_with_recent_events": SQL_RANGE_JOIN,
+    "doc_fingerprints": SQL_FP,
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "doc_token_stats": SQL_TOKEN_STATS,
+    "doc_lang_counts": SQL_LANG,
+    "doc_quality": SQL_QUALITY,
+    "embedding_topk": SQL_TOPK,
+    "label_centroid_norm": SQL_CENTROID,
+    "tps_windows": SQL_TPS,
+    "latency_percentiles": SQL_LATENCY,
+}
