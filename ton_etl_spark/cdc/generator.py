@@ -104,6 +104,7 @@ def write_cdc_log(
     dup_pct: int = 10,
     seed: int = 42,
     evolve_frac: float = 0.6,
+    files_per_batch: int = 8,
 ) -> list[str]:
     """Materialize the log as delivery batches under ``path``.
 
@@ -112,6 +113,10 @@ def write_cdc_log(
     Within a phase, an event's delivery group and within-file order come from
     hashes of its lsn — so arrival order ≠ lsn order.  ``dup_pct``% of events
     are redelivered verbatim in a later group (possibly a later phase).
+    Each delivery directory holds ~``files_per_batch`` parquet files — the
+    source-parallelism analog of the reference's 10 Kafka partitions
+    (``README.md:63``); batch reads, validation, and map-side reduce
+    parallelize across them.
     Returns the ordered list of batch directories (the delivery schedule).
     """
     n_events = log.count()
@@ -146,8 +151,9 @@ def write_cdc_log(
         cols = ["doc_id", "op", "lsn", "ts_ms", "tokens", "n_tok", "source"]
         if ph == 1:
             cols.append("extra_meta")
+        subfile = F.pmod(F.xxhash64(lsn, F.lit(seed), F.lit(11)), F.lit(files_per_batch))
         (
-            sub.repartition(F.col("__seq"))
+            sub.repartition(nph * files_per_batch, F.col("__seq"), subfile)
             .sortWithinPartitions("__ord")
             .select(*cols, "__seq")
             .write.mode("overwrite")

@@ -76,18 +76,82 @@ def validate_tokens_udf(vocab_size: int = DEFAULT_VOCAB):
     return _validate
 
 
+def _make_valid_mask(vocab_size: int):
+    """Build the Arrow-kernel validity-mask function: len_ok & vocab_ok.
+
+    Fast path: one ``min_max`` over the flattened token buffer decides
+    vocab_ok for the whole batch; the per-row scatter only runs when the
+    batch actually contains an out-of-vocab value (anomalies are rare by
+    construction, like the reference's NonCriticalParserError rows).
+
+    Defined as a closure so cloudpickle ships it by value — Spark's Python
+    workers do not have this package on their path.
+    """
+
+    def _valid_mask(batch):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tokens = batch.column(batch.schema.get_field_index("tokens"))
+        n_tok = batch.column(batch.schema.get_field_index("n_tok"))
+        lengths = pc.list_value_length(tokens)
+        both_null = pc.and_(pc.is_null(lengths), pc.is_null(n_tok))
+        len_ok = pc.fill_null(pc.equal(lengths, pc.cast(n_tok, lengths.type)), False)
+        len_ok = pc.or_(len_ok, both_null)
+
+        flat = pc.list_flatten(tokens)
+        if len(flat) == 0:
+            return len_ok
+        mm = pc.min_max(flat).as_py()
+        if mm["min"] is not None and mm["min"] >= 0 and mm["max"] < vocab_size:
+            return len_ok  # whole batch in-vocab
+        # slow path: map bad flat positions back to their rows
+        vals = flat.to_numpy(zero_copy_only=False)
+        bad = (vals < 0) | (vals >= vocab_size)
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        vocab_ok = np.ones(batch.num_rows, dtype=bool)
+        vocab_ok[np.unique(parent[bad])] = False
+        return pc.and_(len_ok, pa.array(vocab_ok))
+
+    return _valid_mask
+
+
 def with_token_validation(
     df: DataFrame, vocab_size: int = DEFAULT_VOCAB, strict: bool = True
 ) -> DataFrame:
-    """Run vectorized validation over the batch.
+    """Run vectorized validation over the batch via ``mapInArrow`` — token
+    arrays stay in Arrow buffers end-to-end; no per-row Python objects.
 
-    strict=True (ingest path): drop rows failing validation — the filter
-    keeps the UDF in the plan, mirroring the reference's swallow-and-skip of
-    NonCriticalParserError rows (``model/parser.py:77-79``).
+    strict=True (ingest path): drop rows failing validation, mirroring the
+    reference's swallow-and-skip of NonCriticalParserError rows
+    (``model/parser.py:77-79``).
     strict=False: keep all rows with a boolean ``valid`` column attached.
     """
-    out = df.withColumn("__v", validate_tokens_udf(vocab_size)(F.col("tokens"), F.col("n_tok")))
-    out = out.withColumn("valid", F.col("__v.len_ok") & F.col("__v.vocab_ok")).drop("__v")
+    valid_mask = _make_valid_mask(vocab_size)
+
     if strict:
-        return out.where(F.col("valid")).drop("valid")
-    return out
+        out_schema = df.schema
+
+        def _filter(batches):
+            for b in batches:
+                yield b.filter(valid_mask(b))
+
+        return df.mapInArrow(_filter, schema=out_schema)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("valid", T.BooleanType(), False)]
+    )
+
+    def _flag(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            mask = valid_mask(b)
+            arrays = [b.column(i) for i in range(b.num_columns)] + [mask]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                schema=pa.schema(list(b.schema) + [pa.field("valid", pa.bool_(), False)]),
+            )
+
+    return df.mapInArrow(_flag, schema=out_schema)

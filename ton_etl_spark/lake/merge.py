@@ -105,11 +105,24 @@ def merge_lww(
     cur = _conform(current, target_schema)
     inc = _conform(reduced_payload, target_schema)
 
-    # one-row-per-key ⟗ one-row-per-key: full-outer join IS the merge
-    jkey = [*key_cols]
-    cur_a = cur.select(*[F.col(c).alias(f"__cur_{c}") for c in cur.columns])
-    inc_a = inc.select(*[F.col(c).alias(f"__inc_{c}") for c in inc.columns])
-    cond = [cur_a[f"__cur_{k}"].eqNullSafe(inc_a[f"__inc_{k}"]) for k in jkey]
+    # One-row-per-key ⟗ one-row-per-key: full-outer join IS the merge.
+    # Both sides are pre-partitioned by bucket and the join key set is
+    # (__b, key): HashPartitioning(__b) satisfies the join's clustering
+    # requirement (a subset of the join keys), so the join adds NO extra
+    # exchange and its output stays bucket-partitioned — the bucketed
+    # write then needs no repartition either.  One shuffle per side total.
+    nb = snap.n_buckets
+    cur_a = cur.select(*[F.col(c).alias(f"__cur_{c}") for c in cur.columns]).withColumn(
+        "__b_cur",
+        F.pmod(F.xxhash64(*[F.col(f"__cur_{c}") for c in key_cols]), F.lit(nb)).cast("int"),
+    ).repartition(nb, "__b_cur")
+    inc_a = inc.select(*[F.col(c).alias(f"__inc_{c}") for c in inc.columns]).withColumn(
+        "__b_inc",
+        F.pmod(F.xxhash64(*[F.col(f"__inc_{c}") for c in key_cols]), F.lit(nb)).cast("int"),
+    ).repartition(nb, "__b_inc")
+    cond = [cur_a["__b_cur"] == inc_a["__b_inc"]] + [
+        cur_a[f"__cur_{k}"] == inc_a[f"__inc_{k}"] for k in key_cols
+    ]
     joined = cur_a.join(inc_a, cond, "full_outer")
 
     inc_ord = F.struct(
@@ -125,6 +138,8 @@ def merge_lww(
     inc_wins = F.col(f"__cur_{LSN_COL}").isNull() | (inc_ord > cur_ord)
     take_inc = F.col(f"__inc_{LSN_COL}").isNotNull() & inc_wins
 
+    from ton_etl_spark.lake.table import BUCKET_COL
+
     out_cols = [
         F.when(take_inc, F.col(f"__inc_{c}")).otherwise(F.col(f"__cur_{c}")).alias(c)
         for c in [f.name for f in target_schema.fields]
@@ -134,7 +149,11 @@ def merge_lww(
     # resurrect the key.  Consumers read through ``read_state`` which filters
     # op != 'd'; a compaction pass may GC tombstones older than the
     # redelivery horizon (the reference's maturity window analog).
-    merged = joined.select(*out_cols)
+    # Carrying the bucket through lets the write skip its repartition: the
+    # join output is physically still bucket-partitioned.
+    merged = joined.select(
+        *out_cols, F.coalesce(F.col("__b_cur"), F.col("__b_inc")).alias(BUCKET_COL)
+    )
 
     ok = table.overwrite_buckets(merged, buckets, commit_key=commit_key, schema=target_schema)
     reduced.unpersist()

@@ -245,17 +245,17 @@ class LakeTable:
         coarse; a real deployment would also split by target-file-size)."""
         commit_rel = os.path.join(DATA_DIR, commit_id)
         commit_abs = os.path.join(self.root, commit_rel)
-        out = df.withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int"),
-        )
-        # repartition by bucket so each bucket directory gets exactly one file
-        (
-            out.repartition(BUCKET_COL)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(commit_abs)
-        )
+        if BUCKET_COL in df.columns:
+            # caller already bucket-partitioned the data (e.g. the MERGE join
+            # output) — write directly, no extra shuffle; each bucket still
+            # lands in one file because it lives in exactly one partition
+            out = df
+        else:
+            out = df.withColumn(
+                BUCKET_COL,
+                F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int"),
+            ).repartition(BUCKET_COL)
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_abs)
         files: list[DataFile] = []
         for entry in os.listdir(commit_abs):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -332,9 +332,12 @@ class LakeTable:
 
 
 def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Project df onto schema column order, adding NULLs for missing cols."""
+    """Project df onto schema column order, adding NULLs for missing cols.
+    A pre-computed bucket column rides along untouched."""
     have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
+    if BUCKET_COL in df.columns and BUCKET_COL not in [f.name for f in schema.fields]:
+        cols.append(F.col(BUCKET_COL))
     for f in schema.fields:
         if f.name in have:
             # cast only on real type mismatch; Spark 4 rejects casts between
