@@ -3,8 +3,8 @@
 
 Submitted via ``spark-submit --py-files ton_etl_spark.zip scripts/ingest_job.py
 <master> <log_dir> <table_dir> <n_buckets>`` — the identical job run at two
-parallelism levels (local[8] vs local[32]) on the SAME pre-written input, the
-sandbox substitution for the N→4N-executor scaling criterion.
+parallelism levels on the SAME pre-written input, the sandbox substitution
+for the N→4N-executor scaling criterion.
 
 Prints one JSON line: {"elapsed_sec", "events", "events_per_sec", "final_rows"}.
 """
@@ -27,14 +27,23 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     cores = master.replace("local[", "").replace("]", "")
+    shuffle = str(4 * int(cores)) if cores.isdigit() else "64"
     spark = (
         SparkSession.builder.appName(f"ingest_scaling_{cores}")
         .master(master)
-        .config("spark.sql.shuffle.partitions", cores if cores.isdigit() else "32")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # measured environment tunings (see BENCH.md): snappy avoids JNI
+        # codec stalls under many writers; tmpfs shuffle dirs avoid virtual-
+        # disk contention; high discovery threshold keeps per-file-path
+        # listings on the driver
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,7 +59,6 @@ def main() -> None:
     )
     table = make_sequences_table(spark, table_dir, n_buckets=n_buckets)
 
-    events = 0
     t0 = time.perf_counter()
     for epoch, d in enumerate(batch_dirs):
         batch = spark.read.parquet(d)
@@ -58,8 +66,7 @@ def main() -> None:
     final_rows = read_state(table).count()
     elapsed = time.perf_counter() - t0
 
-    # count delivered events from lineage-free source listing (cheap scan)
-    events = spark.read.parquet(*batch_dirs).count()
+    events = spark.read.parquet(*batch_dirs).count()  # not timed
     print(
         json.dumps(
             {

@@ -1,0 +1,185 @@
+"""Operator-level unit tests: as-of join vs brute force, dedup families vs
+exact pairwise computation, similarity search recall, multimodal plumbing,
+Debezium decode golden values."""
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from ton_etl_spark.operators.asof import asof_join
+from ton_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from ton_etl_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+
+
+def test_asof_join_strict(spark):
+    quotes = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 30, 3.0), ("b", 15, 9.0)],
+        "k string, ts long, price double",
+    )
+    events = spark.createDataFrame(
+        [("a", 5), ("a", 20), ("a", 25), ("a", 35), ("b", 14), ("b", 16), ("c", 50)],
+        "k string, ts long",
+    )
+    out = asof_join(events, quotes, on=["k"], left_ts="ts", right_ts="ts",
+                    value_cols=["price"], strict=True)
+    got = {(r["k"], r["ts"]): r["price"] for r in out.collect()}
+    # strict '<': the ts=20 event must NOT see the ts=20 quote
+    assert got == {
+        ("a", 5): None,
+        ("a", 20): 1.0,
+        ("a", 25): 2.0,
+        ("a", 35): 3.0,
+        ("b", 14): None,
+        ("b", 16): 9.0,
+        ("c", 50): None,
+    }
+
+
+def test_asof_join_nonstrict(spark):
+    quotes = spark.createDataFrame([("a", 20, 2.0)], "k string, ts long, price double")
+    events = spark.createDataFrame([("a", 20)], "k string, ts long")
+    out = asof_join(events, quotes, on=["k"], left_ts="ts", right_ts="ts",
+                    value_cols=["price"], strict=False)
+    assert out.collect()[0]["price"] == 2.0
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+    (3, "completely different text about spark sql window functions and joins"),
+    (4, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+    (5, "unrelated short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _brute_jaccard(a: str, b: str, k=3):
+    def sh(t):
+        w = t.lower().split()
+        return set(" ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 1)))
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 4
+    assert groups[2] == 1 and groups[3] == 1 and groups[5] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, min_jaccard_est=0.5).collect()}
+    assert (1, 4) in pairs  # exact dup always caught
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    rows = ngram_jaccard_pairs(docs, min_jaccard=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert got[(1, 4)] == 1.0
+    expect_12 = _brute_jaccard(DOCS[0][1], DOCS[1][1])
+    assert abs(got[(1, 2)] - expect_12) < 1e-9
+
+
+def test_simhash_near_dups(spark):
+    # simhash is stable only for long docs: one changed word among 200
+    # flips few majority votes → small hamming; the 16-bit-chunk blocking
+    # guarantees recall for pairs within hamming ≤ 3
+    base = " ".join(f"word{i}" for i in range(200))
+    near = base.replace("word7 ", "changed ")
+    other = " ".join(f"term{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dups(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 4)) == 0  # identical text → identical simhash
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    vecs.append((100, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = cosine_topk_bruteforce(emb, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], k=2)
+    rows = top.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+    assert rows[1]["vec_id"] == 100
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk_bruteforce(rest, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_ann_topk(rest, qv, k=10, n_planes=4, multiprobe=1).collect()]
+    # the testdata embeddings are weakly clustered (near-random cosine
+    # structure), so hyperplane LSH recall is modest by construction;
+    # deterministic seed → stable assertion
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_multimodal_plumbing(spark):
+    from ton_etl_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=32)
+    feats = extract_features(media).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_debezium_decimal_golden(spark):
+    """Golden cases from the reference's test_converter.py:31-65 semantics:
+    two's-complement base64 bytes + scale → decimal string."""
+    from ton_etl_spark.functions.debezium import decode_debezium_decimal_udf
+
+    def enc(unscaled: int) -> str:
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return base64.b64encode(unscaled.to_bytes(length, "big", signed=True)).decode()
+
+    cases = [
+        (enc(0), 0, "0"),
+        (enc(12345), 0, "12345"),
+        (enc(-12345), 0, "-12345"),
+        (enc(12345), 2, "123.45"),
+        (enc(-7), 3, "-0.007"),
+        (enc(2**256), 0, str(2**256)),
+    ]
+    df = spark.createDataFrame([(v, s) for v, s, _ in cases], "value_b64 string, scale int")
+    out = df.select(decode_debezium_decimal_udf("value_b64", "scale").alias("d")).collect()
+    assert [r["d"] for r in out] == [e for _, _, e in cases]
+
+
+def test_token_validation_flags_bad_rows(spark):
+    from ton_etl_spark.functions.tokens import with_token_validation
+
+    rows = [
+        ("a", "c", 1, 1, [1, 2, 3], 3, "web"),      # valid
+        ("b", "c", 2, 2, [1, 2, 3], 2, "web"),      # n_tok mismatch
+        ("c", "c", 3, 3, [1, 999999], 2, "web"),    # out of vocab
+        ("d", "d", 4, 4, None, None, "web"),        # tombstone: valid
+    ]
+    from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
+
+    df = spark.createDataFrame(rows, CDC_EVENT_SCHEMA)
+    flagged = {r["doc_id"]: r["valid"] for r in
+               with_token_validation(df, strict=False).collect()}
+    assert flagged == {"a": True, "b": False, "c": False, "d": True}
+    kept = {r["doc_id"] for r in with_token_validation(df, strict=True).collect()}
+    assert kept == {"a", "d"}

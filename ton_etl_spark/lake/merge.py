@@ -88,41 +88,42 @@ def merge_lww(
         return {"applied": False, "buckets": [], "rows_written": 0}
     key_cols = snap.key_cols
 
-    reduced = batch if pre_reduced else reduce_batch_lww(batch, key_cols, n_salts)
-
-    # buckets touched by this batch — tiny (≤ n_buckets ints), safe to collect
+    # Buckets touched by this batch (≤ n_buckets ints, safe to collect).
+    # Computed on the RAW batch — a superset of the post-validation touched
+    # set, which is still correct for pruning — so the probe is a
+    # column-pruned scan of just the key column + a tiny distinct, and the
+    # expensive validate+reduce pipeline is consumed exactly once inside the
+    # merge DAG (no persist, no double evaluation).
     bexpr = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(snap.n_buckets)).cast("int")
-    reduced = reduced.withColumn("__b", bexpr).persist()
-    buckets = [r["__b"] for r in reduced.select("__b").distinct().collect()]
+    buckets = [
+        r["__b"] for r in batch.select(bexpr.alias("__b")).distinct().collect()
+    ]
+
+    reduced = batch if pre_reduced else reduce_batch_lww(batch, key_cols, n_salts)
 
     current = table.read(buckets=buckets)
 
     # align schemas additively (mid-stream new columns appear on the batch side)
     from ton_etl_spark.lake.table import _merge_schemas, _conform
 
-    reduced_payload = reduced.drop("__b")
+    reduced_payload = reduced
     target_schema = _merge_schemas(snap.schema, reduced_payload.schema)
     cur = _conform(current, target_schema)
     inc = _conform(reduced_payload, target_schema)
 
     # One-row-per-key ⟗ one-row-per-key: full-outer join IS the merge.
-    # Both sides are pre-partitioned by bucket and the join key set is
-    # (__b, key): HashPartitioning(__b) satisfies the join's clustering
-    # requirement (a subset of the join keys), so the join adds NO extra
-    # exchange and its output stays bucket-partitioned — the bucketed
-    # write then needs no repartition either.  One shuffle per side total.
-    nb = snap.n_buckets
-    cur_a = cur.select(*[F.col(c).alias(f"__cur_{c}") for c in cur.columns]).withColumn(
-        "__b_cur",
-        F.pmod(F.xxhash64(*[F.col(f"__cur_{c}") for c in key_cols]), F.lit(nb)).cast("int"),
-    ).repartition(nb, "__b_cur")
-    inc_a = inc.select(*[F.col(c).alias(f"__inc_{c}") for c in inc.columns]).withColumn(
-        "__b_inc",
-        F.pmod(F.xxhash64(*[F.col(f"__inc_{c}") for c in key_cols]), F.lit(nb)).cast("int"),
-    ).repartition(nb, "__b_inc")
-    cond = [cur_a["__b_cur"] == inc_a["__b_inc"]] + [
-        cur_a[f"__cur_{k}"] == inc_a[f"__inc_{k}"] for k in key_cols
-    ]
+    # Join on the key alone (the bucket is a pure function of the key, so
+    # bucket equality is implied); the write then repartitions by bucket so
+    # every bucket lands in exactly one output file — keeping the
+    # snapshot's file count O(n_buckets), which is what makes later
+    # bucket-pruned reads cheap. (An earlier variant joined on
+    # (bucket, key): the join output came back hash-partitioned on BOTH
+    # columns, the dynamic-partition write fanned out to
+    # n_partitions × n_buckets files, and every subsequent read paid a
+    # distributed file-listing job — a measured 2× end-to-end regression.)
+    cur_a = cur.select(*[F.col(c).alias(f"__cur_{c}") for c in cur.columns])
+    inc_a = inc.select(*[F.col(c).alias(f"__inc_{c}") for c in inc.columns])
+    cond = [cur_a[f"__cur_{k}"] == inc_a[f"__inc_{k}"] for k in key_cols]
     joined = cur_a.join(inc_a, cond, "full_outer")
 
     inc_ord = F.struct(
@@ -138,8 +139,6 @@ def merge_lww(
     inc_wins = F.col(f"__cur_{LSN_COL}").isNull() | (inc_ord > cur_ord)
     take_inc = F.col(f"__inc_{LSN_COL}").isNotNull() & inc_wins
 
-    from ton_etl_spark.lake.table import BUCKET_COL
-
     out_cols = [
         F.when(take_inc, F.col(f"__inc_{c}")).otherwise(F.col(f"__cur_{c}")).alias(c)
         for c in [f.name for f in target_schema.fields]
@@ -149,12 +148,7 @@ def merge_lww(
     # resurrect the key.  Consumers read through ``read_state`` which filters
     # op != 'd'; a compaction pass may GC tombstones older than the
     # redelivery horizon (the reference's maturity window analog).
-    # Carrying the bucket through lets the write skip its repartition: the
-    # join output is physically still bucket-partitioned.
-    merged = joined.select(
-        *out_cols, F.coalesce(F.col("__b_cur"), F.col("__b_inc")).alias(BUCKET_COL)
-    )
+    merged = joined.select(*out_cols)
 
     ok = table.overwrite_buckets(merged, buckets, commit_key=commit_key, schema=target_schema)
-    reduced.unpersist()
     return {"applied": ok, "buckets": sorted(buckets)}

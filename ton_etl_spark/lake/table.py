@@ -245,16 +245,16 @@ class LakeTable:
         coarse; a real deployment would also split by target-file-size)."""
         commit_rel = os.path.join(DATA_DIR, commit_id)
         commit_abs = os.path.join(self.root, commit_rel)
-        if BUCKET_COL in df.columns:
-            # caller already bucket-partitioned the data (e.g. the MERGE join
-            # output) — write directly, no extra shuffle; each bucket still
-            # lands in one file because it lives in exactly one partition
-            out = df
-        else:
-            out = df.withColumn(
-                BUCKET_COL,
-                F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int"),
-            ).repartition(BUCKET_COL)
+        # Repartition by bucket so each bucket lands in EXACTLY ONE file:
+        # the snapshot's file count stays O(n_buckets), which keeps every
+        # later read a cheap driver-side listing. Skipping this shuffle
+        # lets the dynamic-partition write fan out to
+        # n_partitions × n_buckets files — measured far worse than the
+        # one exchange it saves.
+        out = df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int"),
+        ).repartition(n_buckets, F.col(BUCKET_COL))
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_abs)
         files: list[DataFile] = []
         for entry in os.listdir(commit_abs):
@@ -332,12 +332,9 @@ class LakeTable:
 
 
 def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Project df onto schema column order, adding NULLs for missing cols.
-    A pre-computed bucket column rides along untouched."""
+    """Project df onto schema column order, adding NULLs for missing cols."""
     have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
-    if BUCKET_COL in df.columns and BUCKET_COL not in [f.name for f in schema.fields]:
-        cols.append(F.col(BUCKET_COL))
     for f in schema.fields:
         if f.name in have:
             # cast only on real type mismatch; Spark 4 rejects casts between

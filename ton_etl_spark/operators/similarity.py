@@ -85,12 +85,17 @@ def lsh_ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 4,
     seed: int = 42,
     multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's hyperplane bucket and the
-    ``multiprobe`` nearest buckets (1-bit flips), exact cosine within."""
+    """Approximate top-k: probe the query's hyperplane bucket plus all
+    buckets within ``multiprobe`` bit-flips, exact cosine within.
+
+    Recall/scan-fraction tradeoff is data-dependent: tightly-clustered
+    embeddings tolerate more planes; weakly-clustered (near-random) vectors
+    need few planes + multiprobe (hyperplane agreement probability is
+    (1 - θ/π)^planes)."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     qb = 0
@@ -98,9 +103,10 @@ def lsh_ann_topk(
         dot = sum(a * b for a, b in zip(query_vec, plane))
         qb |= (1 if dot >= 0 else 0) << p
     probe = {qb}
-    if multiprobe:
-        for p in range(n_planes):
-            probe.add(qb ^ (1 << p))
+    frontier = {qb}
+    for _ in range(multiprobe):
+        frontier = {b ^ (1 << p) for b in frontier for p in range(n_planes)}
+        probe |= frontier
     bucketed = emb.withColumn(
         "__bucket", _hyperplane_bucket(F.col(vec_col), n_planes, seed, dim)
     ).where(F.col("__bucket").isin(list(probe)))

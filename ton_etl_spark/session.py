@@ -41,7 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy: measurably the most stable codec under 32 concurrent
+        # writers in this environment (zstd/lz4 JNI showed multi-second
+        # stalls at high writer counts)
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # lake tables are read via explicit per-file path lists; keep the
+        # listing on the driver instead of spawning a 10k-task job
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # deterministic timestamp rendering for oracle comparison
