@@ -93,6 +93,13 @@ def run_ingest(spark, n_events: int, n_batches: int, workdir: str) -> dict:
 def main() -> None:
     from ton_etl_spark.session import get_spark
 
+    try:  # Firecracker lazy-snapshot mitigation (scripts/prefault.py)
+        from scripts.prefault import ensure_prefaulted
+
+        ensure_prefaulted(float(os.environ.get("SPARK_GRAFT_PREFAULT_GB", "32")))
+    except Exception:
+        pass
+
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     queries = run_headline(spark)
     with tempfile.TemporaryDirectory(prefix="cdc_bench_") as wd:

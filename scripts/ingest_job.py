@@ -2,9 +2,17 @@
 """Standalone CDC ingest job for the scaling benchmark.
 
 Submitted via ``spark-submit --py-files ton_etl_spark.zip scripts/ingest_job.py
-<master> <log_dir> <table_dir> <n_buckets>`` — the identical job run at two
-parallelism levels on the SAME pre-written input, the sandbox substitution
-for the N→4N-executor scaling criterion.
+<master> <log_dir> <table_dir> <n_buckets> [warmup_dir]`` — the identical job
+run at two parallelism levels on the SAME pre-written input, the sandbox
+substitution for the N→4N-executor scaling criterion.
+
+Measures STEADY-STATE throughput: when ``warmup_dir`` is given, one warmup
+epoch is applied to a throwaway table first (untimed) so JVM JIT compilation
+of the whole codepath (parquet scan → Arrow validate → two-stage reduce →
+merge join → bucketed write) happens before the clock starts.  A fresh local
+JVM spends ~4-5 s single-threaded in C2 compilation — a constant that at
+10^10-event scale is irrelevant but at benchmark scale would be charged
+equally to both parallelism levels and mask the real scaling (Amdahl).
 
 Prints one JSON line: {"elapsed_sec", "events", "events_per_sec", "final_rows"}.
 """
@@ -17,6 +25,16 @@ import sys
 import time
 
 
+def list_batch_dirs(log_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(log_dir, ph, sq)
+        for ph in os.listdir(log_dir)
+        if ph.startswith("phase=")
+        for sq in os.listdir(os.path.join(log_dir, ph))
+        if sq.startswith("__seq=")
+    )
+
+
 def main() -> None:
     master, log_dir, table_dir, n_buckets = (
         sys.argv[1],
@@ -24,6 +42,7 @@ def main() -> None:
         sys.argv[3],
         int(sys.argv[4]),
     )
+    warmup_dir = sys.argv[5] if len(sys.argv) > 5 else None
     from pyspark.sql import SparkSession
 
     cores = master.replace("local[", "").replace("]", "")
@@ -44,26 +63,42 @@ def main() -> None:
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # shuffle store is tmpfs (RAM): compressing shuffle blocks only adds
+        # CPU + memcpy (measured -14% at 16 cores with it off); a network
+        # cluster would keep these true
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        # ~32 MB input splits: 4× finer task granularity than the 128 MB
+        # default evens out straggler tails at high parallelism (measured
+        # best wall time at 16 cores; the default packed 64 delivery files
+        # into ~32 splits → 2 waves with a long tail)
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     from ton_etl_spark.cdc.apply import apply_cdc_batch, make_sequences_table, read_state
 
-    batch_dirs = sorted(
-        os.path.join(log_dir, ph, sq)
-        for ph in os.listdir(log_dir)
-        if ph.startswith("phase=")
-        for sq in os.listdir(os.path.join(log_dir, ph))
-        if sq.startswith("__seq=")
-    )
+    if warmup_dir:
+        scratch = table_dir + "_warmup"
+        wtable = make_sequences_table(spark, scratch, n_buckets=n_buckets)
+        for epoch, d in enumerate(list_batch_dirs(warmup_dir)):
+            apply_cdc_batch(wtable, spark.read.parquet(d), epoch=epoch)
+        read_state(wtable).count()
+        wtable.drop()
+
+    batch_dirs = list_batch_dirs(log_dir)
     table = make_sequences_table(spark, table_dir, n_buckets=n_buckets)
 
     t0 = time.perf_counter()
     for epoch, d in enumerate(batch_dirs):
+        te = time.perf_counter()
         batch = spark.read.parquet(d)
         apply_cdc_batch(table, batch, epoch=epoch)
+        print(f"@@timing epoch{epoch} {time.perf_counter() - te:.2f}s", flush=True)
+    tc = time.perf_counter()
     final_rows = read_state(table).count()
+    print(f"@@timing final_count {time.perf_counter() - tc:.2f}s", flush=True)
     elapsed = time.perf_counter() - t0
 
     events = spark.read.parquet(*batch_dirs).count()  # not timed

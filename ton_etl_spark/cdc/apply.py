@@ -82,6 +82,14 @@ def apply_cdc_batch(
     commit_key = f"epoch={epoch}"
     if table.has_commit(commit_key):
         return {"applied": False, "epoch": epoch}
+    # bucket probe on the RAW batch: a column-pruned scan of the key only
+    # (the validation mapInArrow below would otherwise run twice — once for
+    # the probe, once for the merge; measured ~2× epoch cost)
+    snap = table.current()
+    from ton_etl_spark.lake.table import bucket_of
+
+    bexpr = bucket_of(snap.key_cols, snap.n_buckets)
+    buckets = [r["__b"] for r in batch.select(bexpr.alias("__b")).distinct().collect()]
     if validate:
         batch = with_token_validation(batch)
 
@@ -101,7 +109,7 @@ def apply_cdc_batch(
         )
         lineage.append(lin, commit_key=commit_key)
 
-    stats = merge_lww(table, batch, commit_key=commit_key)
+    stats = merge_lww(table, batch, commit_key=commit_key, buckets=buckets)
     stats["epoch"] = epoch
     return stats
 

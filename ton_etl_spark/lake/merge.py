@@ -16,25 +16,60 @@ Semantics mirror the reference's guarded upserts and delete handling:
 
 Scale design (the part the reference outsources to Postgres indexes):
 
-1. **Two-stage, salt-aware batch reduce** — a micro-batch is first reduced
-   per (key, salt) and then per key, so a hot doc_id with millions of
-   churn events in one batch never lands on a single reducer.
-2. **Bucket-pruned copy-on-write** — the target is hash-bucketed by key;
-   only buckets touched by the batch are read and rewritten.
-3. **Single shuffle join** — current-state (pruned buckets) ⟗ reduced
-   batch on key; both sides are one-row-per-key so the join is the whole
-   merge. AQE handles residual skew on the join itself.
+1. **One shuffle per MERGE.** The merge is ``union(current-state buckets,
+   incoming events) → groupBy(key) → max_by(payload, ord)``.  Because the
+   table's bucket function equals Spark's HashPartitioning id expression
+   (``lake/table.py bucket_of``), running that groupBy with
+   ``spark.sql.shuffle.partitions = n_buckets`` leaves the winners already
+   partitioned by storage bucket — the write needs NO further exchange and
+   still emits one file per bucket.  An earlier 4-exchange variant (salted
+   two-stage reduce → full-outer join with current state → repartition by
+   bucket) moved the full token payload through four shuffles; this moves
+   it through one.
+2. **Hot keys are pre-reduced map-side.** The groupBy plans a partial
+   aggregation before the exchange: each input partition emits at most one
+   candidate row per key, so a doc_id with millions of churn events in one
+   batch reaches the reducer as ≤ n_input_partitions candidates.  This is
+   the salting effect (spread hot-key work across map tasks, re-merge at
+   apply) derived from the input partitioning instead of an explicit salt
+   column; ``reduce_batch_lww`` below keeps the explicit salted two-stage
+   form for callers that need to pre-reduce a pathologically skewed feed
+   before it ever reaches the merge.
+3. **Bucket-pruned copy-on-write.** Only buckets touched by the batch are
+   read and rewritten; a small change batch against a 100 TB table
+   rewrites a bounded slice, not the world.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING", "") not in ("", "0")
+
+
+def _tlog(label: str, t0: float) -> None:
+    if _TIMING:
+        print(f"@@timing {label} {time.perf_counter() - t0:.2f}s", file=sys.stdout, flush=True)
+
 from ton_etl_spark.cdc.schema import OP_COL, LSN_COL, TS_COL, op_priority_expr
-from ton_etl_spark.lake.table import LakeTable
+from ton_etl_spark.lake.table import LakeTable, bucket_of, _merge_schemas, _conform
 
 DEFAULT_SALT = 16
+
+
+def _ord_expr(prefix: str = "") -> F.Column:
+    """The LWW total order: (lsn, ts_ms, op_priority), struct-comparable."""
+    c = (lambda n: F.col(prefix + n)) if prefix else F.col
+    return F.struct(
+        c(LSN_COL).alias("lsn"),
+        F.coalesce(c(TS_COL), F.lit(0)).alias("ts_ms"),
+        op_priority_expr(c(OP_COL)).alias("op_pri"),
+    )
 
 
 def reduce_batch_lww(
@@ -42,19 +77,18 @@ def reduce_batch_lww(
     key_cols: list[str],
     n_salts: int = DEFAULT_SALT,
 ) -> DataFrame:
-    """Collapse a CDC micro-batch to one winning event per key.
+    """Explicitly salted two-stage pre-reduce: collapse a CDC micro-batch to
+    one winning event per key before it reaches the merge.
 
-    Winner = max by (lsn, ts_ms, op_priority). Two-stage aggregation:
-    stage 1 groups by (key, salt) — salt derived from the ordering column so
-    events of a hot key spread over ``n_salts`` reducers and each reducer
-    emits one candidate; stage 2 reduces the ≤ n_salts candidates per key.
-    Both stages are hash aggregations with map-side partial combine.
+    The merge itself already bounds reduce-side skew via map-side partial
+    aggregation; use this when the *feed* must be collapsed first (e.g. a
+    pathological batch where one key dominates every input partition and
+    even the per-partition candidates are worth spreading).  Stage 1 groups
+    by (key, salt) — salt derived from the ordering column so events of a
+    hot key spread over ``n_salts`` reducers — stage 2 reduces the
+    ≤ n_salts candidates per key.
     """
-    ord_expr = F.struct(
-        F.col(LSN_COL).alias("lsn"),
-        F.coalesce(F.col(TS_COL), F.lit(0)).alias("ts_ms"),
-        op_priority_expr().alias("op_pri"),
-    )
+    ord_expr = _ord_expr()
     payload = F.struct(*[F.col(c) for c in batch.columns])
     salted = batch.withColumn("__salt", F.pmod(F.xxhash64(F.col(LSN_COL)), F.lit(n_salts)))
     stage1 = salted.groupBy(*key_cols, "__salt").agg(
@@ -68,10 +102,11 @@ def merge_lww(
     table: LakeTable,
     batch: DataFrame,
     commit_key: str | None = None,
-    pre_reduced: bool = False,
-    n_salts: int = DEFAULT_SALT,
+    pre_reduced: bool = False,  # kept for API compat; the single-agg merge
+    n_salts: int = DEFAULT_SALT,  # handles raw and pre-reduced batches alike
+    buckets: list[int] | None = None,
 ) -> dict:
-    """MERGE a CDC batch into ``table`` with LWW semantics.
+    """MERGE a CDC batch into ``table`` with LWW semantics, in ONE shuffle.
 
     ``batch`` carries the CDC envelope (op/lsn/ts_ms) plus payload columns.
     The stored row for a key keeps the envelope of its winning event
@@ -80,8 +115,14 @@ def merge_lww(
     MERGE is idempotent at row level, and ``commit_key`` makes it
     idempotent at batch level.
 
-    Returns stats {applied, buckets, upserts, deletes} (applied=False when
-    the commit_key was already committed).
+    Tombstones ('d' winners) are KEPT in storage: if the delete row were
+    dropped, a stale lower-LSN redelivery in a later batch would resurrect
+    the key.  Consumers read through ``read_state`` which filters
+    op != 'd'; a compaction pass may GC tombstones older than the
+    redelivery horizon (the reference's maturity window analog).
+
+    Returns stats {applied, buckets} (applied=False when the commit_key
+    was already committed).
     """
     snap = table.current()
     if commit_key is not None and commit_key in set(snap.commit_keys):
@@ -89,66 +130,52 @@ def merge_lww(
     key_cols = snap.key_cols
 
     # Buckets touched by this batch (≤ n_buckets ints, safe to collect).
-    # Computed on the RAW batch — a superset of the post-validation touched
-    # set, which is still correct for pruning — so the probe is a
-    # column-pruned scan of just the key column + a tiny distinct, and the
-    # expensive validate+reduce pipeline is consumed exactly once inside the
-    # merge DAG (no persist, no double evaluation).
-    bexpr = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(snap.n_buckets)).cast("int")
-    buckets = [
-        r["__b"] for r in batch.select(bexpr.alias("__b")).distinct().collect()
-    ]
-
-    reduced = batch if pre_reduced else reduce_batch_lww(batch, key_cols, n_salts)
+    # Callers that wrap ``batch`` in a plan a probe shouldn't re-execute
+    # (e.g. the mapInArrow validation in apply_cdc_batch) pass ``buckets``
+    # computed on the RAW batch — a superset of the post-validation touched
+    # set, still correct for pruning, and the probe stays a column-pruned
+    # scan of just the key columns + a tiny distinct.  (Measured: probing
+    # through the validation UDF re-ran the whole Arrow pipeline and nearly
+    # doubled epoch cost.)
+    if buckets is None:
+        t0 = time.perf_counter()
+        bexpr = bucket_of(key_cols, snap.n_buckets)
+        buckets = [r["__b"] for r in batch.select(bexpr.alias("__b")).distinct().collect()]
+        _tlog("probe", t0)
 
     current = table.read(buckets=buckets)
 
     # align schemas additively (mid-stream new columns appear on the batch side)
-    from ton_etl_spark.lake.table import _merge_schemas, _conform
-
-    reduced_payload = reduced
-    target_schema = _merge_schemas(snap.schema, reduced_payload.schema)
+    target_schema = _merge_schemas(snap.schema, batch.schema)
     cur = _conform(current, target_schema)
-    inc = _conform(reduced_payload, target_schema)
+    inc = _conform(batch, target_schema)
 
-    # One-row-per-key ⟗ one-row-per-key: full-outer join IS the merge.
-    # Join on the key alone (the bucket is a pure function of the key, so
-    # bucket equality is implied); the write then repartitions by bucket so
-    # every bucket lands in exactly one output file — keeping the
-    # snapshot's file count O(n_buckets), which is what makes later
-    # bucket-pruned reads cheap. (An earlier variant joined on
-    # (bucket, key): the join output came back hash-partitioned on BOTH
-    # columns, the dynamic-partition write fanned out to
-    # n_partitions × n_buckets files, and every subsequent read paid a
-    # distributed file-listing job — a measured 2× end-to-end regression.)
-    cur_a = cur.select(*[F.col(c).alias(f"__cur_{c}") for c in cur.columns])
-    inc_a = inc.select(*[F.col(c).alias(f"__inc_{c}") for c in inc.columns])
-    cond = [cur_a[f"__cur_{k}"] == inc_a[f"__inc_{k}"] for k in key_cols]
-    joined = cur_a.join(inc_a, cond, "full_outer")
+    # union(current one-row-per-key, incoming events) → one winner per key.
+    # The partial (map-side) aggregation bounds hot-key fan-in; the final
+    # aggregation's output partitioning == storage buckets when
+    # shuffle.partitions == n_buckets, so the write below adds no exchange.
+    ord_expr = _ord_expr()
+    payload = F.struct(*[F.col(f.name) for f in target_schema.fields])
+    allrows = cur.unionByName(inc)
 
-    inc_ord = F.struct(
-        F.col(f"__inc_{LSN_COL}").alias("lsn"),
-        F.coalesce(F.col(f"__inc_{TS_COL}"), F.lit(0)).alias("ts_ms"),
-        op_priority_expr(F.col(f"__inc_{OP_COL}")).alias("op_pri"),
-    )
-    cur_ord = F.struct(
-        F.col(f"__cur_{LSN_COL}").alias("lsn"),
-        F.coalesce(F.col(f"__cur_{TS_COL}"), F.lit(0)).alias("ts_ms"),
-        op_priority_expr(F.col(f"__cur_{OP_COL}")).alias("op_pri"),
-    )
-    inc_wins = F.col(f"__cur_{LSN_COL}").isNull() | (inc_ord > cur_ord)
-    take_inc = F.col(f"__inc_{LSN_COL}").isNotNull() & inc_wins
-
-    out_cols = [
-        F.when(take_inc, F.col(f"__inc_{c}")).otherwise(F.col(f"__cur_{c}")).alias(c)
-        for c in [f.name for f in target_schema.fields]
-    ]
-    # Tombstones ('d' winners) are KEPT in storage: if the delete row were
-    # dropped here, a stale lower-LSN redelivery in a later batch would
-    # resurrect the key.  Consumers read through ``read_state`` which filters
-    # op != 'd'; a compaction pass may GC tombstones older than the
-    # redelivery horizon (the reference's maturity window analog).
-    merged = joined.select(*out_cols)
-
-    ok = table.overwrite_buckets(merged, buckets, commit_key=commit_key, schema=target_schema)
+    spark = batch.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(snap.n_buckets))
+    try:
+        winners = (
+            allrows.groupBy(*[F.col(c) for c in key_cols])
+            .agg(F.max_by(payload, ord_expr).alias("__win"))
+            .select("__win.*")
+        )
+        t0 = time.perf_counter()
+        ok = table.overwrite_buckets(
+            winners,
+            buckets,
+            commit_key=commit_key,
+            schema=target_schema,
+            pre_partitioned=True,
+        )
+        _tlog("merge_write", t0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return {"applied": ok, "buckets": sorted(buckets)}

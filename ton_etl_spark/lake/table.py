@@ -57,6 +57,18 @@ CURRENT_PTR = "_current"
 BUCKET_COL = "__bucket"
 
 
+def bucket_of(key_cols: list[str], n_buckets: int):
+    """Bucket id of a key — ``pmod(murmur3(key), n)``, DELIBERATELY identical
+    to Spark's ``HashPartitioning.partitionIdExpression`` (``F.hash`` is
+    murmur3 with the same seed 42).  Consequence: any shuffle hashed on the
+    key columns with ``numPartitions == n_buckets`` (a plain ``groupBy`` with
+    ``spark.sql.shuffle.partitions = n_buckets``) yields output partitions
+    that ARE the storage buckets — the MERGE write needs no further
+    repartition, saving a full-payload shuffle per commit.  This is the
+    local-format analog of Iceberg's storage-partitioned join/write."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
 @dataclass
 class DataFile:
     path: str  # relative to table root
@@ -212,7 +224,7 @@ class LakeTable:
     def bucket_expr(self, n_buckets: int | None = None, key_cols: list[str] | None = None):
         snap_keys = key_cols if key_cols is not None else self.current().key_cols
         n = n_buckets if n_buckets is not None else self.current().n_buckets
-        return F.pmod(F.xxhash64(*[F.col(c) for c in snap_keys]), F.lit(n)).cast("int")
+        return bucket_of(snap_keys, n)
 
     # ------------------------------------------------------------------ read
     def read(
@@ -237,26 +249,40 @@ class LakeTable:
 
     # ------------------------------------------------------------------ write
     def _write_commit_files(
-        self, df: DataFrame, commit_id: str, n_buckets: int, key_cols: list[str]
+        self,
+        df: DataFrame,
+        commit_id: str,
+        n_buckets: int,
+        key_cols: list[str],
+        pre_partitioned: bool = False,
     ) -> list[DataFile]:
         """Write ``df`` as one directory tree partitioned by bucket; return the
         produced files tagged with their bucket.  One output file per bucket
         (a MERGE batch touches a bounded set of buckets, so files stay
-        coarse; a real deployment would also split by target-file-size)."""
+        coarse; a real deployment would also split by target-file-size).
+
+        ``pre_partitioned=True``: caller guarantees ``df`` is already
+        hash-partitioned on the key columns with numPartitions==n_buckets
+        (e.g. it is the output of a groupBy(key) run with
+        ``spark.sql.shuffle.partitions = n_buckets``).  Because
+        ``bucket_of`` equals Spark's partition-id expression, each task then
+        holds whole buckets and the dynamic-partition write still yields one
+        file per bucket with NO repartition exchange.  Otherwise an explicit
+        repartition keeps the snapshot's file count O(n_buckets) — skipping
+        it would fan out to n_partitions × n_buckets files (measured 2×
+        end-to-end regression from distributed listing on every read)."""
         commit_rel = os.path.join(DATA_DIR, commit_id)
         commit_abs = os.path.join(self.root, commit_rel)
-        # Repartition by bucket so each bucket lands in EXACTLY ONE file:
-        # the snapshot's file count stays O(n_buckets), which keeps every
-        # later read a cheap driver-side listing. Skipping this shuffle
-        # lets the dynamic-partition write fan out to
-        # n_partitions × n_buckets files — measured far worse than the
-        # one exchange it saves.
-        out = df.withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int"),
-        ).repartition(n_buckets, F.col(BUCKET_COL))
+        out = df.withColumn(BUCKET_COL, bucket_of(key_cols, n_buckets))
+        if not pre_partitioned:
+            out = out.repartition(n_buckets, F.col(BUCKET_COL))
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_abs)
-        files: list[DataFile] = []
+        # stat the produced files with a thread pool: footer opens are
+        # ~ms each but serial over n_buckets files they add up to a fixed
+        # driver-side cost per commit that hurts scaling (Amdahl)
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo: list[tuple[str, int]] = []
         for entry in os.listdir(commit_abs):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
@@ -264,16 +290,17 @@ class LakeTable:
             bdir = os.path.join(commit_abs, entry)
             for fn in os.listdir(bdir):
                 if fn.endswith(".parquet"):
-                    import pyarrow.parquet as pq
+                    todo.append((os.path.join(commit_rel, entry, fn), bucket))
 
-                    rows = pq.ParquetFile(os.path.join(bdir, fn)).metadata.num_rows
-                    files.append(
-                        DataFile(
-                            path=os.path.join(commit_rel, entry, fn),
-                            bucket=bucket,
-                            rows=rows,
-                        )
-                    )
+        def _stat(item: tuple[str, int]) -> DataFile:
+            import pyarrow.parquet as pq
+
+            rel, bucket = item
+            rows = pq.ParquetFile(os.path.join(self.root, rel)).metadata.num_rows
+            return DataFile(path=rel, bucket=bucket, rows=rows)
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            files = list(pool.map(_stat, todo))
         return files
 
     def append(self, df: DataFrame, commit_key: str | None = None) -> bool:
@@ -304,6 +331,7 @@ class LakeTable:
         buckets: list[int],
         commit_key: str | None = None,
         schema: T.StructType | None = None,
+        pre_partitioned: bool = False,
     ) -> bool:
         """Copy-on-write commit: replace all files of ``buckets`` with ``df``
         (which must contain exactly the surviving rows for those buckets).
@@ -315,7 +343,9 @@ class LakeTable:
         new_schema = schema if schema is not None else _merge_schemas(snap.schema, df.schema)
         df = _conform(df, new_schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
-        new_files = self._write_commit_files(df, commit_id, snap.n_buckets, snap.key_cols)
+        new_files = self._write_commit_files(
+            df, commit_id, snap.n_buckets, snap.key_cols, pre_partitioned=pre_partitioned
+        )
         bset = set(buckets)
         kept = [f for f in snap.files if f.bucket not in bset]
         new_snap = Snapshot(
