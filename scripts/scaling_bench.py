@@ -153,6 +153,8 @@ def run_scaling() -> dict:
         "final_rows_equal_across_all_runs": rows_equal,
     }
     print(json.dumps(summary))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
+        json.dump({"pair": f"{m_lo}->{m_hi}", **summary}, fh)
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
