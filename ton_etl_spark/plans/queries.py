@@ -773,6 +773,163 @@ FROM d GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# 27. Trace-graph 2-hop walk — SURVEY.md J1/J2 (trace_edges self-joins,
+#     parser/db.py:153-209,772-787): each user's event chain ordered by
+#     (ts, event_id) is the trace; grandparent = 2 hops back.
+def q_trace_2hop(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select("user_id", "event_id", "event_type", "ts").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    e0 = ranked.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("event_id"), F.col("rnk").alias("r0")
+    )
+    e1 = ranked.select(
+        F.col("user_id").alias("u1"),
+        F.col("event_id").alias("parent_id"),
+        F.col("rnk").alias("r1"),
+    )
+    e2 = ranked.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("grandparent_id"),
+        F.col("event_type").alias("grandparent_type"),
+        F.col("rnk").alias("r2"),
+    )
+    return (
+        e0.join(e1, (e0.u == e1.u1) & (e0.r0 == e1.r1 + 1), "inner")
+        .join(e2, (e0.u == e2.u2) & (e0.r0 == e2.r2 + 2), "inner")
+        .select("event_id", "parent_id", "grandparent_id", "grandparent_type")
+    )
+
+
+SQL_TRACE_2HOP = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events
+)
+SELECT e0.event_id, e1.event_id AS parent_id,
+       e2.event_id AS grandparent_id, e2.event_type AS grandparent_type
+FROM ranked e0
+JOIN ranked e1 ON e0.user_id = e1.user_id AND e0.rnk = e1.rnk + 1
+JOIN ranked e2 ON e0.user_id = e2.user_id AND e0.rnk = e2.rnk + 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 28. Union-of-branches event mart — SURVEY.md U2 (12 event-type branches
+#     unioned into nft_events, nft_events.sql:526-551): three differently-
+#     shaped branch queries normalized to one schema via unionByName.
+def q_event_mart_branches(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    big_purchases = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50)
+    ).select(
+        "event_id",
+        F.lit("big_purchase").alias("mart_type"),
+        F.round(F.col("value"), 4).alias("amount"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.lit("error").alias("mart_type"), F.lit(0.0).alias("amount")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id",
+        F.lit("signup").alias("mart_type"),
+        F.round(F.col("value") * 0.5, 4).alias("amount"),
+    )
+    return big_purchases.unionByName(errors).unionByName(signups).distinct()
+
+
+SQL_EVENT_MART = """
+SELECT event_id, 'big_purchase' AS mart_type, ROUND(value, 4) AS amount
+FROM events WHERE event_type = 'purchase' AND value > 50
+UNION
+SELECT event_id, 'error' AS mart_type, 0.0 AS amount
+FROM events WHERE event_type = 'error'
+UNION
+SELECT event_id, 'signup' AS mart_type, ROUND(value * 0.5, 4) AS amount
+FROM events WHERE event_type = 'signup'
+"""
+
+
+# --------------------------------------------------------------------------
+# 29. Lead/lookahead with CASE tie-break in window order — SURVEY.md W3/W5
+#     (auction implicit finish via lag-on-desc nft_events.sql:190,204-210;
+#     CASE in window ordering athena_ddl.sql:766): next event per user with
+#     purchase-priority tie-break, flagging gaps > 1 day (duplicate
+#     suppression analog).
+def q_next_event_gaps(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    pri = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    w = W.partitionBy("user_id").orderBy("ts", pri.asc(), "event_id")
+    out = ev.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "next_ts", F.lead("ts").over(w)
+    )
+    return out.where(F.col("next_ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("gap_sec"),
+        (F.unix_timestamp("next_ts") - F.unix_timestamp("ts") > 86400).alias("gap_over_1d"),
+    )
+
+
+SQL_NEXT_EVENT = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+                                 event_id) AS next_ts
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT) AS gap_sec,
+       (floor(epoch(next_ts)) - floor(epoch(ts))) > 86400 AS gap_over_1d
+FROM w WHERE next_ts IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# 30. Trace pattern match via sorted collect_list — SURVEY.md J6/T4
+#     (megaton.py:32-95 fetch-all-by-trace, sort by lt, verify a hop
+#     pattern): users whose last three events end view → click → purchase.
+def q_funnel_pattern(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ).alias("chain")
+        )
+        .withColumn("n", F.size("chain"))
+        .where(F.col("n") >= 3)
+    )
+    last3 = F.slice(F.col("chain"), F.col("n") - 2, 3)
+    types = F.transform(last3, lambda s: s["event_type"])
+    return seq.where(
+        (types[0] == "view") & (types[1] == "click") & (types[2] == "purchase")
+    ).select("user_id", F.col("n").cast("long").alias("n_events"))
+
+
+SQL_FUNNEL = """
+WITH chain AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(array_agg(ROW(ts, event_id, event_type))),
+           s -> s[3]) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(types) AS BIGINT) AS n_events
+FROM chain
+WHERE len(types) >= 3
+  AND types[len(types)-2] = 'view'
+  AND types[len(types)-1] = 'click'
+  AND types[len(types)]   = 'purchase'
+"""
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -803,6 +960,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_norm": q_label_centroid_norm,
     "tps_windows": q_tps_windows,
     "latency_percentiles": q_latency_percentiles,
+    "trace_2hop": q_trace_2hop,
+    "event_mart_branches": q_event_mart_branches,
+    "next_event_gaps": q_next_event_gaps,
+    "funnel_pattern": q_funnel_pattern,
     # rows-only (non-SQL-expressible or hash-seeded; pytest verifies)
     "minhash_near_dups": q_minhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -841,4 +1002,8 @@ ORACLES: dict[str, str] = {
     "label_centroid_norm": SQL_CENTROID,
     "tps_windows": SQL_TPS,
     "latency_percentiles": SQL_LATENCY,
+    "trace_2hop": SQL_TRACE_2HOP,
+    "event_mart_branches": SQL_EVENT_MART,
+    "next_event_gaps": SQL_NEXT_EVENT,
+    "funnel_pattern": SQL_FUNNEL,
 }
