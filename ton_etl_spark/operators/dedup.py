@@ -61,18 +61,24 @@ def minhash_signatures(
     k_shingle: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, seed_i).  All array ops; one narrow pass, no shuffle."""
+    """(id, sig: array<long>) — sig[i] = min over shingles of the i-th
+    permutation hash.  Each shingle STRING is hashed exactly once; the
+    n_hashes permutations re-hash the resulting 64-bit value (hashing a
+    long is ~10× cheaper than re-hashing the string n_hashes times).
+    All array ops; one narrow pass, no shuffle."""
     sh = shingles(F.col(text_col), k_shingle).alias("__sh")
+    base = F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed))).alias("__h")
     sig = F.array(
         *[
             F.array_min(
-                F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed + i)))
+                F.transform(F.col("__h"), lambda h: F.xxhash64(h, F.lit(seed + i)))
             ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
-    return docs.select(F.col(id_col), sh).select(F.col(id_col), sig.alias("sig"))
+    return docs.select(F.col(id_col), sh).select(F.col(id_col), base).select(
+        F.col(id_col), sig.alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -94,47 +100,51 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed)
+    # The signatures are reused three times (both sides of the band
+    # self-join via ReusedExchange, plus the pair verification below);
+    # persist so shingling+hashing runs once per doc.
+    sigs = sigs.persist()
+    # band entries carry ONLY (id, band, bhash) — the 256-byte sig arrays
+    # stay out of the self-join shuffle; candidate pairs join back to the
+    # slim sigs table afterwards (near-dup candidates are sparse).
     band_entries = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                "|",
-                            )
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + 1 + r)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bhash"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select(F.col(id_col), "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col(f"a.band") == F.col("b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    verified = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -142,7 +152,7 @@ def minhash_lsh_pairs(
         )
     )
     est = (agree.cast("double") / F.lit(float(n_hashes))).alias("jaccard_est")
-    return pairs.select("id_a", "id_b", est).where(F.col("jaccard_est") >= min_jaccard_est)
+    return verified.select("id_a", "id_b", est).where(F.col("jaccard_est") >= min_jaccard_est)
 
 
 def simhash_fingerprints(
