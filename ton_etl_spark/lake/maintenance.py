@@ -1,0 +1,102 @@
+"""Table maintenance: compaction rewrite, tombstone GC, snapshot expiry.
+
+Reference analogs: the daily Airflow CTAS repartition/rewrite that compacts
+each partition into a bounded file set (``datalake_daily_sync.py:298-337``,
+``bucket_count=1`` at :301-310) and the `dedup_depth` horizon beyond which
+old data is considered settled (``:412-630``).  Iceberg analog:
+``rewrite_data_files`` + ``expire_snapshots``.
+
+Scale notes: a rewrite is a full copy-on-write of the selected buckets —
+at 100 TB you compact *bucket subsets* on a rolling schedule (the
+``buckets`` parameter), never the world in one commit; snapshot expiry is
+pure driver-side metadata work plus file deletes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ton_etl_spark.cdc.schema import LSN_COL, OP_COL
+from ton_etl_spark.lake.table import DATA_DIR, LakeTable
+
+
+def rewrite_buckets(
+    table: LakeTable,
+    buckets: list[int] | None = None,
+    predicate=None,
+    commit_key: str | None = None,
+) -> dict:
+    """Copy-on-write rewrite of ``buckets`` (default: all), keeping only
+    rows matching ``predicate`` (default: all rows).  Collapses each bucket
+    back to one file — the small-file compaction half — and applies row GC
+    — the filter half.  Idempotent on ``commit_key``."""
+    snap = table.current()
+    if commit_key is not None and commit_key in set(snap.commit_keys):
+        return {"applied": False, "buckets": []}
+    if buckets is None:
+        buckets = sorted({f.bucket for f in snap.files})
+    df = table.read(buckets=buckets)
+    if predicate is not None:
+        df = df.where(predicate)
+    ok = table.overwrite_buckets(df, buckets, commit_key=commit_key, schema=snap.schema)
+    return {"applied": ok, "buckets": buckets}
+
+
+def gc_tombstones(
+    table: LakeTable,
+    horizon_lsn: int,
+    buckets: list[int] | None = None,
+    commit_key: str | None = None,
+) -> dict:
+    """Drop delete-tombstones whose LSN is at or below ``horizon_lsn``.
+
+    Tombstones are retained in storage so stale lower-LSN redeliveries
+    cannot resurrect a deleted key (see lake/merge.py).  Once the source's
+    redelivery horizon has passed ``horizon_lsn`` (the reference's maturity
+    window / dedup_depth analog), tombstones at or below it can never be
+    outranked and are safe to GC.  Calling this with a horizon ahead of the
+    redelivery bound re-opens the resurrection window — the caller owns
+    that contract."""
+    keep = ~((F.col(OP_COL) == "d") & (F.col(LSN_COL) <= F.lit(horizon_lsn)))
+    return rewrite_buckets(table, buckets=buckets, predicate=keep, commit_key=commit_key)
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
+    """Delete snapshot metadata older than the newest ``keep_last``
+    versions and any data file no kept snapshot references.  Time-travel
+    reads to expired versions stop working (same contract as Iceberg
+    ``expire_snapshots``); the commit-key history of the CURRENT snapshot
+    is untouched, so batch idempotency is preserved."""
+    cur = table.current_version()
+    keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+    referenced: set[str] = set()
+    for v in keep_versions:
+        referenced.update(f.path for f in table.snapshot(v).files)
+
+    removed_files = 0
+    data_root = os.path.join(table.root, DATA_DIR)
+    for commit_dir in list(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        cdir = os.path.join(data_root, commit_dir)
+        for sub, _dirs, files in os.walk(cdir, topdown=False):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(sub, fn), table.root)
+                if rel not in referenced:
+                    os.unlink(os.path.join(sub, fn))
+                    removed_files += 1
+            if not os.listdir(sub):
+                os.rmdir(sub)
+
+    removed_snaps = 0
+    for v in range(0, cur):
+        if v not in keep_versions:
+            p = table._snapshot_path(v)
+            if os.path.exists(p):
+                os.unlink(p)
+                removed_snaps += 1
+    return {
+        "kept_versions": sorted(keep_versions),
+        "removed_files": removed_files,
+        "removed_snapshots": removed_snaps,
+    }
