@@ -1,0 +1,74 @@
+"""Hot-key skew: a single doc_id carrying most of a batch's events must
+reduce correctly and cheaply.
+
+Two mechanisms (SURVEY.md §4 'custom needed'):
+- the MERGE's groupBy plans a map-side partial aggregation, so a hot key
+  reaches the reducer as ≤ one candidate per input partition (salting
+  derived from the input partitioning);
+- ``reduce_batch_lww`` is the explicit salted two-stage pre-reduce for
+  feeds so skewed that even per-partition candidates are worth spreading.
+Both must pick the same winner the one-pass oracle picks.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ton_etl_spark.cdc.apply import (
+    apply_cdc_batch,
+    final_state_oracle,
+    make_sequences_table,
+    read_state,
+)
+from ton_etl_spark.lake.merge import reduce_batch_lww
+
+
+@pytest.fixture(scope="module")
+def hot_batch(spark):
+    """200k events, 90% on one doc_id, out-of-order lsn, spread over 16
+    input partitions."""
+    n = 200_000
+    df = spark.range(n, numPartitions=16).withColumnRenamed("id", "lsn")
+    hot = F.pmod(F.xxhash64("lsn"), F.lit(10)) < 9
+    df = (
+        df.withColumn(
+            "doc_id",
+            F.when(hot, F.lit("hot")).otherwise(
+                F.concat(F.lit("cold_"), F.pmod(F.xxhash64("lsn", F.lit(1)), F.lit(500)))
+            ),
+        )
+        .withColumn(
+            "op",
+            F.when(F.pmod(F.xxhash64("lsn", F.lit(2)), F.lit(10)) < 1, "d").otherwise("u"),
+        )
+        .withColumn("ts_ms", (F.lit(1_700_000_000_000) + F.col("lsn")).cast("long"))
+        .withColumn(
+            "tokens",
+            F.when(F.col("op") == "d", F.lit(None)).otherwise(
+                F.array(F.pmod(F.xxhash64("lsn", F.lit(3)), F.lit(32000)).cast("int"))
+            ),
+        )
+        .withColumn("n_tok", F.when(F.col("op") == "d", F.lit(None)).otherwise(F.lit(1)).cast("int"))
+        .withColumn("source", F.lit("web"))
+    )
+    return df.select("doc_id", "op", "lsn", "ts_ms", "tokens", "n_tok", "source")
+
+
+def test_salted_prereduce_one_winner_per_key(spark, hot_batch):
+    reduced = reduce_batch_lww(hot_batch, ["doc_id"], n_salts=8)
+    rows = reduced.collect()
+    assert len(rows) == reduced.select("doc_id").distinct().count()
+    winner = {r["doc_id"]: r["lsn"] for r in rows}
+    oracle = {
+        r["doc_id"]: r["lsn"]
+        for r in hot_batch.groupBy("doc_id").agg(F.max("lsn").alias("lsn")).collect()
+    }
+    # lsn is unique here, so the LWW winner is simply max(lsn)
+    assert winner == oracle
+
+
+def test_merge_hot_key_matches_oracle(spark, hot_batch, tmp_path):
+    table = make_sequences_table(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_cdc_batch(table, hot_batch, epoch=0)
+    got = sorted(tuple(r) for r in read_state(table).collect())
+    want = sorted(tuple(r) for r in final_state_oracle(hot_batch).collect())
+    assert got == want and len(got) > 0
