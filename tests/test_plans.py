@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the plans we designed for must stay the
+plans Catalyst picks (SURVEY.md §4).  A silent regression here (lost
+pushdown, extra exchange, broadcast→SMJ flip) is a scale bug even when
+results stay correct."""
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ton_etl_spark.cdc.generator import generate_cdc_log
+from ton_etl_spark.functions.tokens import with_token_validation
+from ton_etl_spark.lake.merge import _ord_expr
+from ton_etl_spark.lake.table import LakeTable, _conform, _merge_schemas
+from ton_etl_spark.cdc.apply import make_sequences_table
+from ton_etl_spark.plans.queries import QUERIES, load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_scan_line(df) -> str:
+    # FileSourceScan details (PushedFilters/ReadSchema) live in the full
+    # formatted explain
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_merge_is_single_exchange(spark, tmp_path):
+    """The LWW merge must shuffle the payload exactly once, hash-partitioned
+    on the key with numPartitions == n_buckets (lake/merge.py design)."""
+    table = make_sequences_table(spark, str(tmp_path / "t"), n_buckets=16)
+    snap = table.current()
+    batch = with_token_validation(generate_cdc_log(spark, 20_000, seed=13))
+    ts = _merge_schemas(snap.schema, batch.schema)
+    allrows = _conform(table.read(), ts).unionByName(_conform(batch, ts))
+    payload = F.struct(*[F.col(f.name) for f in ts.fields])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        winners = (
+            allrows.groupBy("doc_id").agg(F.max_by(payload, _ord_expr()).alias("__win"))
+        ).select("__win.*")
+        plan = _executed_plan(winners)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert len(exchanges) == 1, plan
+    assert re.search(r"Exchange hashpartitioning\(doc_id#\d+, 16\)", plan), plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """pricing_summary's shipdate filter must be pushed to the parquet scan
+    and the scan must prune to the referenced columns only."""
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    txt = _optimized_scan_line(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in txt, txt
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    assert m, txt
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }, cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """top_parts_by_revenue joins the small part dim — must be a broadcast
+    hash join, not a shuffle join."""
+    df = QUERIES["top_parts_by_revenue"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucket_pruned_read_lists_only_selected_buckets(spark, tmp_path):
+    """LakeTable.read(buckets=…) must open only the selected buckets' files
+    (file-level pruning happens at the driver from snapshot metadata)."""
+    schema = spark.createDataFrame([], "k string, v long").schema
+    t = LakeTable.create(spark, str(tmp_path / "t2"), schema=schema, key_cols=["k"], n_buckets=8)
+    rows = [(f"k{i}", i) for i in range(64)]
+    t.append(spark.createDataFrame(rows, schema), commit_key="a0")
+    pruned = t.read(buckets=[0, 1])
+    files = re.findall(r"__bucket=(\d+)", _executed_plan(pruned.where(F.col("v") >= 0)))
+    # executedPlan's file listing isn't printed; assert via input_files
+    files = {os.path.basename(os.path.dirname(p)) for p in pruned.inputFiles()}
+    assert files.issubset({"__bucket=0", "__bucket=1"}), files
+    assert pruned.count() < 64
