@@ -28,7 +28,7 @@ HEADLINE = [
     "asof_prev_view",
     "top_parts_by_revenue",
     "hourly_windows",
-    "orders_with_recent_events",
+    "purchases_with_recent_views",
     "doc_token_stats",
     "exact_dedup_docs",
     "minhash_near_dups",

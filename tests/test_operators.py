@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 from ton_etl_spark.operators.asof import asof_join
 from ton_etl_spark.operators.dedup import (
+    embedding_near_dups,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_chunk_bounds,
     simhash_near_dups,
 )
 from ton_etl_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
@@ -108,6 +110,80 @@ def test_simhash_near_dups(spark):
     assert pairs.get((1, 4)) == 0  # identical text → identical simhash
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_blocking_at_bound(spark):
+    """A pair differing in exactly max_hamming bits, spread one-per-chunk
+    (the adversarial pattern a fixed 4-chunk scheme at h>3 silently drops),
+    must still be found: h+1 chunks guarantee one agreeing chunk."""
+    h = 8
+    bounds = simhash_chunk_bounds(h)
+    assert len(bounds) == h + 1
+    assert sum(w for _, w in bounds) == 64
+    base = 0x0123456789ABCDEF
+    flip_h = 0
+    for shift, _ in bounds[:h]:  # one differing bit in each of h chunks
+        flip_h |= 1 << shift
+    flip_all = flip_h | (1 << bounds[h][0])  # h+1 bits: differs in EVERY chunk
+    fps = spark.createDataFrame(
+        [(1, base), (2, base ^ flip_h), (3, base ^ flip_all)],
+        "doc_id long, simhash long",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dups(None, max_hamming=h, fingerprints=fps).collect()}
+    assert pairs.get((1, 2)) == h  # found at exactly the radius bound
+    assert (1, 3) not in pairs     # hamming h+1: no shared chunk, and > radius
+
+
+def test_embedding_near_dups_vs_bruteforce(spark):
+    """Planted near-dups on a non-64 dim (regression: the old code silently
+    relied on dim=64): precision exact, recall >= 0.9 vs numpy brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(100, dim))
+    noisy = base[:30] + 0.08 * rng.normal(size=(30, dim))  # cosine ~0.99
+    X = np.vstack([base, noisy]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(emb, dim=dim, min_cosine=0.9).collect()}
+    Xd = X.astype(np.float64)
+    Xd /= np.linalg.norm(Xd, axis=1, keepdims=True)
+    S = Xd @ Xd.T
+    true = {(i, j) for i in range(len(X)) for j in range(i + 1, len(X))
+            if S[i, j] >= 0.9}
+    assert len(true) >= 30
+    assert got <= true                          # precision: exact within buckets
+    assert len(got & true) / len(true) >= 0.9   # recall: multi-table LSH
+
+
+def test_minhash_degenerate_bucket_gate(spark):
+    """10k identical one-word docs must NOT create a quadratic band-bucket
+    self-join: the min-word gate routes sub-shingle docs to exact dedup."""
+    docs = spark.createDataFrame(
+        [(i, "hello") for i in range(10_000)], "doc_id long, text string"
+    )
+    assert minhash_lsh_pairs(docs, min_jaccard_est=0.5).count() == 0
+    # exact dedup (the right tool for that class) still groups them
+    assert exact_dedup(docs).collect()[0]["n_dups"] == 10_000
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket_size drops monster buckets (a 50-doc clique would emit
+    ~1225 pairs) while pairs in small buckets survive."""
+    big = " ".join(f"w{i}" for i in range(20))
+    a = "the quick brown fox jumps over the lazy dog kindly"
+    b = "the quick brown fox jumps over the lazy dog kingly"
+    rows = [(i, big) for i in range(50)] + [(100, a), (101, b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, min_jaccard_est=0.3, max_bucket_size=10).collect()}
+    assert (100, 101) in pairs
+    assert all(x >= 100 for p in pairs for x in p)
 
 
 def test_cosine_topk_exact(spark):

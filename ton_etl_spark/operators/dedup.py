@@ -90,15 +90,40 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     seed: int = 42,
     min_jaccard_est: float = 0.5,
+    min_words: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) whose estimated Jaccard (signature
     agreement rate) >= threshold.
 
     Scale shape: explode to (band, band_hash) keys — rows = n_docs × bands —
     then self-join *within band buckets only*. Identical-band groups are the
-    only quadratic zone and are bounded by true near-dup cluster size.
+    only quadratic zone and are bounded by true near-dup cluster size —
+    PROVIDED degenerate docs don't all collapse into one bucket.  Two guards:
+
+    - ``min_words`` (default: ``k_shingle``): docs too short to form a real
+      k-shingle are excluded up front.  Their "shingle set" is the whole
+      text, so near-dup == exact-dup for them — ``exact_dedup`` already
+      covers that class, and a web corpus full of empty/boilerplate
+      one-liners would otherwise put millions of rows in identical buckets
+      (O(n²) self-join on exactly the junk).
+    - ``max_bucket_size`` (default off): additionally drop band buckets
+      larger than the cap (pairs inside a monster bucket are overwhelmingly
+      true duplicates of one another — cheaper to route that cluster to
+      exact dedup than to enumerate its n² pairs).  The count+semi-join
+      shares the self-join's (band, bhash) partitioning, so Catalyst
+      reuses the exchange rather than adding a shuffle.
+
+    The returned DataFrame exposes the persisted signatures as
+    ``._minhash_sigs``; long-lived sessions issuing many calls should
+    ``unpersist()`` it after consuming the pairs (one-shot queries can
+    ignore it — executor eviction handles the rest).
     """
     rows_per_band = n_hashes // bands
+    if min_words is None:
+        min_words = k_shingle
+    if min_words > 0:
+        docs = docs.where(F.size(words(F.col(text_col))) >= min_words)
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed)
     # The signatures are reused three times (both sides of the band
     # self-join via ReusedExchange, plus the pair verification below);
@@ -127,6 +152,15 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
+    if max_bucket_size is not None:
+        small = (
+            band_entries.groupBy("band", "bhash")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("band", "bhash")
+        )
+        band_entries = band_entries.join(small, ["band", "bhash"], "left_semi")
+
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pairs = (
@@ -152,7 +186,9 @@ def minhash_lsh_pairs(
         )
     )
     est = (agree.cast("double") / F.lit(float(n_hashes))).alias("jaccard_est")
-    return verified.select("id_a", "id_b", est).where(F.col("jaccard_est") >= min_jaccard_est)
+    out = verified.select("id_a", "id_b", est).where(F.col("jaccard_est") >= min_jaccard_est)
+    out._minhash_sigs = sigs  # cache handle — see docstring
+    return out
 
 
 def simhash_fingerprints(
@@ -183,17 +219,48 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) of each blocking chunk for a given hamming radius.
+
+    Pigeonhole: a pair differing in at most ``max_hamming`` bits cannot
+    differ in every one of ``max_hamming + 1`` disjoint chunks, so blocking
+    on each chunk guarantees 100% recall at that radius.  The 64 bits are
+    split as evenly as possible (e.g. h=8 → 9 chunks of 7-8 bits)."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, extra = divmod(64, n_chunks)
+    bounds = []
+    shift = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash: block on each of 4 16-bit chunks (pigeonhole:
-    any pair within hamming distance 3 agrees on ≥1 chunk), verify hamming
-    inside blocks.  No all-pairs comparison."""
-    fps = simhash_fingerprints(docs, id_col, text_col, seed)
+    """Near-dup pairs by simhash: block on each of ``max_hamming + 1``
+    disjoint bit-chunks (pigeonhole: any pair within the hamming radius
+    agrees on ≥1 chunk — full recall at the requested radius, unlike a
+    fixed 4-chunk scheme which silently drops hamming-4+ pairs), verify
+    exact hamming inside blocks.  No all-pairs comparison.
+
+    ``fingerprints``: optionally inject a precomputed (id, simhash)
+    DataFrame instead of hashing ``docs`` — used by tests to drive the
+    blocking with adversarial bit patterns at exactly the radius bound."""
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, id_col, text_col, seed)
+    )
     chunks = fps.select(
         F.col(id_col),
         "simhash",
@@ -202,11 +269,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("ckey"),
                     )
-                    for c in range(4)
+                    for c, (shift, width) in enumerate(simhash_chunk_bounds(max_hamming))
                 ]
             )
         ).alias("ck"),
@@ -264,28 +331,67 @@ def ngram_jaccard_pairs(
 
 def embedding_near_dups(
     emb: DataFrame,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dups: random-hyperplane LSH buckets (sign sketch) →
-    exact cosine only within buckets."""
+    """Embedding near-dups: multi-table random-hyperplane LSH (sign sketch)
+    → exact cosine only on candidates sharing ≥1 table bucket.
+
+    ``dim`` is REQUIRED — the hyperplanes must match the vector length
+    (``zip_with`` against a shorter plane would null-pad and silently
+    bucket everything together).
+
+    The multi-table construction is the cosine analog of minhash banding:
+    per-plane agreement probability is 1 - θ/π, so one k-plane table finds
+    a cosine-0.95 pair with prob ~0.43 (k=8) but 8 independent tables lift
+    recall to ~0.99.  Scale shape mirrors ``minhash_lsh_pairs``: bucket
+    entries carry ONLY (id, table, bucket) through the self-join shuffle;
+    the dim-sized vectors join back for the sparse survivors only.
+    """
     from ton_etl_spark.operators.similarity import _hyperplane_bucket, _cosine
 
-    bucketed = emb.select(
+    entries = emb.select(
         F.col(id_col),
-        F.col(vec_col),
-        _hyperplane_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _hyperplane_bucket(
+                            F.col(vec_col), n_planes, seed + 7919 * t, dim
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(F.col(id_col), F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = entries.alias("a"), entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        _cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    # exact-cosine verification in pure double math (float*float products
+    # would differ from a double-math oracle at the ~1e-8 level — enough to
+    # flip a 6-dp rounding boundary)
+    vec_dbl = F.col(vec_col).cast("array<double>")
+    vec_a = emb.select(F.col(id_col).alias("id_a"), vec_dbl.alias("vec_a"))
+    vec_b = emb.select(F.col(id_col).alias("id_b"), vec_dbl.alias("vec_b"))
+    cand = pairs.join(vec_a, "id_a").join(vec_b, "id_b").select(
+        "id_a", "id_b", _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
     )
     return cand.where(F.col("cosine") >= min_cosine)

@@ -175,16 +175,18 @@ FROM events GROUP BY 1
 
 # --------------------------------------------------------------------------
 # 6. Anti-join — SURVEY.md J9 (ordinary transfers via LEFT JOIN … IS NULL,
-#    nft_events.sql:118-137)
+#    nft_events.sql:118-137).  Filtered right side ('F' finished orders)
+#    keeps the result non-empty at every sf: every customer has *some*
+#    order, but 5%+ have none finished.
 def q_customers_without_orders(spark, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 SQL_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """
 
 
@@ -286,18 +288,23 @@ SELECT user_id FROM events WHERE event_type = 'view'
 
 # --------------------------------------------------------------------------
 # 12. EXCEPT — SURVEY.md U4 (the lake's dedup mechanism,
-#     datalake_daily_sync.py:301-328)
+#     datalake_daily_sync.py:301-328).  (user, day) grain: days on which a
+#     user clicked but bought nothing — non-empty at every sf (every user
+#     eventually buys, but not every day they click).
 def q_clickers_minus_buyers(spark, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
-    a = ev.where(F.col("event_type") == "click").select("user_id").distinct()
-    b = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    a = ev.where(F.col("event_type") == "click").select("user_id", day).distinct()
+    b = ev.where(F.col("event_type") == "purchase").select("user_id", day).distinct()
     return a.exceptAll(b)
 
 
 SQL_EXCEPT = """
-SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'click'
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
 """
 
 
@@ -452,29 +459,36 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
-# 19. Equi + range join — SURVEY.md J8 (ni.lt <= tx_lt state-as-of join,
-#     nft_events.sql:53): events of the mapped user in the 24h before the
-#     order date.
-def q_orders_with_recent_events(spark, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders")
+# 19. Equi + range (theta) join — SURVEY.md J7/J8 (ni.lt <= tx_lt
+#     state-as-of join, nft_events.sql:53,81,110): for each purchase, how
+#     many views the same user made in the prior 24 hours.  The equi key
+#     (user_id) carries the shuffle; the interval predicates ride along as
+#     SMJ post-conditions, so this is NOT a cartesian range scan.
+def q_purchases_with_recent_views(spark, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
-    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    j = o.join(
-        ev,
-        (F.pmod(o.o_custkey, F.lit(n_users)) == ev.user_id)
-        & (ev.ts >= F.col("o_orderdate") - F.expr("INTERVAL 1 DAY"))
-        & (ev.ts < F.col("o_orderdate")),
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    j = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 DAY"))
+        & (v.v_ts < p.p_ts),
         "inner",
     )
-    return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).cast("long").alias("n_recent"))
+    return j.groupBy("event_id").agg(F.count(F.lit(1)).cast("long").alias("n_recent_views"))
 
 
 SQL_RANGE_JOIN = """
-SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_recent
-FROM orders JOIN events
-  ON (o_custkey % (SELECT MAX(user_id) + 1 FROM events)) = user_id
- AND ts >= o_orderdate - INTERVAL 1 DAY AND ts < o_orderdate
-GROUP BY o_orderkey
+SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_recent_views
+FROM events p JOIN events v
+  ON p.user_id = v.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 DAY AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
 """
 
 
@@ -682,11 +696,62 @@ def q_simhash_near_dups(spark, sf: str) -> DataFrame:
     return simhash_near_dups(d, max_hamming=8)
 
 
+# embedding near-dups: ORACLE-CHECKED — the hyperplanes are deterministic
+# constants, so the DuckDB oracle below reproduces the exact same multi-table
+# LSH bucketing + double-precision cosine.  The testdata embeddings are
+# near-random (max pairwise cosine ~0.51), so the threshold is 0.3: high
+# enough to be selective, low enough that the hash check exercises real rows.
+_EMB_DIM, _EMB_PLANES, _EMB_TABLES, _EMB_SEED, _EMB_MINCOS = 64, 6, 4, 42, 0.3
+
+
 def q_embedding_near_dups(spark, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    return embedding_near_dups(emb, min_cosine=0.9).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    return embedding_near_dups(
+        emb,
+        dim=_EMB_DIM,
+        min_cosine=_EMB_MINCOS,
+        n_planes=_EMB_PLANES,
+        n_tables=_EMB_TABLES,
+        seed=_EMB_SEED,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _emb_near_dups_sql() -> str:
+    """DuckDB mirror of embedding_near_dups: same plane constants (float
+    repr round-trips IEEE754 exactly), same bucket construction, same
+    double-math cosine."""
+    from ton_etl_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(seed: int) -> str:
+        planes = _hyperplanes(_EMB_DIM, _EMB_PLANES, seed)
+        terms = []
+        for p, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(e, {lit}) >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(_EMB_SEED + 7919 * t)} AS bucket FROM v"
+        for t in range(_EMB_TABLES)
     )
+    cos = (
+        "list_dot_product(va.e, vb.e) / "
+        "(sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS ({per_table}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, ROUND({cos}, 6) AS cosine
+FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+WHERE {cos} >= {_EMB_MINCOS}
+"""
+
+
+SQL_EMB_NEAR_DUPS = _emb_near_dups_sql()
 
 
 def q_ann_lsh_topk(spark, sf: str) -> DataFrame:
@@ -950,7 +1015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_breakdown": q_priority_breakdown,
     "hourly_windows": q_hourly_windows,
     "revenue_by_nation": q_revenue_by_nation,
-    "orders_with_recent_events": q_orders_with_recent_events,
+    "purchases_with_recent_views": q_purchases_with_recent_views,
     "doc_fingerprints": q_doc_fingerprints,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_token_stats": q_doc_token_stats,
@@ -992,7 +1057,7 @@ ORACLES: dict[str, str] = {
     "priority_breakdown": SQL_PRIORITY,
     "hourly_windows": SQL_HOURLY,
     "revenue_by_nation": SQL_NATION,
-    "orders_with_recent_events": SQL_RANGE_JOIN,
+    "purchases_with_recent_views": SQL_RANGE_JOIN,
     "doc_fingerprints": SQL_FP,
     "exact_dedup_docs": SQL_EXACT_DEDUP,
     "doc_token_stats": SQL_TOKEN_STATS,
@@ -1002,6 +1067,7 @@ ORACLES: dict[str, str] = {
     "label_centroid_norm": SQL_CENTROID,
     "tps_windows": SQL_TPS,
     "latency_percentiles": SQL_LATENCY,
+    "embedding_near_dups": SQL_EMB_NEAR_DUPS,
     "trace_2hop": SQL_TRACE_2HOP,
     "event_mart_branches": SQL_EVENT_MART,
     "next_event_gaps": SQL_NEXT_EVENT,
