@@ -2,10 +2,18 @@
 
 The production analog of the reference's Kafka consumer loop
 (``parser/main.py:85-143``): an unbounded source of CDC envelopes, applied
-in micro-batches.  In this environment the source is a file stream over
-delivery directories (a Kafka source is the same code with
-``readStream.format("kafka")`` + ``from_json``); the sink is the LakeTable
-MERGE inside ``foreachBatch``.
+in micro-batches.  Two sources:
+
+- ``start_cdc_stream``: file stream over already-decoded delivery parquet.
+- ``start_cdc_envelope_stream``: file stream of Kafka-shaped frames
+  (key/value binary + topic/partition/offset/timestamp — the exact column
+  set of ``readStream.format("kafka")``) decoded by
+  ``cdc.envelope.parse_cdc_envelope`` (Debezium JSON + ``__``-meta strip);
+  swapping in a real broker is replacing the file source with
+  ``cdc.envelope.kafka_source`` — every transformation downstream is
+  identical.
+
+The sink is the LakeTable MERGE inside ``foreachBatch``.
 
 Exactly-once contract (reference analogs X1/X2/X6 in SURVEY.md §2.9):
 Spark's checkpoint gives at-least-once ``foreachBatch`` invocations with a
@@ -63,6 +71,45 @@ def start_cdc_stream(
         .start()
     )
     return query
+
+
+def start_cdc_envelope_stream(
+    spark: SparkSession,
+    frames_glob: str,
+    table_root: str,
+    checkpoint_dir: str,
+    lineage_root: str | None = None,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 2,
+    table_filter: str | None = None,
+):
+    """Streaming tail over Kafka-SHAPED frames: decode the Debezium JSON
+    envelope per micro-batch, then the same exactly-once MERGE as
+    ``start_cdc_stream``.  ``from_json`` is a streamable projection, so the
+    decode lives on the streaming DataFrame itself (JVM-side, codegen), not
+    in foreachBatch."""
+    from ton_etl_spark.cdc.envelope import KAFKA_FRAME_SCHEMA, parse_cdc_envelope
+
+    make_sequences_table(spark, table_root, n_buckets=n_buckets)
+    lineage = make_lineage_table(spark, lineage_root) if lineage_root else None
+
+    frames = (
+        spark.readStream.schema(KAFKA_FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frames_glob)
+    )
+    events = parse_cdc_envelope(frames, table=table_filter)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        t = LakeTable.load(spark, table_root)
+        apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def run_stream_to_completion(

@@ -210,6 +210,82 @@ def with_token_validation(
     return df.withColumn("valid", valid)
 
 
+def explode_token_windows(
+    df: DataFrame,
+    window: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """1-to-N ``mapInArrow`` converter (SURVEY.md §2.10 UDTF shape): each doc
+    emits one output row per fixed-size token window — 0 rows for docs with
+    NULL/empty token arrays (tombstones), N rows for long docs.  This is the
+    row-multiplying converter slot the reference fills with
+    ``DexTradesConverter.convert`` returning a LIST of trades per event
+    (``datalake/converters/dex_trades.py:84-275``, iterated at
+    ``datalake/main.py:121-127``).
+
+    Arrow shape: the output window lists REUSE the input token values buffer
+    zero-copy — only a new int32 offsets vector is built (window boundaries
+    are cumulative-length arithmetic in numpy).  No per-row Python, no token
+    copying.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    id_type = df.schema[id_col].dataType
+    elem_type = df.schema[tokens_col].dataType.elementType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("window_idx", T.IntegerType(), False),
+            T.StructField("win_tokens", T.ArrayType(elem_type, True), False),
+            T.StructField("win_len", T.IntegerType(), False),
+        ]
+    )
+    slim = df.select(id_col, tokens_col)
+
+    def _convert(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            ids = b.column(0)
+            toks = b.column(1)
+            lens = (
+                pc.fill_null(pc.list_value_length(toks), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n_win = -(-lens // window)  # ceil-div; 0 for empty/null
+            total = int(n_win.sum())
+            flat = pc.list_flatten(toks)  # per-row contiguous, offset-rebased
+            row_start = np.concatenate(([0], np.cumsum(lens)))
+            if total == 0:
+                row_ids = np.empty(0, dtype=np.int64)
+                win_idx = np.empty(0, dtype=np.int32)
+                offsets = np.array([0], dtype=np.int32)
+            else:
+                row_ids = np.repeat(np.arange(len(lens)), n_win)
+                first_win = np.concatenate(([0], np.cumsum(n_win)))[row_ids]
+                win_idx = (np.arange(total) - first_win).astype(np.int32)
+                starts = row_start[row_ids] + window * win_idx.astype(np.int64)
+                offsets = np.append(starts, row_start[-1]).astype(np.int32)
+            off_arr = pa.array(offsets, type=pa.int32())
+            win_lists = pa.ListArray.from_arrays(off_arr, flat)  # values zero-copy
+            win_len = (np.diff(offsets)).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(row_ids, type=pa.int64())),
+                    pa.array(win_idx, type=pa.int32()),
+                    win_lists,
+                    pa.array(win_len, type=pa.int32()),
+                ],
+                names=[id_col, "window_idx", "win_tokens", "win_len"],
+            )
+
+    return slim.mapInArrow(_convert, schema=out_schema)
+
+
 def with_token_validation_arrow(
     df: DataFrame, vocab_size: int = DEFAULT_VOCAB, strict: bool = True
 ) -> DataFrame:

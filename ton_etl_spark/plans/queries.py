@@ -995,6 +995,101 @@ WHERE len(types) >= 3
 """
 
 
+# --------------------------------------------------------------------------
+# 31. 1-to-N converter (UDTF shape) — SURVEY.md §2.10 (DexTradesConverter
+#     returns a LIST of trades per event, datalake/converters/dex_trades.py:
+#     84-275, iterated by datalake/main.py:121-127): each purchase event
+#     fans out into ceil(value/25) installment rows; every other event
+#     yields ZERO rows — genuine 0..N row multiplication via
+#     array-producing expression + explode (JVM-side, no UDF).
+def q_purchase_installments(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    n = F.when(
+        F.col("event_type") == "purchase",
+        F.greatest(F.lit(1), F.ceil(F.col("value") / 25.0)),
+    ).otherwise(F.lit(0)).cast("int")
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        ev.select("event_id", "value", F.explode(seq).alias("installment_no"))
+        .select(
+            "event_id",
+            F.col("installment_no").cast("int").alias("installment_no"),
+            # deliberately un-rounded: per-row IEEE division is bit-identical
+            # across engines, while ROUND at a .00005 tie is not (HALF_UP vs
+            # HALF_EVEN) — no aggregation here, so no sum-order ambiguity to
+            # round away.
+            (
+                F.col("value") / F.greatest(F.lit(1), F.ceil(F.col("value") / 25.0))
+            ).alias("amount"),
+        )
+    )
+
+
+SQL_INSTALLMENTS = """
+WITH src AS (
+  SELECT event_id, value,
+         CASE WHEN event_type = 'purchase'
+              THEN GREATEST(1, CAST(CEIL(value / 25.0) AS BIGINT)) ELSE 0 END AS n
+  FROM events
+)
+SELECT event_id,
+       CAST(unnest(generate_series(1, n)) AS INT) AS installment_no,
+       value / GREATEST(1, CAST(CEIL(value / 25.0) AS BIGINT)) AS amount
+FROM src WHERE n >= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 32. DecimalType money rollup — SURVEY.md §2.8 (the reference's money
+#     columns are decimal(38,0)/(20,6)/(20,9), athena_ddl.sql:348-354):
+#     exact decimal arithmetic end-to-end — cast at the scan, multiply
+#     (exact, scale-additive), sum, fixed final scale.  No double math
+#     anywhere after the cast.
+def q_decimal_money_rollup(spark, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    price = F.col("o_totalprice").cast("decimal(20,6)")
+    tax_rate = F.lit("0.050000").cast("decimal(8,6)")
+    return (
+        o.select("o_orderstatus", price.alias("price"), (price * tax_rate).alias("tax"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("price").cast("decimal(38,6)").alias("total_price"),
+            F.sum("tax").cast("decimal(38,12)").alias("total_tax"),
+            F.max("price").cast("decimal(20,6)").alias("max_price"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_DECIMAL_MONEY = """
+WITH src AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(20,6)) AS price,
+         CAST(o_totalprice AS DECIMAL(20,6)) * CAST('0.050000' AS DECIMAL(8,6)) AS tax
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(SUM(price) AS DECIMAL(38,6))  AS total_price,
+       CAST(SUM(tax)   AS DECIMAL(38,12)) AS total_tax,
+       CAST(MAX(price) AS DECIMAL(20,6))  AS max_price,
+       CAST(COUNT(*) AS BIGINT)           AS n_orders
+FROM src GROUP BY o_orderstatus
+"""
+
+
+# approx count-distinct — SURVEY.md A7, the form you actually run at 100 TB
+# (reference README.md:487-491 approx_distinct).  rows-only: DuckDB's
+# approx_count_distinct uses a different sketch, so exact agreement is
+# impossible by design; tests/test_plans bounds it against the exact count.
+def q_approx_distinct_users(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1029,7 +1124,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_mart_branches": q_event_mart_branches,
     "next_event_gaps": q_next_event_gaps,
     "funnel_pattern": q_funnel_pattern,
-    # rows-only (non-SQL-expressible or hash-seeded; pytest verifies)
+    "purchase_installments": q_purchase_installments,
+    "decimal_money_rollup": q_decimal_money_rollup,
+    # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
+    "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1072,4 +1170,6 @@ ORACLES: dict[str, str] = {
     "event_mart_branches": SQL_EVENT_MART,
     "next_event_gaps": SQL_NEXT_EVENT,
     "funnel_pattern": SQL_FUNNEL,
+    "purchase_installments": SQL_INSTALLMENTS,
+    "decimal_money_rollup": SQL_DECIMAL_MONEY,
 }
