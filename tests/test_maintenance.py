@@ -95,3 +95,81 @@ def test_rewrite_compacts_multi_file_buckets(spark, tmp_path):
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
     assert all(n == 1 for n in per_bucket.values())
     assert t.read().count() == 3
+
+
+def test_snapshot_metadata_stays_bounded(spark, tmp_path):
+    """100 single-bucket MERGE commits: snapshot JSON size must stay flat
+    (per-bucket manifests + watermarked commit keys), commit metadata I/O
+    O(touched buckets), and idempotency must still hold via the watermark."""
+    import json
+
+    t = make_sequences_table(spark, str(tmp_path / "b"), n_buckets=8)
+
+    def snap_bytes():
+        with open(t._snapshot_path(t.current_version())) as fh:
+            return len(fh.read())
+
+    sizes = []
+    for i in range(100):
+        b = spark.createDataFrame(
+            [("hot", "u", 1000 + i, 1000 + i, [i], 1, "web")], schema=CDC_EVENT_SCHEMA
+        )
+        apply_cdc_batch(t, b, epoch=i)
+        sizes.append(snap_bytes())
+    # flat metadata: the 100th snapshot is no bigger than the 5th (+ slack
+    # for the growing recent-keys list entries)
+    assert sizes[99] <= sizes[4] + 40 * 100, sizes[::20]
+    # one manifest pointer per touched bucket, one file per bucket
+    snap = t.current()
+    assert len(snap.manifests) == 1
+    assert len(snap.files) == 1
+    # idempotency via numeric watermark, not an O(history) key list
+    assert snap.commit_watermark == 99
+    assert apply_cdc_batch(t, spark.createDataFrame([], CDC_EVENT_SCHEMA), epoch=3)[
+        "applied"
+    ] is False
+    assert read_state(t).count() == 1
+
+
+def test_nonnumeric_keys_dedupe_within_recent_window(spark, tmp_path, monkeypatch):
+    """Ad-hoc (non-numeric) commit keys are deduplicated within the bounded
+    recent window — the documented contract replacing the O(history) list."""
+    import ton_etl_spark.lake.table as tbl
+
+    monkeypatch.setattr(tbl, "RECENT_KEYS_MAX", 4)
+    schema = spark.createDataFrame([], "k string, v long").schema
+    t = LakeTable.create(spark, str(tmp_path / "w"), schema=schema, key_cols=["k"], n_buckets=2)
+    for name in ["alpha", "beta", "gamma", "delta"]:
+        assert t.append(spark.createDataFrame([(name, 1)], schema), commit_key=name)
+    assert t.has_commit("alpha")
+    assert not t.append(spark.createDataFrame([("x", 1)], schema), commit_key="alpha")
+    # a 5th key evicts the oldest from the window
+    assert t.append(spark.createDataFrame([("eps", 1)], schema), commit_key="eps")
+    assert not t.has_commit("alpha")
+    assert t.has_commit("beta") and t.has_commit("eps")
+
+
+def test_bucket_fn_mismatch_fails_loudly(spark, tmp_path):
+    """A table recorded with a different bucket hash must refuse
+    bucket-dependent operations instead of silently mis-pruning."""
+    import json
+
+    t = make_sequences_table(spark, str(tmp_path / "fn"), n_buckets=4)
+    b = spark.createDataFrame(
+        [("k1", "c", 1, 1, [1], 1, "web")], schema=CDC_EVENT_SCHEMA
+    )
+    apply_cdc_batch(t, b, epoch=0)
+    # tamper: pretend the table was written by an engine with another hash
+    p = t._snapshot_path(t.current_version())
+    with open(p) as fh:
+        d = json.load(fh)
+    d["properties"]["bucket_fn"] = "xxhash64_v0"
+    with open(p, "w") as fh:
+        json.dump(d, fh)
+    t2 = LakeTable.load(spark, str(tmp_path / "fn"))
+    # full-table read is hash-independent and stays allowed
+    assert t2.read().count() == 1
+    with pytest.raises(ValueError, match="bucket_fn"):
+        t2.read(buckets=[0])
+    with pytest.raises(ValueError, match="bucket_fn"):
+        apply_cdc_batch(t2, b, epoch=1)

@@ -92,3 +92,21 @@ def test_bucket_pruned_read_lists_only_selected_buckets(spark, tmp_path):
     files = {os.path.basename(os.path.dirname(p)) for p in pruned.inputFiles()}
     assert files.issubset({"__bucket=0", "__bucket=1"}), files
     assert pruned.count() < 64
+
+
+def test_merge_does_not_mutate_session_conf(spark, tmp_path):
+    """merge_lww runs its agg in a throwaway child session: the caller's
+    shuffle.partitions must be untouched and the bucket layout (one file per
+    touched bucket) preserved."""
+    from ton_etl_spark.lake.merge import merge_lww
+
+    table = make_sequences_table(spark, str(tmp_path / "conf"), n_buckets=16)
+    batch = generate_cdc_log(spark, 5_000, seed=23)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    res = merge_lww(table, batch, commit_key="epoch=0")
+    assert res["applied"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    per_bucket = {}
+    for f in table.current().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert per_bucket and all(n == 1 for n in per_bucket.values())

@@ -99,3 +99,52 @@ def test_eviction_fires_after_watermark_passes_timeout(spark, tmp_path):
         "SELECT doc_id, n_events, n_deletes, max_lsn FROM evict WHERE evicted"
     ).collect()
     assert [tuple(r) for r in evicted] == [("A", 2, 1, 2)]
+
+
+def test_timeout_survives_older_in_watermark_batch(spark, tmp_path):
+    """A later micro-batch carrying only an OLDER (still in-watermark) event
+    for a key must not pull its eviction timeout earlier: last_ts_ms is
+    persisted in state and the timeout is the max over everything seen."""
+    root = str(tmp_path / "mlog")
+    os.makedirs(root)
+    t0 = 1_700_000_000_000
+    f0 = spark.createDataFrame(
+        [("A", "c", 1, t0 + 10_000, [1], 1, "web", None)],
+        schema=CDC_EVENT_SCHEMA_EVOLVED,
+    )
+    # older event for A arrives later (out-of-order, within watermark), plus
+    # B far enough ahead to advance the watermark past (t0+1_000 + idle)
+    # but NOT past (t0+10_000 + idle): with the timeout bug A would evict.
+    f1 = spark.createDataFrame(
+        [
+            ("A", "u", 2, t0 + 1_000, [2], 1, "web", None),
+            ("B", "c", 3, t0 + 14_000, [3], 1, "web", None),
+        ],
+        schema=CDC_EVENT_SCHEMA_EVOLVED,
+    )
+    f0.coalesce(1).write.parquet(os.path.join(root, "f0"))
+    time.sleep(1.1)
+    f1.coalesce(1).write.parquet(os.path.join(root, "f1"))
+
+    src = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA_EVOLVED)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "f*"))
+    )
+    q = (
+        rolling_doc_churn(src, watermark="1 second", idle_ms=5_000)
+        .writeStream.format("memory")
+        .queryName("mono")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql("SELECT * FROM mono ORDER BY doc_id, n_events").collect()
+    a_updates = [r for r in rows if r["doc_id"] == "A" and not r["evicted"]]
+    # last_ts_ms never regresses to the older event's ts
+    assert a_updates[-1]["last_ts_ms"] == t0 + 10_000
+    # watermark (~t0+13_000) passed t0+1_000+idle but not t0+10_000+idle:
+    # A must NOT have been evicted
+    assert not any(r["doc_id"] == "A" and r["evicted"] for r in rows)

@@ -63,8 +63,8 @@ def test_stream_restart_from_checkpoint(spark, stream_log, tmp_path):
     assert v_crash >= 2
 
     table = run_stream_to_completion(spark, glob_path, tbl_root, ckpt, max_files_per_trigger=1)
-    # every epoch applied exactly once: commit keys are unique
-    keys = table.current().commit_keys
+    # every epoch applied exactly once: the recent-key record is unique
+    keys = table.current().recent_commit_keys
     assert len(keys) == len(set(keys))
     got = _rows(read_state(table))
     want = _rows(final_state_oracle(read_full_log(spark, stream_log)))

@@ -186,8 +186,11 @@ def _valid_tokens_pandas_udf(vocab_size: int = DEFAULT_VOCAB):
     def _valid(tokens: pd.Series, n_tok: pd.Series) -> pd.Series:
         import pyarrow as pa
 
-        ta = pa.Array.from_pandas(tokens)
-        nt = pa.Array.from_pandas(n_tok)
+        # explicit types: an all-null batch slice (plausible — tombstones
+        # carry tokens=None) would otherwise infer pa.null() and crash the
+        # list_value_length kernel
+        ta = pa.Array.from_pandas(tokens, type=pa.list_(pa.int32()))
+        nt = pa.Array.from_pandas(n_tok, type=pa.int32())
         return _valid_arrays(ta, nt, vocab_size).to_pandas()
 
     return _valid

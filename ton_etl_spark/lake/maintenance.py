@@ -19,7 +19,7 @@ import os
 from pyspark.sql import functions as F
 
 from ton_etl_spark.cdc.schema import LSN_COL, OP_COL
-from ton_etl_spark.lake.table import DATA_DIR, LakeTable
+from ton_etl_spark.lake.table import DATA_DIR, MANIFEST_DIR, LakeTable
 
 
 def rewrite_buckets(
@@ -33,10 +33,10 @@ def rewrite_buckets(
     back to one file — the small-file compaction half — and applies row GC
     — the filter half.  Idempotent on ``commit_key``."""
     snap = table.current()
-    if commit_key is not None and commit_key in set(snap.commit_keys):
+    if commit_key is not None and snap.has_commit_key(commit_key):
         return {"applied": False, "buckets": []}
     if buckets is None:
-        buckets = sorted({f.bucket for f in snap.files})
+        buckets = sorted(snap.manifests.keys())
     df = table.read(buckets=buckets)
     if predicate is not None:
         df = df.where(predicate)
@@ -72,8 +72,11 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
     cur = table.current_version()
     keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
     referenced: set[str] = set()
+    referenced_manifests: set[str] = set()
     for v in keep_versions:
-        referenced.update(f.path for f in table.snapshot(v).files)
+        s = table.snapshot(v)
+        referenced_manifests.update(s.manifests.values())
+        referenced.update(f.path for f in s.files)
 
     removed_files = 0
     data_root = os.path.join(table.root, DATA_DIR)
@@ -88,6 +91,16 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
             if not os.listdir(sub):
                 os.rmdir(sub)
 
+    # manifests referenced only by expired snapshots
+    removed_manifests = 0
+    man_root = os.path.join(table.root, MANIFEST_DIR)
+    if os.path.isdir(man_root):
+        for fn in os.listdir(man_root):
+            rel = os.path.join(MANIFEST_DIR, fn)
+            if rel not in referenced_manifests:
+                os.unlink(os.path.join(table.root, rel))
+                removed_manifests += 1
+
     removed_snaps = 0
     for v in range(0, cur):
         if v not in keep_versions:
@@ -99,4 +112,5 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
         "kept_versions": sorted(keep_versions),
         "removed_files": removed_files,
         "removed_snapshots": removed_snaps,
+        "removed_manifests": removed_manifests,
     }

@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -125,8 +126,9 @@ def merge_lww(
     was already committed).
     """
     snap = table.current()
-    if commit_key is not None and commit_key in set(snap.commit_keys):
+    if commit_key is not None and snap.has_commit_key(commit_key):
         return {"applied": False, "buckets": [], "rows_written": 0}
+    table.check_bucket_fn(snap)
     key_cols = snap.key_cols
 
     # Buckets touched by this batch (≤ n_buckets ints, safe to collect).
@@ -158,12 +160,24 @@ def merge_lww(
     payload = F.struct(*[F.col(f.name) for f in target_schema.fields])
     allrows = cur.unionByName(inc)
 
+    # The agg's exchange must land on exactly n_buckets partitions, which is
+    # controlled only by spark.sql.shuffle.partitions.  Setting it on the
+    # session would race with concurrent queries, and an explicit
+    # repartition(n, keys) before the groupBy would move the exchange BELOW
+    # the partial aggregation (raw rows shuffle; hot-key fan-in unbounded).
+    # Instead the plan is re-bound into a throwaway CHILD session (shared
+    # SparkContext, private SQLConf) via a uniquely-named global temp view:
+    # the child's conf applies only to this plan, the partial_max_by stays
+    # below the single exchange, and no other session is perturbed.
     spark = batch.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(snap.n_buckets))
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(snap.n_buckets))
+    view = f"__merge_{uuid.uuid4().hex}"
+    allrows.createOrReplaceGlobalTempView(view)
     try:
         winners = (
-            allrows.groupBy(*[F.col(c) for c in key_cols])
+            child.table(f"global_temp.{view}")
+            .groupBy(*[F.col(c) for c in key_cols])
             .agg(F.max_by(payload, ord_expr).alias("__win"))
             .select("__win.*")
         )
@@ -177,5 +191,5 @@ def merge_lww(
         )
         _tlog("merge_write", t0)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.catalog.dropGlobalTempView(view)
     return {"applied": ok, "buckets": sorted(buckets)}

@@ -16,17 +16,34 @@ filesystem APIs.  Design goals, in order:
    *then* Kafka commit, ``datalake/main.py:147-186``).
 2. **Idempotent re-application** — every commit carries an application-level
    ``commit_key`` (e.g. the streaming ``(checkpoint_epoch)``).  A commit
-   whose key is already in the snapshot history is skipped, which is what
-   makes ``foreachBatch`` retries exactly-once (reference analog:
+   whose key was already applied is skipped, which is what makes
+   ``foreachBatch`` retries exactly-once (reference analog:
    ``ON CONFLICT DO NOTHING`` + Athena ``EXCEPT`` dedup,
    ``parser/db.py:279-283``, ``datalake_daily_sync.py:301-328``).
+   The applied-key record is BOUNDED, not O(history): keys with a numeric
+   ``...=N`` suffix (streaming batch ids, which Spark guarantees monotone)
+   are covered by a high-watermark integer, and the last
+   ``RECENT_KEYS_MAX`` keys are kept verbatim for ad-hoc keys.  Contract:
+   numeric-suffixed keys must be applied in nondecreasing order (true for
+   checkpointed streams and ordered replays); arbitrary keys are
+   deduplicated within the recent window only.
 3. **Hash-bucketed layout** — every data file belongs to one bucket of
-   ``pmod(xxhash64(key), n_buckets)``.  MERGE reads and rewrites only the
+   ``pmod(murmur3(key), n_buckets)`` (Spark's ``F.hash``; see
+   ``bucket_of``).  The bucket function is RECORDED in the snapshot
+   (``properties['bucket_fn']``) and validated on every bucket-dependent
+   operation — a reader/writer built against a different hash fails loudly
+   instead of silently mis-pruning.  MERGE reads and rewrites only the
    buckets touched by the incoming batch (bucket pruning), so a small
    change batch against a 100 TB table rewrites a bounded slice, not the
    world.  At 1000-executor scale ``n_buckets`` is sized so one bucket is
    a few GB (reference analog: ``bucketed_by address ×10``,
    ``datalake/metadata_snapshot.py:88-89``).
+   **Per-bucket manifests** keep commit metadata O(touched buckets): the
+   snapshot JSON stores only a bucket→manifest-file pointer map; the file
+   lists live in immutable per-bucket manifest JSONs (Iceberg-style).  A
+   commit writes new manifests for the buckets it touched and re-points
+   the rest — at 10^4 epochs × 10^5 files the snapshot stays a few KB
+   instead of growing quadratically in driver I/O.
 4. **Additive schema evolution** — the snapshot stores the table schema;
    a commit may widen it with new nullable columns.  Readers pass the
    *current* schema to the Parquet scan, so old files yield NULL for
@@ -42,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass, field
@@ -52,9 +70,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 META_DIR = "_meta"
+MANIFEST_DIR = os.path.join(META_DIR, "manifests")
 DATA_DIR = "data"
 CURRENT_PTR = "_current"
 BUCKET_COL = "__bucket"
+
+# bounded idempotency record (see module docstring §2)
+RECENT_KEYS_MAX = 1024
+_NUMERIC_KEY = re.compile(r".*=(\d+)\Z")
+
+# recorded in Snapshot.properties and validated on every bucket-dependent
+# operation: changing the hash silently mis-prunes existing tables
+BUCKET_FN_ID = "murmur3_v1"
+
+
+def _numeric_epoch(commit_key: str) -> int | None:
+    m = _NUMERIC_KEY.match(commit_key)
+    return int(m.group(1)) if m else None
 
 
 def bucket_of(key_cols: list[str], n_buckets: int):
@@ -89,13 +121,54 @@ class Snapshot:
     schema_json: str
     n_buckets: int
     key_cols: list[str]
-    files: list[DataFile] = field(default_factory=list)
-    commit_keys: list[str] = field(default_factory=list)  # full history, for idempotency
+    # bucket -> manifest file path (relative to table root); the per-bucket
+    # file lists live in those immutable manifests, not here
+    manifests: dict[int, str] = field(default_factory=dict)
+    # bounded idempotency record: high watermark over numeric '...=N' keys
+    # plus the most recent keys verbatim (see module docstring §2)
+    commit_watermark: int = -1
+    recent_commit_keys: list[str] = field(default_factory=list)
     properties: dict[str, str] = field(default_factory=dict)
+    # set by LakeTable when loading, so .files can resolve manifests
+    _root: str | None = field(default=None, repr=False, compare=False)
 
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def has_commit_key(self, commit_key: str) -> bool:
+        if commit_key in self.recent_commit_keys:
+            return True
+        n = _numeric_epoch(commit_key)
+        return n is not None and n <= self.commit_watermark
+
+    def advanced_keys(self, commit_key: str | None) -> tuple[int, list[str]]:
+        """(watermark, recent keys) after recording ``commit_key``."""
+        if commit_key is None:
+            return self.commit_watermark, list(self.recent_commit_keys)
+        n = _numeric_epoch(commit_key)
+        wm = max(self.commit_watermark, n) if n is not None else self.commit_watermark
+        recent = (self.recent_commit_keys + [commit_key])[-RECENT_KEYS_MAX:]
+        return wm, recent
+
+    def files_for(self, buckets: list[int] | None = None) -> list[DataFile]:
+        """Resolve the data-file list from the per-bucket manifests (only
+        the manifests of ``buckets`` are opened when given)."""
+        if self._root is None:
+            raise ValueError("snapshot not bound to a table root")
+        sel = self.manifests
+        if buckets is not None:
+            bset = set(buckets)
+            sel = {b: p for b, p in sel.items() if b in bset}
+        out: list[DataFile] = []
+        for b in sorted(sel):
+            with open(os.path.join(self._root, sel[b])) as fh:
+                out.extend(DataFile.from_json(f) for f in json.load(fh))
+        return out
+
+    @property
+    def files(self) -> list[DataFile]:
+        return self.files_for()
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -103,8 +176,9 @@ class Snapshot:
             "schema_json": self.schema_json,
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
-            "files": [f.to_json() for f in self.files],
-            "commit_keys": self.commit_keys,
+            "manifests": {str(b): p for b, p in self.manifests.items()},
+            "commit_watermark": self.commit_watermark,
+            "recent_commit_keys": self.recent_commit_keys,
             "properties": self.properties,
         }
 
@@ -115,8 +189,9 @@ class Snapshot:
             schema_json=d["schema_json"],
             n_buckets=int(d["n_buckets"]),
             key_cols=list(d["key_cols"]),
-            files=[DataFile.from_json(f) for f in d["files"]],
-            commit_keys=list(d["commit_keys"]),
+            manifests={int(b): p for b, p in d["manifests"].items()},
+            commit_watermark=int(d["commit_watermark"]),
+            recent_commit_keys=list(d["recent_commit_keys"]),
             properties=dict(d.get("properties", {})),
         )
 
@@ -169,14 +244,16 @@ class LakeTable:
     ) -> "LakeTable":
         t = cls(spark, root)
         os.makedirs(t._meta, exist_ok=True)
+        os.makedirs(os.path.join(t.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.root, DATA_DIR), exist_ok=True)
         snap = Snapshot(
             version=0,
             schema_json=json.dumps(schema.jsonValue()),
             n_buckets=n_buckets,
             key_cols=list(key_cols),
-            properties=properties or {},
+            properties={**(properties or {}), "bucket_fn": BUCKET_FN_ID},
         )
+        snap._root = t.root
         t._publish(snap)
         return t
 
@@ -203,7 +280,9 @@ class LakeTable:
 
     def snapshot(self, version: int) -> Snapshot:
         with open(self._snapshot_path(version)) as fh:
-            return Snapshot.from_json(json.load(fh))
+            snap = Snapshot.from_json(json.load(fh))
+        snap._root = self.root
+        return snap
 
     def _publish(self, snap: Snapshot) -> None:
         """Write snapshot JSON, then atomically flip the _current pointer."""
@@ -218,12 +297,25 @@ class LakeTable:
         os.replace(ptr_tmp, os.path.join(self._meta, CURRENT_PTR))
 
     def has_commit(self, commit_key: str) -> bool:
-        return commit_key in set(self.current().commit_keys)
+        return self.current().has_commit_key(commit_key)
 
     # ------------------------------------------------------------------ bucketing
+    def check_bucket_fn(self, snap: Snapshot) -> None:
+        """Fail loudly if the table was written with a different bucket hash:
+        pruning/merging with a mismatched function silently reads the wrong
+        buckets and loses LWW updates."""
+        fn = snap.properties.get("bucket_fn")
+        if fn != BUCKET_FN_ID:
+            raise ValueError(
+                f"table {self.root} records bucket_fn={fn!r} but this engine "
+                f"computes {BUCKET_FN_ID!r}; refusing bucket-dependent operation"
+            )
+
     def bucket_expr(self, n_buckets: int | None = None, key_cols: list[str] | None = None):
-        snap_keys = key_cols if key_cols is not None else self.current().key_cols
-        n = n_buckets if n_buckets is not None else self.current().n_buckets
+        snap = self.current()
+        self.check_bucket_fn(snap)
+        snap_keys = key_cols if key_cols is not None else snap.key_cols
+        n = n_buckets if n_buckets is not None else snap.n_buckets
         return bucket_of(snap_keys, n)
 
     # ------------------------------------------------------------------ read
@@ -235,10 +327,10 @@ class LakeTable:
         """Scan the table at a snapshot.  ``buckets`` prunes at file level —
         only the Parquet files registered for those buckets are opened."""
         snap = self.snapshot(version) if version is not None else self.current()
-        files = snap.files
         if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f.bucket in bset]
+            # pruning correctness depends on the bucket hash matching
+            self.check_bucket_fn(snap)
+        files = snap.files_for(buckets)
         schema = snap.schema
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -303,25 +395,48 @@ class LakeTable:
             files = list(pool.map(_stat, todo))
         return files
 
+    def _write_manifest(self, bucket: int, files: list[DataFile], commit_id: str) -> str:
+        """Write one immutable per-bucket manifest; return its rel path."""
+        rel = os.path.join(MANIFEST_DIR, f"{commit_id}-b{bucket}.json")
+        path = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump([f.to_json() for f in files], fh)
+        os.replace(tmp, path)
+        return rel
+
     def append(self, df: DataFrame, commit_key: str | None = None) -> bool:
         """Append rows (no key dedup).  Returns False if commit_key already
-        applied."""
+        applied.  Metadata cost: one new manifest per TOUCHED bucket; the
+        rest of the table re-points to its existing manifests."""
         snap = self.current()
-        if commit_key is not None and commit_key in set(snap.commit_keys):
+        if commit_key is not None and snap.has_commit_key(commit_key):
             return False
+        self.check_bucket_fn(snap)
         schema = _merge_schemas(snap.schema, df.schema)
         df = _conform(df, schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
         new_files = self._write_commit_files(df, commit_id, snap.n_buckets, snap.key_cols)
+        by_bucket: dict[int, list[DataFile]] = {}
+        for f in new_files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        manifests = dict(snap.manifests)
+        for b, nf in by_bucket.items():
+            old = snap.files_for([b]) if b in manifests else []
+            manifests[b] = self._write_manifest(b, old + nf, commit_id)
+        wm, recent = snap.advanced_keys(commit_key)
         new_snap = Snapshot(
             version=snap.version + 1,
             schema_json=json.dumps(schema.jsonValue()),
             n_buckets=snap.n_buckets,
             key_cols=snap.key_cols,
-            files=snap.files + new_files,
-            commit_keys=snap.commit_keys + ([commit_key] if commit_key else []),
+            manifests=manifests,
+            commit_watermark=wm,
+            recent_commit_keys=recent,
             properties=snap.properties,
         )
+        new_snap._root = self.root
         self._publish(new_snap)
         return True
 
@@ -338,8 +453,9 @@ class LakeTable:
         This is the write half of MERGE.  Returns False on duplicate
         commit_key (idempotent replay)."""
         snap = self.current()
-        if commit_key is not None and commit_key in set(snap.commit_keys):
+        if commit_key is not None and snap.has_commit_key(commit_key):
             return False
+        self.check_bucket_fn(snap)
         new_schema = schema if schema is not None else _merge_schemas(snap.schema, df.schema)
         df = _conform(df, new_schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
@@ -347,16 +463,28 @@ class LakeTable:
             df, commit_id, snap.n_buckets, snap.key_cols, pre_partitioned=pre_partitioned
         )
         bset = set(buckets)
-        kept = [f for f in snap.files if f.bucket not in bset]
+        stray = sorted({f.bucket for f in new_files} - bset)
+        if stray:
+            # a row landing outside the replace-set would shadow live data
+            raise ValueError(f"overwrite produced rows in unreplaced buckets {stray}")
+        manifests = {b: p for b, p in snap.manifests.items() if b not in bset}
+        by_bucket: dict[int, list[DataFile]] = {}
+        for f in new_files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        for b, nf in by_bucket.items():
+            manifests[b] = self._write_manifest(b, nf, commit_id)
+        wm, recent = snap.advanced_keys(commit_key)
         new_snap = Snapshot(
             version=snap.version + 1,
             schema_json=json.dumps(new_schema.jsonValue()),
             n_buckets=snap.n_buckets,
             key_cols=snap.key_cols,
-            files=kept + new_files,
-            commit_keys=snap.commit_keys + ([commit_key] if commit_key else []),
+            manifests=manifests,
+            commit_watermark=wm,
+            recent_commit_keys=recent,
             properties=snap.properties,
         )
+        new_snap._root = self.root
         self._publish(new_snap)
         return True
 

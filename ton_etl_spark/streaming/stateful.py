@@ -10,7 +10,7 @@ event-time timeout — the watermark IS the eviction threshold, and the
 per-group state is exactly the reference's dict entry.
 
 Emitted rows (update mode): one row per key per micro-batch while the key
-is live — (doc_id, n_events, n_deletes, max_lsn, last_ts) — plus a final
+is live — (doc_id, n_events, n_deletes, max_lsn, last_ts_ms) — plus a final
 row flagged ``evicted=true`` when the watermark passes the key's timeout,
 mirroring the exporter's "pending → settled" transition.
 
@@ -36,6 +36,7 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType(), False),
         T.StructField("n_deletes", T.LongType(), False),
         T.StructField("max_lsn", T.LongType(), True),
+        T.StructField("last_ts_ms", T.LongType(), False),
         T.StructField("evicted", T.BooleanType(), False),
     ]
 )
@@ -45,6 +46,9 @@ STATE_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType(), False),
         T.StructField("n_deletes", T.LongType(), False),
         T.StructField("max_lsn", T.LongType(), True),
+        # persisted so a later micro-batch carrying only OLDER (but still
+        # in-watermark) events cannot pull the eviction timeout earlier
+        T.StructField("last_ts_ms", T.LongType(), False),
     ]
 )
 
@@ -55,7 +59,7 @@ DEFAULT_IDLE_MS = 60_000
 def _track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     doc_id, idle_ms = key[0], int(key[1])
     if state.hasTimedOut:
-        n_events, n_deletes, max_lsn = state.get
+        n_events, n_deletes, max_lsn, last_ts_ms = state.get
         state.remove()
         yield pd.DataFrame(
             [
@@ -64,22 +68,25 @@ def _track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.
                     "n_events": n_events,
                     "n_deletes": n_deletes,
                     "max_lsn": max_lsn,
+                    "last_ts_ms": last_ts_ms,
                     "evicted": True,
                 }
             ]
         )
         return
-    n_events, n_deletes, max_lsn = state.get if state.exists else (0, 0, None)
-    last_ts_ms = 0
+    n_events, n_deletes, max_lsn, last_ts_ms = (
+        state.get if state.exists else (0, 0, None, 0)
+    )
     for pdf in pdfs:
         n_events += len(pdf)
         n_deletes += int((pdf["op"] == "d").sum())
         batch_max = pdf["lsn"].max()
         max_lsn = int(batch_max) if max_lsn is None else max(max_lsn, int(batch_max))
         last_ts_ms = max(last_ts_ms, int(pdf["ts_ms"].max()))
-    state.update((n_events, n_deletes, max_lsn))
-    # evict when event time passes last seen ts + idle horizon (the
-    # reference's `< latest_block_ts - interval*factor` rule)
+    state.update((n_events, n_deletes, max_lsn, last_ts_ms))
+    # evict when event time passes the LATEST ts ever seen for the key +
+    # idle horizon (the reference's `< latest_block_ts - interval*factor`
+    # rule); max over stored + batch keeps the timeout monotone
     state.setTimeoutTimestamp(last_ts_ms + idle_ms)
     yield pd.DataFrame(
         [
@@ -88,6 +95,7 @@ def _track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.
                 "n_events": n_events,
                 "n_deletes": n_deletes,
                 "max_lsn": max_lsn,
+                "last_ts_ms": last_ts_ms,
                 "evicted": False,
             }
         ]
