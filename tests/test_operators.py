@@ -208,6 +208,36 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ivf_ann_recall_on_clustered_data(spark):
+    """IVF (k-means cells + nprobe scan) on data with real cluster structure:
+    recall vs exact brute force must be high, and the probe must scan only a
+    fraction of the corpus."""
+    import numpy as np
+
+    from ton_etl_spark.operators.similarity import ivf_ann_topk, ivf_centroids, _nearest_cell
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 16, 8, 50
+    centers = rng.normal(size=(n_clusters, dim)) * 4.0
+    X = np.vstack([c + rng.normal(size=(per, dim)) * 0.4 for c in centers]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in (centers[2] + 0.1)]
+    exact = [r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=10).collect()]
+    cents = ivf_centroids(emb, n_cells=8, dim=dim, seed=11)
+    approx = [r["vec_id"] for r in
+              ivf_ann_topk(emb, q, k=10, n_cells=8, nprobe=2, centroids=cents).collect()]
+    assert len(set(exact) & set(approx)) >= 9
+    # the probe is genuinely partial: 2 of 8 cells
+    cells = emb.select(_nearest_cell(F.col("embedding"), cents).alias("c"))
+    biggest_two = sorted(
+        r["n"] for r in cells.groupBy("c").agg(F.count("*").alias("n")).collect()
+    )[-2:]
+    assert sum(biggest_two) < len(X)
+
+
 def test_multimodal_plumbing(spark):
     from ton_etl_spark.operators.multimodal import extract_features, synth_media
 

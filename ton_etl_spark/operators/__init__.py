@@ -9,7 +9,12 @@ from ton_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     embedding_near_dups,
 )
-from ton_etl_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+from ton_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_ann_topk,
+    ivf_centroids,
+    lsh_ann_topk,
+)
 
 __all__ = [
     "asof_join",
@@ -24,5 +29,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dups",
     "cosine_topk_bruteforce",
+    "ivf_ann_topk",
+    "ivf_centroids",
     "lsh_ann_topk",
 ]

@@ -79,6 +79,103 @@ def cosine_topk_bruteforce(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic distributed k-means for IVF cells.
+
+    Init = hash-picked corpus vectors (no RNG object); each iteration is one
+    distributed pass: assign every vector to its nearest centroid (argmin
+    over the broadcast centroid literals, JVM-side) then recompute means via
+    posexplode + groupBy.  Centroids are collected to the driver — that IS
+    the IVF contract: the cell table is small index metadata (n_cells × dim
+    floats), everything per-vector stays distributed."""
+    taken = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__r")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in taken]
+    for _ in range(n_iters):
+        assigned = emb.select(
+            F.col(vec_col), _nearest_cell(F.col(vec_col), cents).alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .collect()
+        )
+        new = list(cents)
+        for r in means:
+            new[r["cell"]] = [float(s["m"]) for s in r["ms"]]
+        cents = new
+    return cents
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_{c} squared-L2(vec, centroid_c) as a JVM expression: array_min
+    over (distance, cell) structs of the broadcast centroid literals."""
+    pairs = []
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        d2 = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        pairs.append(F.struct(d2.alias("d"), F.lit(c).alias("cell")))
+    return F.array_min(F.array(*pairs))["cell"]
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
+    k-means cells, probe only the ``nprobe`` cells whose centroids are
+    nearest the query, exact cosine within.
+
+    100 TB shape: the cell assignment is a write-once index column — a real
+    deployment partitions the table BY cell so a probe is partition pruning,
+    scanning ~nprobe/n_cells of the corpus; the centroid math rides along as
+    driver-side metadata exactly like Iceberg partition stats.  Pass a
+    precomputed ``centroids`` list to reuse an index across queries."""
+    dim = len(query_vec)
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_cells, dim, id_col, vec_col, seed)
+    qd = [
+        (sum((a - b) * (a - b) for a, b in zip(query_vec, cent)), c)
+        for c, cent in enumerate(centroids)
+    ]
+    probe = [c for _, c in sorted(qd)[:nprobe]]
+    scanned = emb.withColumn(
+        "__cell", _nearest_cell(F.col(vec_col), centroids)
+    ).where(F.col("__cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = scanned.select(
+        F.col(id_col), F.round(_cosine(F.col(vec_col), q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

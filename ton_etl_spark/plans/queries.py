@@ -30,7 +30,12 @@ from ton_etl_spark.operators.dedup import (
     simhash_near_dups,
     embedding_near_dups,
 )
-from ton_etl_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+from ton_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from ton_etl_spark.streaming.joins import stream_stream_enrich
 from ton_etl_spark.operators.snapshot import first_state, lag_transitions, lww_snapshot
 from ton_etl_spark.streaming.metrics import latency_percentiles, tumbling_tps
 
@@ -760,6 +765,17 @@ def q_ann_lsh_topk(spark, sf: str) -> DataFrame:
     return lsh_ann_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10)
 
 
+def q_ann_ivf_topk(spark, sf: str) -> DataFrame:
+    # IVF scale path: k-means cells + nprobe nearest-cell scan (rows-only:
+    # the k-means index is iterative, not SQL-expressible; pytest checks
+    # recall vs brute force on clustered data)
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_ann_topk(
+        emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_cells=8, nprobe=3
+    )
+
+
 def q_media_features(spark, sf: str) -> DataFrame:
     from ton_etl_spark.operators.multimodal import extract_features, synth_media
 
@@ -1090,6 +1106,37 @@ def q_approx_distinct_users(spark, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 33. Trace-latency enrichment join — SURVEY.md J11 batch twin (the same
+#     streaming.joins.stream_stream_enrich plan run in batch mode, where
+#     withWatermark is a no-op): each view enriched with the same user's
+#     purchases completing within the following hour, emitting the delay —
+#     the reference's trace-latency gauge (prometheus dex.py:36-40).
+def q_trace_enrich_join(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    out = stream_stream_enrich(
+        views, buys, on="user_id", left_ts="view_ts", right_ts="buy_ts",
+        watermark="1 hour", max_span_sec=3600,
+    )
+    return out.select("view_id", "user_id", "buy_id", "delay_ms")
+
+
+SQL_TRACE_ENRICH = """
+SELECT v.event_id AS view_id, v.user_id, b.event_id AS buy_id,
+       CAST(epoch_ms(b.ts) - epoch_ms(v.ts) AS BIGINT) AS delay_ms
+FROM events v JOIN events b
+  ON v.user_id = b.user_id AND b.event_type = 'purchase'
+ AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 3600 SECONDS
+WHERE v.event_type = 'view'
+"""
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1126,6 +1173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_pattern": q_funnel_pattern,
     "purchase_installments": q_purchase_installments,
     "decimal_money_rollup": q_decimal_money_rollup,
+    "trace_enrich_join": q_trace_enrich_join,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1133,6 +1181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
 }
 
@@ -1172,4 +1221,5 @@ ORACLES: dict[str, str] = {
     "funnel_pattern": SQL_FUNNEL,
     "purchase_installments": SQL_INSTALLMENTS,
     "decimal_money_rollup": SQL_DECIMAL_MONEY,
+    "trace_enrich_join": SQL_TRACE_ENRICH,
 }

@@ -52,8 +52,13 @@ def stream_stream_enrich(
         )
     )
     right_cols = [c for c in right.columns if c != on]
+    # cast: unix_millis rejects TIMESTAMP_NTZ (parquet scans yield ntz); any
+    # session-tz shift introduced by the cast cancels in the subtraction
     delay = (
-        (F.unix_millis(F.col(f"r.{right_ts}")) - F.unix_millis(F.col(f"l.{left_ts}")))
+        (
+            F.unix_millis(F.col(f"r.{right_ts}").cast("timestamp"))
+            - F.unix_millis(F.col(f"l.{left_ts}").cast("timestamp"))
+        )
         .cast("long")
         .alias("delay_ms")
     )
