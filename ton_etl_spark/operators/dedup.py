@@ -26,12 +26,26 @@ from ton_etl_spark.functions.text import fingerprint, words
 _MERSENNE = (1 << 61) - 1
 
 
+def _widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition when the scan yields fewer partitions than the cluster's
+    parallelism.  The hashing passes below are CPU-bound and embarrassingly
+    parallel, but a small corpus arriving as one parquet file plans as ONE
+    task (measured 4× on the sf0.1 documents table).  At 100 TB the source
+    has thousands of file splits, the condition is false, and no extra
+    shuffle is paid."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: fingerprint →
     representative = min id, plus group size.  One hash-agg shuffle."""
     fp = fingerprint(F.col(text_col))
     return (
-        docs.select(F.col(id_col), fp.alias("fp"))
+        _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), fp.alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -124,6 +138,7 @@ def minhash_lsh_pairs(
         min_words = k_shingle
     if min_words > 0:
         docs = docs.where(F.size(words(F.col(text_col))) >= min_words)
+    docs = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed)
     # The signatures are reused three times (both sides of the band
     # self-join via ReusedExchange, plus the pair verification below);
@@ -203,6 +218,7 @@ def simhash_fingerprints(
     O(1) ``element_at`` majority votes assemble the fingerprint.  Replaces
     the previous 64-scans-of-the-array form — measured 4× faster at sf0.1
     (1.2 s vs 4.7 s for 5k docs) with identical outputs."""
+    docs = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
     ws = F.array_distinct(words(F.col(text_col)))
     hashes = F.transform(ws, lambda w: F.xxhash64(w, F.lit(seed)))
 
@@ -325,7 +341,7 @@ def ngram_jaccard_pairs(
     cands = minhash_lsh_pairs(
         docs, id_col, text_col, n_hashes, bands, k_shingle, seed, min_jaccard_est=0.0
     ).select("id_a", "id_b")
-    sh = docs.select(
+    sh = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), shingles(F.col(text_col), k_shingle).alias("sh")
     )
     j = (
