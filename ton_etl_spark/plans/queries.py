@@ -1137,6 +1137,50 @@ WHERE v.event_type = 'view'
 """
 
 
+# --------------------------------------------------------------------------
+# 34. Exact n-gram Jaccard, all-pairs ORACLE TWIN — hash-checks the shingle
+#     construction and Jaccard math that the production LSH path
+#     (ngram_jaccard_dups) shares.  All-pairs is deliberate and bounded to
+#     the oracle scales (500 docs → 125k pairs); at 100 TB you run the
+#     LSH-pruned candidates-then-verify form, whose pruning is hash-seeded
+#     and therefore pytest-verified instead.
+def q_ngram_jaccard_allpairs(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf, "documents")
+    sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.3)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SQL_NGRAM_ALLPAIRS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+              ELSE [array_to_string(ws, ' ')] END AS sh
+  FROM w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+"""
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1174,6 +1218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_installments": q_purchase_installments,
     "decimal_money_rollup": q_decimal_money_rollup,
     "trace_enrich_join": q_trace_enrich_join,
+    "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1222,4 +1267,5 @@ ORACLES: dict[str, str] = {
     "purchase_installments": SQL_INSTALLMENTS,
     "decimal_money_rollup": SQL_DECIMAL_MONEY,
     "trace_enrich_join": SQL_TRACE_ENRICH,
+    "ngram_jaccard_allpairs": SQL_NGRAM_ALLPAIRS,
 }
