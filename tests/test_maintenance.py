@@ -173,3 +173,44 @@ def test_bucket_fn_mismatch_fails_loudly(spark, tmp_path):
         t2.read(buckets=[0])
     with pytest.raises(ValueError, match="bucket_fn"):
         apply_cdc_batch(t2, b, epoch=1)
+
+
+def test_incremental_changes_between_snapshots(spark, tmp_path):
+    """LakeTable.changes: insert/delete changelog between versions, pruned
+    to buckets whose manifests differ; compaction yields no change rows."""
+    t = make_sequences_table(spark, str(tmp_path / "ch"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [
+            ("k1", "c", 1, 1, [1], 1, "web"),
+            ("k2", "c", 2, 2, [2], 1, "web"),
+        ],
+        schema=CDC_EVENT_SCHEMA,
+    )
+    apply_cdc_batch(t, b0, epoch=0)
+    v0 = t.current_version()
+    b1 = spark.createDataFrame(
+        [
+            ("k2", "u", 3, 3, [9, 9], 2, "web"),   # update
+            ("k3", "c", 4, 4, [4], 1, "web"),      # new key
+            ("k1", "d", 5, 5, None, None, "web"),  # tombstone
+        ],
+        schema=CDC_EVENT_SCHEMA,
+    )
+    apply_cdc_batch(t, b1, epoch=1)
+    v1 = t.current_version()
+
+    ch = {(r["doc_id"], r["lsn"], r["_change_type"]) for r in t.changes(v0, v1).collect()}
+    assert ch == {
+        ("k2", 2, "delete"), ("k2", 3, "insert"),   # update = delete+insert
+        ("k3", 4, "insert"),
+        ("k1", 1, "delete"), ("k1", 5, "insert"),   # live row -> tombstone row
+    }
+    # compaction: manifests change, logical rows don't -> empty changelog
+    rewrite_buckets(t, commit_key="compact-ch")
+    v2 = t.current_version()
+    assert t.changes(v1, v2).count() == 0
+    # changes() defaults to current
+    assert {(r["doc_id"], r["_change_type"]) for r in t.changes(v0).collect()} == {
+        ("k2", "delete"), ("k2", "insert"), ("k3", "insert"),
+        ("k1", "delete"), ("k1", "insert"),
+    }

@@ -339,6 +339,37 @@ class LakeTable:
         # (additive evolution), and column pruning/pushdown still apply.
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog between two snapshots (Iceberg
+        incremental-read role; reference analog: the daily Airflow job
+        exporting only rows newer than the last sync,
+        ``datalake_daily_sync.py:412-630``).
+
+        Returns the rows whose stored content differs, tagged
+        ``_change_type`` ∈ {insert, delete}; an updated key appears as a
+        delete of its old payload plus an insert of the new one.  Metadata
+        does the pruning: only buckets whose MANIFEST POINTER changed
+        between the snapshots are read at either version — an incremental
+        consumer of a 100 TB table scans the touched slice, never the
+        world.  A pure compaction rewrites manifests without changing rows
+        and therefore yields zero change rows (at the cost of re-reading
+        the compacted buckets)."""
+        new_snap = (
+            self.snapshot(to_version) if to_version is not None else self.current()
+        )
+        old_snap = self.snapshot(from_version)
+        touched = [
+            b
+            for b in set(old_snap.manifests) | set(new_snap.manifests)
+            if old_snap.manifests.get(b) != new_snap.manifests.get(b)
+        ]
+        schema = new_snap.schema
+        old = _conform(self.read(buckets=touched, version=old_snap.version), schema)
+        new = _conform(self.read(buckets=touched, version=new_snap.version), schema)
+        ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        dele = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dele)
+
     # ------------------------------------------------------------------ write
     def _write_commit_files(
         self,

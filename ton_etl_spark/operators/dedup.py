@@ -42,10 +42,11 @@ def _widen_if_narrow(df: DataFrame) -> DataFrame:
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: fingerprint →
     representative = min id, plus group size.  One hash-agg shuffle."""
+    # no _widen_if_narrow here: one md5 per row is cheaper than the
+    # repartition it would buy (measured 2× slower widened at sf0.1)
     fp = fingerprint(F.col(text_col))
     return (
-        _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), fp.alias("fp"))
+        docs.select(F.col(id_col), fp.alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
