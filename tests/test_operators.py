@@ -201,11 +201,16 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     rest = emb.where(F.col("vec_id") != 0)
     exact = [r["vec_id"] for r in cosine_topk_bruteforce(rest, qv, k=10).collect()]
-    approx = [r["vec_id"] for r in lsh_ann_topk(rest, qv, k=10, n_planes=4, multiprobe=1).collect()]
+    one_table = [r["vec_id"] for r in
+                 lsh_ann_topk(rest, qv, k=10, n_planes=4, multiprobe=1).collect()]
+    multi = [r["vec_id"] for r in
+             lsh_ann_topk(rest, qv, k=10, n_planes=4, multiprobe=1, n_tables=4).collect()]
     # the testdata embeddings are weakly clustered (near-random cosine
-    # structure), so hyperplane LSH recall is modest by construction;
-    # deterministic seed → stable assertion
-    assert len(set(exact) & set(approx)) >= 3
+    # structure): one table's recall is modest by construction, four
+    # independent tables lift it (deterministic seeds → stable assertion)
+    assert len(set(exact) & set(one_table)) >= 3
+    assert len(set(exact) & set(multi)) >= 6
+    assert len(set(exact) & set(multi)) >= len(set(exact) & set(one_table))
 
 
 def test_ivf_ann_recall_on_clustered_data(spark):

@@ -185,30 +185,38 @@ def lsh_ann_topk(
     n_planes: int = 4,
     seed: int = 42,
     multiprobe: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: probe the query's hyperplane bucket plus all
-    buckets within ``multiprobe`` bit-flips, exact cosine within.
+    buckets within ``multiprobe`` bit-flips, in each of ``n_tables``
+    independent hash tables (OR across tables), exact cosine within.
 
-    Recall/scan-fraction tradeoff is data-dependent: tightly-clustered
-    embeddings tolerate more planes; weakly-clustered (near-random) vectors
-    need few planes + multiprobe (hyperplane agreement probability is
-    (1 - θ/π)^planes)."""
+    Per-plane agreement probability for a neighbor at angle θ is 1 - θ/π,
+    so one table's recall is (that)^planes — weak for weakly-clustered
+    corpora; L independent tables lift a per-table hit rate p to
+    1-(1-p)^L while the scan stays ~L × bucket-fraction of the corpus.
+    The whole probe is ONE filtered scan (no explode): a row survives if
+    ANY table's sign-sketch lands in that table's probe set."""
     dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qb = 0
-    for p, plane in enumerate(planes):
-        dot = sum(a * b for a, b in zip(query_vec, plane))
-        qb |= (1 if dot >= 0 else 0) << p
-    probe = {qb}
-    frontier = {qb}
-    for _ in range(multiprobe):
-        frontier = {b ^ (1 << p) for b in frontier for p in range(n_planes)}
-        probe |= frontier
-    bucketed = emb.withColumn(
-        "__bucket", _hyperplane_bucket(F.col(vec_col), n_planes, seed, dim)
-    ).where(F.col("__bucket").isin(list(probe)))
+    keep = None
+    for t in range(n_tables):
+        tseed = seed + 7919 * t
+        planes = _hyperplanes(dim, n_planes, tseed)
+        qb = 0
+        for p, plane in enumerate(planes):
+            dot = sum(a * b for a, b in zip(query_vec, plane))
+            qb |= (1 if dot >= 0 else 0) << p
+        probe = {qb}
+        frontier = {qb}
+        for _ in range(multiprobe):
+            frontier = {b ^ (1 << p) for b in frontier for p in range(n_planes)}
+            probe |= frontier
+        hit = _hyperplane_bucket(F.col(vec_col), n_planes, tseed, dim).isin(
+            list(probe)
+        )
+        keep = hit if keep is None else (keep | hit)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = bucketed.select(
+    scored = emb.where(keep).select(
         F.col(id_col), F.round(_cosine(F.col(vec_col), q), 6).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

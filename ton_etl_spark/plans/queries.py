@@ -762,7 +762,9 @@ SQL_EMB_NEAR_DUPS = _emb_near_dups_sql()
 def q_ann_lsh_topk(spark, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_ann_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10)
+    return lsh_ann_topk(
+        emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_tables=4
+    )
 
 
 def q_ann_ivf_topk(spark, sf: str) -> DataFrame:
