@@ -90,9 +90,12 @@ def apply_cdc_batch(
 
     bexpr = bucket_of(snap.key_cols, snap.n_buckets)
     buckets = [r["__b"] for r in batch.select(bexpr.alias("__b")).distinct().collect()]
-    if validate:
-        batch = with_token_validation(batch)
 
+    # Lineage is computed on the RAW batch, before validation: (a) the audit
+    # record should describe what was DELIVERED, not what survived repair —
+    # exactly the reference's per-batch consumer counters
+    # (parser/main.py:70,136-137); (b) it keeps the validation UDF out of
+    # this scan, so the Arrow bridge runs once per epoch, not twice.
     if lineage is not None:
         lin = (
             batch.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -108,6 +111,9 @@ def apply_cdc_batch(
             .select("checkpoint_epoch", "partition_id", "min_lsn", "max_lsn", "event_count", "commit_hash")
         )
         lineage.append(lin, commit_key=commit_key)
+
+    if validate:
+        batch = with_token_validation(batch)
 
     stats = merge_lww(table, batch, commit_key=commit_key, buckets=buckets)
     stats["epoch"] = epoch

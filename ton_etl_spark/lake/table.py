@@ -160,11 +160,25 @@ class Snapshot:
         if buckets is not None:
             bset = set(buckets)
             sel = {b: p for b, p in sel.items() if b in bset}
-        out: list[DataFile] = []
-        for b in sorted(sel):
-            with open(os.path.join(self._root, sel[b])) as fh:
-                out.extend(DataFile.from_json(f) for f in json.load(fh))
-        return out
+        ordered = [sel[b] for b in sorted(sel)]
+        if len(ordered) <= 4:
+            out: list[DataFile] = []
+            for rel in ordered:
+                with open(os.path.join(self._root, rel)) as fh:
+                    out.extend(DataFile.from_json(f) for f in json.load(fh))
+            return out
+        # many buckets: open manifests concurrently — serial ~ms opens add a
+        # fixed driver cost per read that hurts scaling (same Amdahl note as
+        # the commit-time footer stats)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _load(rel: str) -> list[DataFile]:
+            with open(os.path.join(self._root, rel)) as fh:
+                return [DataFile.from_json(f) for f in json.load(fh)]
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            parts = list(pool.map(_load, ordered))
+        return [f for part in parts for f in part]
 
     @property
     def files(self) -> list[DataFile]:
