@@ -255,6 +255,40 @@ def test_multimodal_plumbing(spark):
         assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
 
 
+def test_multimodal_resize_and_frames(spark):
+    from ton_etl_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=48)
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+
+    resized = resize_images(media, 32, 32).collect()
+    assert len(resized) == 48  # passthrough for non-images, 1:1
+    for r in resized:
+        if r["kind"] == "image":
+            assert r["width"] == 32 and r["height"] == 32
+            assert len(r["payload"]) == (32 * 32) // 64
+        else:
+            assert r["width"] == 64  # untouched
+
+    frames = sample_frames(media, every_ms=250).collect()
+    n_videos = sum(1 for k in kinds.values() if k == "video")
+    assert len(frames) == n_videos * 4  # 1000ms / 250ms
+    by_id: dict = {}
+    for f in frames:
+        assert kinds[f["media_id"]] == "video"  # 1-to-0 for image/audio
+        assert f["ts_ms"] == f["frame_idx"] * 250
+        by_id.setdefault(f["media_id"], []).append(f)
+    # frames tile the payload deterministically
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, fs in by_id.items():
+        joined = b"".join(bytes(f["frame"]) for f in sorted(fs, key=lambda x: x["frame_idx"]))
+        assert joined == payloads[mid]
+
+
 def test_debezium_decimal_golden(spark):
     """Golden cases from the reference's test_converter.py:31-65 semantics:
     two's-complement base64 bytes + scale → decimal string."""

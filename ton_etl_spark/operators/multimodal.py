@@ -76,6 +76,85 @@ def extract_features(media: DataFrame, batch_rows_hint: int = 1024) -> DataFrame
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes | None, width: int, height: int) -> bytes | None:
+    """STUB resize kernel (a real deployment plugs Pillow here): deterministic
+    nearest-neighbor-style byte resample to the target 'pixel budget'."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    target = max(1, (width * height) // 64)
+    if not b:
+        return b
+    return bytes(b[(i * len(b)) // target] for i in range(target))
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: image rows get a re-encoded payload + new
+    dimensions, non-image rows pass through untouched.  Output schema ==
+    input schema, so resize composes with any downstream media op."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            payload = [
+                _resize_stub(p, width, height) if img else p
+                for p, img in zip(pdf["payload"], is_img)
+            ]
+            out = pdf.copy()
+            out["payload"] = payload
+            out.loc[is_img, "width"] = width
+            out.loc[is_img, "height"] = height
+            yield out
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """1-to-N frame sampling (mapInPandas UDTF shape): each VIDEO row yields
+    ``duration_ms // every_ms`` frame rows; images/audio yield none.  The
+    frame payload is a deterministic stub slice of the encoded bytes (a real
+    deployment plugs ffmpeg); the fan-out plumbing — variable rows-out per
+    row-in over Arrow batches — is real."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "video" or payload is None or not dur:
+                    continue
+                n = int(dur) // every_ms
+                b = bytes(payload)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    lo = (i * len(b)) // max(n, 1)
+                    hi = ((i + 1) * len(b)) // max(n, 1)
+                    frames.append(b[lo:hi])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests (payload bytes from
     a hash expression — generated distributed, JVM-side)."""

@@ -786,6 +786,18 @@ def q_media_features(spark, sf: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def q_media_frames(spark, sf: str) -> DataFrame:
+    # resize → frame-sample composition over opaque binary media columns
+    # (rows-only: synthesized media, stub kernels — plumbing is the subject)
+    from ton_etl_spark.operators.multimodal import resize_images, sample_frames, synth_media
+
+    media = synth_media(spark, n=256)
+    frames = sample_frames(resize_images(media, 32, 32), every_ms=250)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms", F.length("frame").cast("long").alias("n_bytes")
+    )
+
+
 def q_tps_windows(spark, sf: str) -> DataFrame:
     # blocks fixture derived deterministically from events (tx_count = k)
     ev = load_table(spark, sf, "events")
@@ -1230,6 +1242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
 }
 
 ORACLES: dict[str, str] = {
