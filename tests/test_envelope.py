@@ -57,6 +57,22 @@ def test_envelope_op_and_table_filters(spark):
     assert parse_cdc_envelope(frames, table="sequences").count() == log.count()
 
 
+def test_envelope_drops_malformed_frames(spark):
+    """Corrupt JSON and meta-less messages are dropped (the reference's
+    log-and-skip), never forwarded with null op/lsn into the merge."""
+    good = to_kafka_frames(generate_cdc_log(spark, 50, seed=19))
+    bad = spark.createDataFrame(
+        [
+            (None, b"not json at all", "cdc.sequences", 0, 999999, None),
+            (None, b'{"doc_id": "x", "tokens": [1]}', "cdc.sequences", 0, 999998, None),
+        ],
+        KAFKA_FRAME_SCHEMA,
+    )
+    out = parse_cdc_envelope(good.unionByName(bad))
+    assert out.count() == 50
+    assert out.where(F.col("op").isNull() | F.col("lsn").isNull()).count() == 0
+
+
 def test_envelope_replay_equality(spark, tmp_path):
     """Full CDC replay (out-of-order + duplicates + mid-stream evolution)
     through the Kafka-envelope decode: final state must equal the one-pass

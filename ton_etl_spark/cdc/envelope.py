@@ -89,6 +89,14 @@ def parse_cdc_envelope(
     parsed = frames.select(
         F.from_json(F.col(value_col).cast("string"), env).alias("e")
     )
+    # decode-failure guard: malformed JSON yields a null struct / null meta
+    # fields — dropped, mirroring the reference's log-and-skip of messages
+    # that fail to convert (datalake/main.py:226-230).  A row without
+    # __op/__lsn cannot participate in LWW ordering and would poison the
+    # merge's (lsn, ts_ms, op) comparisons.
+    parsed = parsed.where(
+        F.col("e.__op").isNotNull() & F.col("e.__lsn").isNotNull()
+    )
     if table is not None:
         parsed = parsed.where(F.col("e.__table") == table)
     if allowed_ops is not None:
