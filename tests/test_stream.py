@@ -69,3 +69,33 @@ def test_stream_restart_from_checkpoint(spark, stream_log, tmp_path):
     got = _rows(read_state(table))
     want = _rows(final_state_oracle(read_full_log(spark, stream_log)))
     assert got == want
+
+
+def test_stream_observed_delivery_metrics(spark, tmp_path):
+    """observe() metrics ride the source scan: per-micro-batch delivered
+    event counts and lsn bounds appear in the streaming progress (SURVEY A9,
+    the reference's messages/sec consumer counters)."""
+    from ton_etl_spark.cdc.generator import generate_cdc_log, write_cdc_log
+    from ton_etl_spark.cdc.stream import start_cdc_stream
+
+    log_dir = str(tmp_path / "olog")
+    log = generate_cdc_log(spark, 2000, seed=27)
+    write_cdc_log(log, log_dir, n_batches=2, dup_pct=10, seed=27)
+    q = start_cdc_stream(
+        spark,
+        log_glob=os.path.join(log_dir, "phase=*/__seq=*"),
+        table_root=str(tmp_path / "otbl"),
+        checkpoint_dir=str(tmp_path / "ockpt"),
+        max_files_per_trigger=8,
+    )
+    q.awaitTermination(300)
+    observed = [
+        p["observedMetrics"]["delivery"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("delivery")
+    ]
+    assert observed, "no observed metrics in progress"
+    total = sum(m["events"] for m in observed)
+    assert total >= 2000  # duplicates included
+    assert min(m["min_lsn"] for m in observed) == 0
+    assert max(m["max_lsn"] for m in observed) == 1999
