@@ -61,16 +61,25 @@ def test_envelope_drops_malformed_frames(spark):
     """Corrupt JSON and meta-less messages are dropped (the reference's
     log-and-skip), never forwarded with null op/lsn into the merge."""
     good = to_kafka_frames(generate_cdc_log(spark, 50, seed=19))
+    mistyped = (
+        b'{"doc_id":"x","tokens":"oops","n_tok":1,"source":"web",'
+        b'"__op":"u","__table":"sequences","__lsn":99,"__source_ts_ms":5}'
+    )
     bad = spark.createDataFrame(
         [
             (None, b"not json at all", "cdc.sequences", 0, 999999, None),
             (None, b'{"doc_id": "x", "tokens": [1]}', "cdc.sequences", 0, 999998, None),
+            # partially-corrupt: valid meta but a mis-typed payload field —
+            # PERMISSIVE from_json would half-keep it with tokens=null, and
+            # that null payload could win LWW over good stored state
+            (None, mistyped, "cdc.sequences", 0, 999997, None),
         ],
         KAFKA_FRAME_SCHEMA,
     )
     out = parse_cdc_envelope(good.unionByName(bad))
     assert out.count() == 50
     assert out.where(F.col("op").isNull() | F.col("lsn").isNull()).count() == 0
+    assert out.where(F.col("lsn") == 99).count() == 0  # mistyped row dropped whole
 
 
 def test_envelope_replay_equality(spark, tmp_path):

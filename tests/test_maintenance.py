@@ -124,7 +124,7 @@ def test_snapshot_metadata_stays_bounded(spark, tmp_path):
     assert len(snap.manifests) == 1
     assert len(snap.files) == 1
     # idempotency via numeric watermark, not an O(history) key list
-    assert snap.commit_watermark == 99
+    assert snap.commit_watermarks == {"epoch": 99}
     assert apply_cdc_batch(t, spark.createDataFrame([], CDC_EVENT_SCHEMA), epoch=3)[
         "applied"
     ] is False
@@ -214,3 +214,23 @@ def test_incremental_changes_between_snapshots(spark, tmp_path):
         ("k2", "delete"), ("k2", "insert"), ("k3", "insert"),
         ("k1", "delete"), ("k1", "insert"),
     }
+
+
+def test_watermark_is_per_key_prefix(spark, tmp_path):
+    """'compact=3' must not be considered applied because stream epochs
+    reached 'epoch=99' — numeric watermarks are keyed by prefix."""
+    t = make_sequences_table(spark, str(tmp_path / "pw"), n_buckets=2)
+    for i in (98, 99):
+        b = spark.createDataFrame(
+            [("k", "u", i, i, [i], 1, "web")], schema=CDC_EVENT_SCHEMA
+        )
+        apply_cdc_batch(t, b, epoch=i)
+    assert t.has_commit("epoch=99") and t.has_commit("epoch=5")
+    assert not t.has_commit("compact=3")
+    res = rewrite_buckets(t, commit_key="compact=3")
+    assert res["applied"] is True
+    # within a prefix the monotone contract applies: <=3 now covered
+    assert t.has_commit("compact=3") and t.has_commit("compact=2")
+    assert not t.has_commit("compact=4")
+    assert not t.has_commit("othersuite=1")
+    assert t.current().commit_watermarks == {"epoch": 99, "compact": 3}

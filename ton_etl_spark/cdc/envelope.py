@@ -60,6 +60,9 @@ def envelope_schema(payload_schema: T.StructType) -> T.StructType:
         T.StructField("__table", T.StringType(), True),
         T.StructField("__lsn", T.LongType(), True),
         T.StructField("__source_ts_ms", T.LongType(), True),
+        # populated by from_json when the record is malformed OR any field
+        # fails to convert (PERMISSIVE partial-result mode) — never emitted
+        T.StructField("_corrupt_record", T.StringType(), True),
     ]
     return T.StructType(payload + meta)
 
@@ -87,15 +90,24 @@ def parse_cdc_envelope(
     payload_schema = payload_schema or CDC_EVENT_SCHEMA_EVOLVED
     env = envelope_schema(payload_schema)
     parsed = frames.select(
-        F.from_json(F.col(value_col).cast("string"), env).alias("e")
+        F.from_json(
+            F.col(value_col).cast("string"),
+            env,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e")
     )
-    # decode-failure guard: malformed JSON yields a null struct / null meta
-    # fields — dropped, mirroring the reference's log-and-skip of messages
-    # that fail to convert (datalake/main.py:226-230).  A row without
-    # __op/__lsn cannot participate in LWW ordering and would poison the
-    # merge's (lsn, ts_ms, op) comparisons.
+    # decode-failure guard, mirroring the reference's log-and-skip of
+    # messages that fail to convert (datalake/main.py:226-230).  Two cases:
+    # (a) unparseable JSON / any MIS-TYPED field → from_json sets
+    # _corrupt_record (PERMISSIVE partial results would otherwise half-keep
+    # the row with nulled payload, which could win LWW and wipe good
+    # state); (b) missing __op/__lsn → the row cannot participate in LWW
+    # ordering at all.  Legitimately-absent optional payload fields (e.g.
+    # tombstones without tokens) leave _corrupt_record null and pass.
     parsed = parsed.where(
-        F.col("e.__op").isNotNull() & F.col("e.__lsn").isNotNull()
+        F.col("e._corrupt_record").isNull()
+        & F.col("e.__op").isNotNull()
+        & F.col("e.__lsn").isNotNull()
     )
     if table is not None:
         parsed = parsed.where(F.col("e.__table") == table)

@@ -77,16 +77,19 @@ BUCKET_COL = "__bucket"
 
 # bounded idempotency record (see module docstring §2)
 RECENT_KEYS_MAX = 1024
-_NUMERIC_KEY = re.compile(r".*=(\d+)\Z")
+_NUMERIC_KEY = re.compile(r"(.*)=(\d+)\Z")
 
 # recorded in Snapshot.properties and validated on every bucket-dependent
 # operation: changing the hash silently mis-prunes existing tables
 BUCKET_FN_ID = "murmur3_v1"
 
 
-def _numeric_epoch(commit_key: str) -> int | None:
+def _numeric_epoch(commit_key: str) -> tuple[str, int] | None:
+    """('epoch', 42) for 'epoch=42'; None for non-numeric keys.  The PREFIX
+    is part of the watermark identity: 'compact=3' must never be considered
+    covered because stream epochs reached 'epoch=99'."""
     m = _NUMERIC_KEY.match(commit_key)
-    return int(m.group(1)) if m else None
+    return (m.group(1), int(m.group(2))) if m else None
 
 
 def bucket_of(key_cols: list[str], n_buckets: int):
@@ -124,9 +127,10 @@ class Snapshot:
     # bucket -> manifest file path (relative to table root); the per-bucket
     # file lists live in those immutable manifests, not here
     manifests: dict[int, str] = field(default_factory=dict)
-    # bounded idempotency record: high watermark over numeric '...=N' keys
-    # plus the most recent keys verbatim (see module docstring §2)
-    commit_watermark: int = -1
+    # bounded idempotency record: per-PREFIX high watermarks over numeric
+    # '<prefix>=N' keys plus the most recent keys verbatim (see module
+    # docstring §2)
+    commit_watermarks: dict[str, int] = field(default_factory=dict)
     recent_commit_keys: list[str] = field(default_factory=list)
     properties: dict[str, str] = field(default_factory=dict)
     # set by LakeTable when loading, so .files can resolve manifests
@@ -139,17 +143,19 @@ class Snapshot:
     def has_commit_key(self, commit_key: str) -> bool:
         if commit_key in self.recent_commit_keys:
             return True
-        n = _numeric_epoch(commit_key)
-        return n is not None and n <= self.commit_watermark
+        pn = _numeric_epoch(commit_key)
+        return pn is not None and pn[1] <= self.commit_watermarks.get(pn[0], -1)
 
-    def advanced_keys(self, commit_key: str | None) -> tuple[int, list[str]]:
-        """(watermark, recent keys) after recording ``commit_key``."""
+    def advanced_keys(self, commit_key: str | None) -> tuple[dict[str, int], list[str]]:
+        """(watermarks, recent keys) after recording ``commit_key``."""
+        wms = dict(self.commit_watermarks)
         if commit_key is None:
-            return self.commit_watermark, list(self.recent_commit_keys)
-        n = _numeric_epoch(commit_key)
-        wm = max(self.commit_watermark, n) if n is not None else self.commit_watermark
+            return wms, list(self.recent_commit_keys)
+        pn = _numeric_epoch(commit_key)
+        if pn is not None:
+            wms[pn[0]] = max(wms.get(pn[0], -1), pn[1])
         recent = (self.recent_commit_keys + [commit_key])[-RECENT_KEYS_MAX:]
-        return wm, recent
+        return wms, recent
 
     def files_for(self, buckets: list[int] | None = None) -> list[DataFile]:
         """Resolve the data-file list from the per-bucket manifests (only
@@ -191,20 +197,26 @@ class Snapshot:
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
             "manifests": {str(b): p for b, p in self.manifests.items()},
-            "commit_watermark": self.commit_watermark,
+            "commit_watermarks": self.commit_watermarks,
             "recent_commit_keys": self.recent_commit_keys,
             "properties": self.properties,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
+        if "manifests" not in d:
+            raise ValueError(
+                "unsupported snapshot layout (pre-manifest format with a "
+                "'files' list); this engine reads the per-bucket-manifest "
+                "format — rewrite the table or migrate its metadata"
+            )
         return Snapshot(
             version=int(d["version"]),
             schema_json=d["schema_json"],
             n_buckets=int(d["n_buckets"]),
             key_cols=list(d["key_cols"]),
             manifests={int(b): p for b, p in d["manifests"].items()},
-            commit_watermark=int(d["commit_watermark"]),
+            commit_watermarks={k: int(v) for k, v in d["commit_watermarks"].items()},
             recent_commit_keys=list(d["recent_commit_keys"]),
             properties=dict(d.get("properties", {})),
         )
@@ -477,7 +489,7 @@ class LakeTable:
             n_buckets=snap.n_buckets,
             key_cols=snap.key_cols,
             manifests=manifests,
-            commit_watermark=wm,
+            commit_watermarks=wm,
             recent_commit_keys=recent,
             properties=snap.properties,
         )
@@ -525,7 +537,7 @@ class LakeTable:
             n_buckets=snap.n_buckets,
             key_cols=snap.key_cols,
             manifests=manifests,
-            commit_watermark=wm,
+            commit_watermarks=wm,
             recent_commit_keys=recent,
             properties=snap.properties,
         )

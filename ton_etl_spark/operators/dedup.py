@@ -26,6 +26,24 @@ from ton_etl_spark.functions.text import fingerprint, words
 _MERSENNE = (1 << 61) - 1
 
 
+# Bounded registry of persisted signature DataFrames: the band self-join and
+# pair verification reuse the signatures, so they must be cached for the
+# duration of ONE pairs computation — but the consumer is lazy, so the
+# operator cannot know when to unpersist.  Capping the registry makes
+# repeated calls in a long-lived session a bounded cost (oldest entries are
+# unpersisted) instead of an unbounded storage-memory leak.
+_PERSISTED_SIGS: list[DataFrame] = []
+_PERSISTED_SIGS_MAX = 2
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED_SIGS.append(df)
+    while len(_PERSISTED_SIGS) > _PERSISTED_SIGS_MAX:
+        _PERSISTED_SIGS.pop(0).unpersist()
+    return df
+
+
 def _widen_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition when the scan yields fewer partitions than the cluster's
     parallelism.  The hashing passes below are CPU-bound and embarrassingly
@@ -129,10 +147,12 @@ def minhash_lsh_pairs(
       shares the self-join's (band, bhash) partitioning, so Catalyst
       reuses the exchange rather than adding a shuffle.
 
-    The returned DataFrame exposes the persisted signatures as
-    ``._minhash_sigs``; long-lived sessions issuing many calls should
-    ``unpersist()`` it after consuming the pairs (one-shot queries can
-    ignore it — executor eviction handles the rest).
+    Signature caching: the sigs DataFrame is persisted through a BOUNDED
+    module registry (newest two kept; older entries unpersisted), so
+    repeated calls in a long-lived session cost a bounded cache, not an
+    unbounded storage-memory leak.  The handle is also exposed as
+    ``._minhash_sigs`` on the returned DataFrame for callers that want to
+    release it immediately after consuming the pairs.
     """
     rows_per_band = n_hashes // bands
     if min_words is None:
@@ -143,8 +163,10 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed)
     # The signatures are reused three times (both sides of the band
     # self-join via ReusedExchange, plus the pair verification below);
-    # persist so shingling+hashing runs once per doc.
-    sigs = sigs.persist()
+    # persist so shingling+hashing runs once per doc.  The cache lives in a
+    # bounded module registry (_persist_scoped) so repeated calls cannot
+    # leak storage memory; the newest TWO stay hot.
+    sigs = _persist_scoped(sigs)
     # band entries carry ONLY (id, band, bhash) — the 256-byte sig arrays
     # stay out of the self-join shuffle; candidate pairs join back to the
     # slim sigs table afterwards (near-dup candidates are sparse).
@@ -272,12 +294,22 @@ def simhash_near_dups(
     max_hamming: int = 3,
     seed: int = 42,
     fingerprints: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash: block on each of ``max_hamming + 1``
     disjoint bit-chunks (pigeonhole: any pair within the hamming radius
     agrees on ≥1 chunk — full recall at the requested radius, unlike a
     fixed 4-chunk scheme which silently drops hamming-4+ pairs), verify
-    exact hamming inside blocks.  No all-pairs comparison.
+    exact hamming inside blocks.
+
+    Radius↔scale tradeoff: chunk width is ``64/(h+1)`` bits, so the number
+    of distinct block keys per chunk is ``2^width`` — at h=3 (Manku et
+    al.'s classic setting) that is 65k buckets/chunk; at h=8 only ~256,
+    which degenerates toward all-pairs on a large corpus.  Keep h small
+    for corpus-scale blocking, pass ``max_bucket_size`` to drop monster
+    buckets (bounded work, documented recall loss on exactly those
+    clusters — exact-dup territory anyway), or use the minhash
+    candidates-then-verify path for wider radii.
 
     ``fingerprints``: optionally inject a precomputed (id, simhash)
     DataFrame instead of hashing ``docs`` — used by tests to drive the
@@ -304,6 +336,14 @@ def simhash_near_dups(
             )
         ).alias("ck"),
     ).select(F.col(id_col), "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    if max_bucket_size is not None:
+        small = (
+            chunks.groupBy("chunk", "ckey")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("chunk", "ckey")
+        )
+        chunks = chunks.join(small, ["chunk", "ckey"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -132,7 +132,9 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
-                if kind != "video" or payload is None or not dur:
+                # pd.isna: a NULL duration arrives as float NaN in the
+                # pandas batch (nullable int), and int(NaN) raises
+                if kind != "video" or payload is None or pd.isna(dur) or not dur:
                     continue
                 n = int(dur) // every_ms
                 b = bytes(payload)

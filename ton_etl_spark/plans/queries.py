@@ -697,8 +697,12 @@ def q_ngram_jaccard_dups(spark, sf: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark, sf: str) -> DataFrame:
+    # h=4 → five 12-13 bit chunks (4-8k block keys per chunk — corpus-scale
+    # blocking); the bucket cap bounds degenerate blocks.  Wider radii
+    # belong to the minhash candidates-then-verify path (see
+    # simhash_near_dups docstring).
     d = load_table(spark, sf, "documents")
-    return simhash_near_dups(d, max_hamming=8)
+    return simhash_near_dups(d, max_hamming=4, max_bucket_size=1000)
 
 
 # embedding near-dups: ORACLE-CHECKED — the hyperplanes are deterministic
