@@ -112,6 +112,62 @@ def test_simhash_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_winnowing_matches_python_reference(spark, docs):
+    """The slice/array_min window selection must equal a Python winnowing
+    over the same gram hashes (hashes themselves computed once via Spark,
+    so the reference shares them)."""
+    from ton_etl_spark.functions.text import words
+    from ton_etl_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    norm = F.array_join(words(F.col("text")), " ")
+    t = F.col("__t")
+    # reference grams via plain substr (normalized text is pure ASCII, so
+    # substr-by-position and char-array slicing agree)
+    grams_df = docs.select(F.col("doc_id"), norm.alias("__t")).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(t.substr(i, F.lit(k)), F.lit(42)),
+        ).alias("g"),
+    )
+    grams = {r["doc_id"]: list(r["g"]) for r in grams_df.collect()}
+    expect = {
+        d: sorted({min(g[j : j + w]) for j in range(max(len(g) - w + 1, 1))})
+        for d, g in grams.items()
+    }
+    got = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in winnow_fingerprints(docs, k=k, window=w).collect()
+    }
+    assert got == expect
+
+
+def test_winnow_overlap_finds_contained_plagiarism(spark):
+    """A copied passage inside otherwise-unrelated documents must surface as
+    a winnow-overlap pair (the contained-duplication case global-similarity
+    dedup misses), while disjoint documents share nothing."""
+    from ton_etl_spark.operators.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    a = "completely original essay about spark " * 5 + passage
+    b = passage + " unrelated trailing content on database internals " * 5
+    c = "zebra yak xylophone walrus vulture unicorn tiger snake " * 6
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+    # identical docs share their entire sketch
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_fingerprints(docs).collect()}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+
+
 def test_simhash_blocking_at_bound(spark):
     """A pair differing in exactly max_hamming bits, spread one-per-chunk
     (the adversarial pattern a fixed 4-chunk scheme at h>3 silently drops),

@@ -8,6 +8,8 @@ from ton_etl_spark.operators.dedup import (
     simhash_near_dups,
     ngram_jaccard_pairs,
     embedding_near_dups,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
 )
 from ton_etl_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -28,6 +30,8 @@ __all__ = [
     "simhash_near_dups",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "cosine_topk_bruteforce",
     "ivf_ann_topk",
     "ivf_centroids",

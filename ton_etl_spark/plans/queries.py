@@ -29,6 +29,7 @@ from ton_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dups,
     embedding_near_dups,
+    winnow_overlap_pairs,
 )
 from ton_etl_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -713,6 +714,17 @@ def q_simhash_near_dups(spark, sf: str) -> DataFrame:
 _EMB_DIM, _EMB_PLANES, _EMB_TABLES, _EMB_SEED, _EMB_MINCOS = 64, 6, 4, 42, 0.3
 
 
+def q_winnow_overlap_docs(spark, sf: str) -> DataFrame:
+    # rolling-hash winnowing sketches (MOSS) → inverted-index overlap pairs
+    # (rows-only: xxhash64-seeded; pytest verifies vs a Python winnowing
+    # reference and the contained-plagiarism guarantee).  Tight thresholds:
+    # the synthetic docs are template-generated, so common boilerplate
+    # grams are capped away (posting > 20 docs) and pairs must share ≥ 30
+    # surviving fingerprints — the heavy verbatim-overlap set (~12-17 pairs).
+    d = load_table(spark, sf, "documents")
+    return winnow_overlap_pairs(d, min_shared=30, max_posting_size=20)
+
+
 def q_embedding_near_dups(spark, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return embedding_near_dups(
@@ -1242,6 +1254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": q_minhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "simhash_near_dups": q_simhash_near_dups,
+    "winnow_overlap_docs": q_winnow_overlap_docs,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
