@@ -17,6 +17,8 @@ bitwise aggs); no Python UDFs.  The LSH band join is the classic
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,13 +36,18 @@ _MERSENNE = (1 << 61) - 1
 # unpersisted) instead of an unbounded storage-memory leak.
 _PERSISTED_SIGS: list[DataFrame] = []
 _PERSISTED_SIGS_MAX = 2
+_PERSISTED_SIGS_LOCK = threading.Lock()
 
 
 def _persist_scoped(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _PERSISTED_SIGS.append(df)
-    while len(_PERSISTED_SIGS) > _PERSISTED_SIGS_MAX:
-        _PERSISTED_SIGS.pop(0).unpersist()
+    with _PERSISTED_SIGS_LOCK:
+        _PERSISTED_SIGS.append(df)
+        evict = []
+        while len(_PERSISTED_SIGS) > _PERSISTED_SIGS_MAX:
+            evict.append(_PERSISTED_SIGS.pop(0))
+    for old in evict:
+        old.unpersist()
     return df
 
 
