@@ -43,6 +43,47 @@ def test_asof_join_strict(spark):
     }
 
 
+def test_asof_join_atomic_row_and_null_ts(spark):
+    """The match must be the latest right ROW atomically (a NULL field in
+    the winning row stays NULL — no chimera mixing columns of different
+    rows), and right rows with NULL timestamps can never match."""
+    quotes = spark.createDataFrame(
+        [("a", 10, 1.0, 2), ("a", 20, 3.0, None), ("b", None, 100.0, 7)],
+        "k string, ts long, price double, qid int",
+    )
+    events = spark.createDataFrame([("a", 30), ("b", 5)], "k string, ts long")
+    out = asof_join(events, quotes, on=["k"], left_ts="ts", right_ts="ts",
+                    value_cols=["price", "qid"], strict=True)
+    got = {r["k"]: (r["price"], r["qid"]) for r in out.collect()}
+    # latest row for 'a' is (3.0, NULL) — qid must NOT be resurrected as 2
+    assert got["a"] == (3.0, None)
+    # the only quote for 'b' has NULL ts → no match, not a universal match
+    assert got["b"] == (None, None)
+
+
+def test_lag_transitions_null_safe(spark):
+    from ton_etl_spark.operators.snapshot import lag_transitions
+
+    df = spark.createDataFrame(
+        [("k", 1, "x"), ("k", 2, None), ("k", 3, "y"), ("k", 4, "y")],
+        "key string, seq long, owner string",
+    )
+    tr = lag_transitions(df, ["key"], [F.col("seq")], "owner")
+    got = {(r["seq"], r["prev_owner"], r["owner"]) for r in tr.collect()}
+    # x→NULL and NULL→y are real transitions; first row and y→y are not
+    assert got == {(2, "x", None), (3, None, "y")}
+
+
+def test_quality_score_null_text(spark):
+    from ton_etl_spark.functions.text import quality_score
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r["q"] for r in
+           df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert got[1] is None           # NULL text must not out-score real docs
+    assert got[2] is not None and got[2] < 0.5
+
+
 def test_asof_join_nonstrict(spark):
     quotes = spark.createDataFrame([("a", 20, 2.0)], "k string, ts long, price double")
     events = spark.createDataFrame([("a", 20)], "k string, ts long")
@@ -361,6 +402,10 @@ def test_debezium_decimal_golden(spark):
         (enc(12345), 2, "123.45"),
         (enc(-7), 3, "-0.007"),
         (enc(2**256), 0, str(2**256)),
+        (enc(123), None, "123"),      # null scale = unscaled int (was: NaN crash)
+        (enc(123), -2, "12300"),      # negative scale = *10^2 (Postgres 15+)
+        (enc(-123), -2, "-12300"),
+        (enc(0), -2, "0"),
     ]
     df = spark.createDataFrame([(v, s) for v, s, _ in cases], "value_b64 string, scale int")
     out = df.select(decode_debezium_decimal_udf("value_b64", "scale").alias("d")).collect()

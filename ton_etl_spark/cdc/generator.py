@@ -103,16 +103,22 @@ def write_cdc_log(
     n_batches: int = 8,
     dup_pct: int = 10,
     seed: int = 42,
-    evolve_frac: float = 0.6,
     files_per_batch: int = 8,
 ) -> list[str]:
     """Materialize the log as delivery batches under ``path``.
 
     Layout: ``path/phase=0/seq=K`` (pre-evolution files WITHOUT the
     extra_meta column) and ``path/phase=1/seq=K`` (evolved files WITH it).
-    Within a phase, an event's delivery group and within-file order come from
-    hashes of its lsn — so arrival order ≠ lsn order.  ``dup_pct``% of events
-    are redelivered verbatim in a later group (possibly a later phase).
+    An event's phase derives from the DATA (``extra_meta`` non-null), so a
+    log generated with any ``evolve_frac`` splits correctly.  Within a
+    phase, an event's delivery group and within-file order come from hashes
+    of its lsn — so arrival order ≠ lsn order.  ``dup_pct``% of events are
+    redelivered verbatim, the copy landing in the last third of its phase's
+    delivery groups; since originals hash over ALL groups, a copy may share
+    its original's batch (exercising within-batch dedup) or arrive in a
+    later one (cross-batch redelivery) — both hazards the engine must
+    absorb.  Duplicates never cross phases (the copy is byte-identical,
+    including its schema).
     Each delivery directory holds ~``files_per_batch`` parquet files — the
     source-parallelism analog of the reference's 10 Kafka partitions
     (``README.md:63``); batch reads, validation, and map-side reduce
@@ -120,7 +126,6 @@ def write_cdc_log(
     Returns the ordered list of batch directories (the delivery schedule).
     """
     n_events = log.count()
-    evolve_lsn = int(n_events * evolve_frac)
     lsn = F.col("lsn")
 
     dup = log.where(F.pmod(F.xxhash64(lsn, F.lit(seed), F.lit(7)), F.lit(100)) < dup_pct)
@@ -130,12 +135,26 @@ def write_cdc_log(
 
     half = max(1, n_batches // 2)
     n0, n1 = half, n_batches - half
+    if n1 == 0:
+        # single-batch schedule: one delivery in the EVOLVED schema carries
+        # everything (pre-evolution rows just have null extra_meta there) —
+        # a phase-1 count of zero would otherwise drop evolved events
+        n0, n1 = 0, n_batches
     grp_hash = F.pmod(F.xxhash64(lsn, F.lit(seed), F.lit(8), F.col("__is_dup")), F.lit(1000))
-    phase = F.when(lsn < evolve_lsn, 0).otherwise(1)
+    # phase from the DATA, not from a second evolve_frac parameter: a log
+    # generated with a different fraction would otherwise assign evolved
+    # events (non-null extra_meta) to phase-0 files whose column list drops
+    # the column — silent data loss on write
+    if n0 == 0:
+        phase = F.lit(1)
+    elif "extra_meta" in log.columns:
+        phase = F.when(F.col("extra_meta").isNull(), 0).otherwise(1)
+    else:
+        phase = F.lit(0)
     # duplicates always redeliver in the last third of their phase's groups
     grp0 = F.when(
         F.col("__is_dup") == 1, F.lit(max(0, n0 - max(1, n0 // 3))) + F.pmod(grp_hash, F.lit(max(1, n0 // 3)))
-    ).otherwise(F.pmod(grp_hash, F.lit(n0)))
+    ).otherwise(F.pmod(grp_hash, F.lit(max(1, n0))))
     grp1 = F.when(
         F.col("__is_dup") == 1, F.lit(max(0, n1 - max(1, n1 // 3))) + F.pmod(grp_hash, F.lit(max(1, n1 // 3)))
     ).otherwise(F.pmod(grp_hash, F.lit(max(1, n1))))
@@ -147,6 +166,8 @@ def write_cdc_log(
 
     batch_dirs: list[str] = []
     for ph, nph in ((0, n0), (1, n1)):
+        if nph <= 0:  # empty phase (single-batch schedule routes all to the other)
+            continue
         sub = allev.where(F.col("__phase") == ph)
         cols = ["doc_id", "op", "lsn", "ts_ms", "tokens", "n_tok", "source"]
         if ph == 1:

@@ -18,14 +18,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _decode_one(value_b64: str | None, scale: int | None) -> str | None:
+def _decode_one(value_b64: str | None, scale) -> str | None:
     if value_b64 is None:
         return None
+    # a nullable-int scale arrives from pandas as float NaN, not None —
+    # int(nan or 0) raises; a missing scale means "unscaled integer"
+    if scale is None or scale != scale:
+        scale = 0
     raw = base64.b64decode(value_b64)
     unscaled = int.from_bytes(raw, byteorder="big", signed=True) if raw else 0
-    s = int(scale or 0)
+    s = int(scale)
     if s == 0:
         return str(unscaled)
+    if s < 0:
+        # Postgres NUMERIC allows negative scale: value = unscaled * 10^-s
+        return str(unscaled) + "0" * (-s) if unscaled != 0 else "0"
     sign = "-" if unscaled < 0 else ""
     digits = str(abs(unscaled)).rjust(s + 1, "0")
     return f"{sign}{digits[:-s]}.{digits[-s:]}"

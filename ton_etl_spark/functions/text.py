@@ -48,14 +48,18 @@ def avg_word_len(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Heuristic quality in [0,1]: long-enough, sane word length, some
-    stopwords (natural language), not punctuation soup."""
+    stopwords (natural language), not punctuation soup.  NULL text scores
+    NULL — without the guard, ``least()`` (which skips NULL arguments)
+    would hand a NULL document full length credit and score it 0.7, above
+    most real short documents."""
     wc = word_count(text)
     len_ok = F.least(wc.cast("double") / F.lit(50.0), F.lit(1.0))
     awl = avg_word_len(text)
     awl_ok = F.when((awl >= 3.0) & (awl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
     stop_ok = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
-    return (len_ok * 0.4 + awl_ok * 0.2 + stop_ok * 0.2 + punct_ok * 0.2).cast("double")
+    score = (len_ok * 0.4 + awl_ok * 0.2 + stop_ok * 0.2 + punct_ok * 0.2).cast("double")
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(score)
 
 
 def lang_id(text: Column) -> Column:

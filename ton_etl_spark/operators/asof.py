@@ -31,21 +31,31 @@ def asof_join(
     strict: bool = True,
 ) -> DataFrame:
     """For each left row, attach the value_cols of the latest right row with
-    right_ts < left_ts (strict) or <= (non-strict), matching on ``on``."""
+    right_ts < left_ts (strict) or <= (non-strict), matching on ``on``.
+
+    The carried values travel as ONE struct per right row, so the match is
+    ATOMIC: the left row receives the latest right ROW's values including
+    its NULL fields — a per-column ``last(ignorenulls)`` would instead mix
+    fields from different right rows (chimera matches) and resurrect stale
+    values whenever the latest value is legitimately NULL.  Right rows with
+    a NULL timestamp are excluded up front: a NULL ts can never satisfy a
+    range predicate, but under NULLS-FIRST ordering it would otherwise
+    "precede" every left row and match them all."""
     lcols = left.columns
+    # project the right side first (renaming ts/values away from any left
+    # column names), then fill the remaining left columns with NULLs
+    r = right.where(F.col(right_ts).isNotNull()).select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
+    )
+    vtype = r.schema["__v"].dataType
     l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
-    )
-    # project the right side first (renaming ts/values away from any left
-    # column names), then fill the remaining left columns with NULLs
-    r = right.select(
-        *[F.col(c) for c in on],
-        F.col(right_ts).alias("__ts"),
-        F.lit(1).alias("__is_right"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(vtype).alias("__v"),
     )
     for c in lcols:
         if c not in on:
@@ -55,17 +65,19 @@ def asof_join(
     # strict '<': at equal ts the left row must sort BEFORE the right row so
     # last() cannot see it; '<=': right first.
     side_order = F.col("__is_right").asc() if strict else F.col("__is_right").desc()
-    # deterministic among right rows sharing a timestamp: break ties on the
-    # carried values themselves (last one in this total order wins)
-    tie = [F.col(f"__v_{c}").asc_nulls_first() for c in value_cols]
+    # deterministic among right rows sharing a timestamp: lexicographic max
+    # of the value struct wins (matches the oracle's ORDER BY v1 DESC, v2
+    # DESC ... LIMIT 1 convention)
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), side_order, *tie)
+        .orderBy(F.col("__ts").asc(), side_order, F.col("__v").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     out = u.select(
         *lcols,
         F.col("__is_right"),
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__v", ignorenulls=True).over(w).alias("__vwin"),
     )
-    return out.where(F.col("__is_right") == 0).drop("__is_right")
+    return out.where(F.col("__is_right") == 0).select(
+        *lcols, *[F.col("__vwin").getField(c).alias(c) for c in value_cols]
+    )

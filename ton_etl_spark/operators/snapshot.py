@@ -14,7 +14,11 @@ from pyspark.sql import Window as W
 
 
 def lww_snapshot(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
-    """One row per key: the last-writer (max by order_by) row."""
+    """One row per key: the last-writer (max by order_by) row.
+
+    Callers must make ``order_by`` a TOTAL order within each key (include a
+    unique tiebreaker such as the lsn/event id) — on exact ties row_number
+    picks a shuffle-order-dependent winner."""
     w = W.partitionBy(*keys).orderBy(*[c.desc() for c in order_by])
     cols = df.columns
     return (
@@ -24,8 +28,13 @@ def lww_snapshot(df: DataFrame, keys: list[str], order_by: list[Column]) -> Data
 
 def first_state(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
     """One row per key: the earliest row (reference: deployer = first tx in
-    trace, ``nft_events.sql:23-24``)."""
-    w = W.partitionBy(*keys).orderBy(*[c.asc() for c in order_by])
+    trace, ``nft_events.sql:23-24``).
+
+    NULL order keys sort LAST (a row with no timestamp is never "earliest"
+    — also DuckDB/Postgres ASC default, so the operator and the SQL oracles
+    agree on nullable keys; Spark's bare asc() would put NULLs first).
+    Same total-order requirement as :func:`lww_snapshot`."""
+    w = W.partitionBy(*keys).orderBy(*[c.asc_nulls_last() for c in order_by])
     cols = df.columns
     return (
         df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).select(*cols)
@@ -40,13 +49,21 @@ def lag_transitions(
 ) -> DataFrame:
     """Rows where ``watch_col`` changed vs the previous row per key, with the
     previous value attached as ``prev_<watch_col>`` (reference: owner/content
-    transition detection via lag(), ``nft_events.sql:147,174``)."""
+    transition detection via lag(), ``nft_events.sql:147,174``).
+
+    Null-safe: transitions to or from NULL count as changes (owner cleared
+    on burn is a real transition).  First-row detection uses a separate
+    has-predecessor marker, so a NULL previous VALUE is not mistaken for
+    "no previous row"."""
     w = W.partitionBy(*keys).orderBy(*order_by)
     prev = F.lag(F.col(watch_col), 1).over(w)
+    has_prev = F.lag(F.lit(1), 1).over(w).isNotNull()
     return (
         df.withColumn(f"prev_{watch_col}", prev)
+        .withColumn("__has_prev", has_prev)
         .where(
-            F.col(f"prev_{watch_col}").isNotNull()
-            & (F.col(watch_col) != F.col(f"prev_{watch_col}"))
+            F.col("__has_prev")
+            & ~F.col(watch_col).eqNullSafe(F.col(f"prev_{watch_col}"))
         )
+        .drop("__has_prev")
     )

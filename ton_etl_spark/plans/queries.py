@@ -146,9 +146,10 @@ def q_lag_transitions(spark, sf: str) -> DataFrame:
 SQL_LAG_TRANSITIONS = """
 SELECT user_id, event_id, prev_event_type, event_type
 FROM (SELECT user_id, event_id, event_type,
-             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_type
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_type,
+             lag(1, 1) OVER (PARTITION BY user_id ORDER BY event_id) IS NOT NULL AS has_prev
       FROM events)
-WHERE prev_event_type IS NOT NULL AND event_type <> prev_event_type
+WHERE has_prev AND event_type IS DISTINCT FROM prev_event_type
 """
 
 
