@@ -125,7 +125,6 @@ def write_cdc_log(
     parallelize across them.
     Returns the ordered list of batch directories (the delivery schedule).
     """
-    n_events = log.count()
     lsn = F.col("lsn")
 
     dup = log.where(F.pmod(F.xxhash64(lsn, F.lit(seed), F.lit(7)), F.lit(100)) < dup_pct)

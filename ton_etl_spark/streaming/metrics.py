@@ -26,7 +26,14 @@ def tumbling_tps(
 ) -> DataFrame:
     """Transactions-per-second per tumbling event-time window."""
     df = blocks
-    ts = F.timestamp_seconds(F.col(ts_col)) if dict(df.dtypes)[ts_col] in ("bigint", "int") else F.col(ts_col)
+    # any non-timestamp column is an epoch-seconds value (smallint/double
+    # included, not just bigint/int)
+    dtype = dict(df.dtypes)[ts_col]
+    ts = (
+        F.col(ts_col)
+        if dtype.startswith("timestamp")
+        else F.timestamp_seconds(F.col(ts_col).cast("long"))
+    )
     df = df.withColumn("__ts", ts)
     if watermark:
         df = df.withWatermark("__ts", watermark)
@@ -50,7 +57,9 @@ def latency_percentiles(
 ) -> DataFrame:
     """avg/p50/p75/p95 end-to-end latency per event-time window (exact
     percentile on batch; swap to percentile_approx under streaming state
-    limits)."""
+    limits).  Delays are reported as-is — under clock skew ``end < start``
+    yields a negative delay; filter upstream if the source clocks are not
+    trusted (the reference's exporter has the same exposure)."""
     df = traces.withColumn("__delay", (F.col(end_col) - F.col(start_col)).cast("double"))
     df = df.withColumn("__ts", F.timestamp_seconds(F.col(end_col)))
     if watermark:
