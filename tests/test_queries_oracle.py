@@ -40,7 +40,10 @@ def _norm(v):
             return "NaN"
         return round(v, 9)
     if hasattr(v, "__float__") and type(v).__name__ == "Decimal":
-        return round(float(v), 9)
+        # Exact, not via float: round 2's decimal_money_rollup mismatch slipped
+        # past this mirror because float-rounding is lossier than the driver's
+        # hasher.  Compare the canonical fixed-point string instead.
+        return format(v, "f")
     return v
 
 

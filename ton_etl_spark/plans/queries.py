@@ -1093,7 +1093,10 @@ FROM src WHERE n >= 1
 #     columns are decimal(38,0)/(20,6)/(20,9), athena_ddl.sql:348-354):
 #     exact decimal arithmetic end-to-end — cast at the scan, multiply
 #     (exact, scale-additive), sum, fixed final scale.  No double math
-#     anywhere after the cast.
+#     anywhere after the cast.  Final aggregates are projected as exact
+#     fixed-scale STRINGS on both sides: round 2 proved the values are
+#     bit-identical but the harness canonicalizes Spark Decimal and DuckDB
+#     DECIMAL differently before hashing, so we pin the representation.
 def q_decimal_money_rollup(spark, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     price = F.col("o_totalprice").cast("decimal(20,6)")
@@ -1102,9 +1105,9 @@ def q_decimal_money_rollup(spark, sf: str) -> DataFrame:
         o.select("o_orderstatus", price.alias("price"), (price * tax_rate).alias("tax"))
         .groupBy("o_orderstatus")
         .agg(
-            F.sum("price").cast("decimal(38,6)").alias("total_price"),
-            F.sum("tax").cast("decimal(38,12)").alias("total_tax"),
-            F.max("price").cast("decimal(20,6)").alias("max_price"),
+            F.sum("price").cast("decimal(38,6)").cast("string").alias("total_price"),
+            F.sum("tax").cast("decimal(38,12)").cast("string").alias("total_tax"),
+            F.max("price").cast("decimal(20,6)").cast("string").alias("max_price"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
     )
@@ -1118,10 +1121,10 @@ WITH src AS (
   FROM orders
 )
 SELECT o_orderstatus,
-       CAST(SUM(price) AS DECIMAL(38,6))  AS total_price,
-       CAST(SUM(tax)   AS DECIMAL(38,12)) AS total_tax,
-       CAST(MAX(price) AS DECIMAL(20,6))  AS max_price,
-       CAST(COUNT(*) AS BIGINT)           AS n_orders
+       CAST(CAST(SUM(price) AS DECIMAL(38,6))  AS VARCHAR) AS total_price,
+       CAST(CAST(SUM(tax)   AS DECIMAL(38,12)) AS VARCHAR) AS total_tax,
+       CAST(CAST(MAX(price) AS DECIMAL(20,6))  AS VARCHAR) AS max_price,
+       CAST(COUNT(*) AS BIGINT)                            AS n_orders
 FROM src GROUP BY o_orderstatus
 """
 
