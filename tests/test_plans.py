@@ -94,6 +94,86 @@ def test_bucket_pruned_read_lists_only_selected_buckets(spark, tmp_path):
     assert pruned.count() < 64
 
 
+def test_ivf_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """A probe against a materialized IVF index must (a) filter on the
+    STORED cell column as a parquet partition filter, (b) physically read
+    only the probed cells' files, and (c) return exactly what the ad-hoc
+    (recompute) path returns."""
+    from ton_etl_spark.operators.similarity import (
+        fixed_centroids,
+        ivf_ann_topk,
+        ivf_probe_cells,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = fixed_centroids(8, len(qv), seed=5, scale=0.125)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, cents)
+    idx, cents2, cell_col = read_ivf_index(spark, path)
+    assert cents2 == cents
+
+    probe = ivf_probe_cells(qv, cents2, nprobe=2)
+    df = ivf_ann_topk(idx, qv, k=5, nprobe=2, centroids=cents2, cell_col=cell_col)
+    txt = _optimized_scan_line(df)
+    assert "PartitionFilters" in txt and "ivf_cell" in txt, txt
+
+    adhoc = ivf_ann_topk(emb, qv, k=5, nprobe=2, centroids=cents)
+    assert df.collect() == adhoc.collect()
+
+    # behavioral proof of pruning: corrupt every NON-probed cell's data
+    # files; the probe must still execute (it never opens them) while a
+    # full-table read fails on the garbage.
+    corrupted = 0
+    for d in os.listdir(path):
+        if d.startswith("ivf_cell=") and int(d.split("=")[1]) not in probe:
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(path, d, f), "wb") as fh:
+                        fh.write(b"not parquet")
+                    corrupted += 1
+    assert corrupted > 0
+    assert len(df.collect()) == 5
+    with pytest.raises(Exception):
+        spark.read.parquet(path).where(F.col("vec_id") >= 0).count()
+
+
+def test_lsh_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """Same contract for the multi-table LSH index: probe filters on the
+    stored (table, bucket) partition columns and matches the ad-hoc path."""
+    from ton_etl_spark.operators.similarity import (
+        lsh_ann_topk,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, path, dim=len(qv), n_planes=4, seed=42, n_tables=2)
+    idx, meta = read_lsh_index(spark, path)
+
+    df = lsh_ann_topk(
+        idx,
+        qv,
+        k=5,
+        n_planes=meta["n_planes"],
+        seed=meta["seed"],
+        multiprobe=1,
+        n_tables=meta["n_tables"],
+        tbl_col=meta["tbl_col"],
+        bucket_col=meta["bucket_col"],
+    )
+    txt = _optimized_scan_line(df)
+    assert "PartitionFilters" in txt, txt
+    assert "lsh_bucket" in txt and "lsh_tbl" in txt, txt
+
+    adhoc = lsh_ann_topk(emb, qv, k=5, n_planes=4, seed=42, multiprobe=1, n_tables=2)
+    assert df.collect() == adhoc.collect()
+
+
 def test_merge_does_not_mutate_session_conf(spark, tmp_path):
     """merge_lww runs its agg in a throwaway child session: the caller's
     shuffle.partitions must be untouched and the bucket layout (one file per

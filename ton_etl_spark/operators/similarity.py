@@ -8,11 +8,23 @@
 - ``lsh_ann_topk``: the scale path — random-hyperplane buckets from a
   deterministic seed; the query probes only its own bucket (+ optional
   multi-probe neighbors), so the scan is ~1/2^planes of the corpus.
+
+Index materialization (the 100 TB deployment): ``with_ivf_cells`` /
+``with_lsh_buckets`` stamp the cell/bucket assignment as a real column
+ONCE at write time, and ``write_ivf_index`` / ``write_lsh_index`` persist
+the table partitioned by it, so a probe is parquet partition pruning —
+the query-time scan touches only ~nprobe/n_cells (IVF) or the probed
+buckets' (LSH) files, never the whole corpus.  ``ivf_ann_topk`` /
+``lsh_ann_topk`` accept the pre-indexed table and skip the sketch
+recompute entirely (reference analog: partition-pruned Athena scans,
+athena_ddl.sql:30-31).
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -138,6 +150,77 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(F.array(*pairs))["cell"]
 
 
+def fixed_centroids(
+    n_cells: int, dim: int, seed: int = 42, scale: float = 1.0
+) -> list[list[float]]:
+    """Data-independent pseudo-random centroids in [-scale, scale) — same
+    integer hash as ``_hyperplanes`` with a cell-axis offset.  A valid (if
+    unlearned) coarse quantizer: because they are pure literals, an IVF
+    probe over them is SQL-expressible and therefore oracle-checkable; use
+    ``ivf_centroids`` when you want a learned index instead.  ``scale``
+    should roughly match the data's per-component spread — centroids with
+    much larger norms than the data degenerate to a single Voronoi cell."""
+    return [
+        [x * scale for x in row]
+        for row in _hyperplanes(dim, n_cells, seed ^ 0x9E3779B9)
+    ]
+
+
+def with_ivf_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Stamp the nearest-centroid cell id as a real column — the write-once
+    IVF index step.  Persist the result partitioned by ``cell_col``
+    (``write_ivf_index``) and every subsequent probe is partition pruning
+    instead of a full-corpus argmin recompute."""
+    return emb.withColumn(cell_col, _nearest_cell(F.col(vec_col), centroids))
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids whose centroids are nearest the query
+    (driver-side arithmetic over index metadata — ties break on cell id,
+    matching ``_nearest_cell``'s struct ordering)."""
+    qd = [
+        (sum((a - b) * (a - b) for a, b in zip(query_vec, cent)), c)
+        for c, cent in enumerate(centroids)
+    ]
+    return [c for _, c in sorted(qd)[:nprobe]]
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize the IVF index: assign cells once, write parquet
+    partitioned by the cell column, and persist the centroids as sidecar
+    metadata (`_ivf_meta.json` — in a real lake this lives in table
+    properties; the layout is what matters: one directory per cell, so a
+    probe's ``cell IN (...)`` filter becomes partition pruning and the scan
+    reads only the probed cells' files)."""
+    with_ivf_cells(emb, centroids, vec_col, cell_col).write.mode(
+        "overwrite"
+    ).partitionBy(cell_col).parquet(path)
+    meta = {"centroids": centroids, "vec_col": vec_col, "cell_col": cell_col}
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], str]:
+    """Open a materialized IVF index → (DataFrame with the stored cell
+    column, centroids, cell_col name)."""
+    with open(os.path.join(path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(path), meta["centroids"], meta["cell_col"]
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -148,27 +231,37 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
     k-means cells, probe only the ``nprobe`` cells whose centroids are
     nearest the query, exact cosine within.
 
-    100 TB shape: the cell assignment is a write-once index column — a real
-    deployment partitions the table BY cell so a probe is partition pruning,
-    scanning ~nprobe/n_cells of the corpus; the centroid math rides along as
-    driver-side metadata exactly like Iceberg partition stats.  Pass a
-    precomputed ``centroids`` list to reuse an index across queries."""
+    Two modes:
+    - ``cell_col=None`` (ad-hoc): assigns cells on the fly — a full-corpus
+      argmin per query.  Fine for one-off batch jobs; wrong shape for
+      repeated lookups.
+    - ``cell_col="ivf_cell"`` (indexed, the 100 TB path): ``emb`` is a
+      table already stamped by ``with_ivf_cells`` (ideally written via
+      ``write_ivf_index`` so the column is the parquet partition key);
+      ``centroids`` is required and must be the index's own metadata.  The
+      probe filters on the STORED column — partition pruning, no recompute.
+    """
     dim = len(query_vec)
-    if centroids is None:
+    if cell_col is not None:
+        if centroids is None:
+            raise ValueError("indexed probe requires the index's centroids")
+        if cell_col not in emb.columns:
+            raise ValueError(f"column {cell_col!r} not in table; build the index first")
+    elif centroids is None:
         centroids = ivf_centroids(emb, n_cells, dim, id_col, vec_col, seed)
-    qd = [
-        (sum((a - b) * (a - b) for a, b in zip(query_vec, cent)), c)
-        for c, cent in enumerate(centroids)
-    ]
-    probe = [c for _, c in sorted(qd)[:nprobe]]
-    scanned = emb.withColumn(
-        "__cell", _nearest_cell(F.col(vec_col), centroids)
-    ).where(F.col("__cell").isin(probe))
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
+    if cell_col is not None:
+        scanned = emb.where(F.col(cell_col).isin(probe))
+    else:
+        scanned = emb.withColumn(
+            "__cell", _nearest_cell(F.col(vec_col), centroids)
+        ).where(F.col("__cell").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = scanned.select(
         F.col(id_col), F.round(_cosine(F.col(vec_col), q), 6).alias("cosine")
@@ -176,29 +269,17 @@ def ivf_ann_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
-def lsh_ann_topk(
-    emb: DataFrame,
+def lsh_query_buckets(
     query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
     n_planes: int = 4,
     seed: int = 42,
     multiprobe: int = 1,
     n_tables: int = 1,
-) -> DataFrame:
-    """Approximate top-k: probe the query's hyperplane bucket plus all
-    buckets within ``multiprobe`` bit-flips, in each of ``n_tables``
-    independent hash tables (OR across tables), exact cosine within.
-
-    Per-plane agreement probability for a neighbor at angle θ is 1 - θ/π,
-    so one table's recall is (that)^planes — weak for weakly-clustered
-    corpora; L independent tables lift a per-table hit rate p to
-    1-(1-p)^L while the scan stays ~L × bucket-fraction of the corpus.
-    The whole probe is ONE filtered scan (no explode): a row survives if
-    ANY table's sign-sketch lands in that table's probe set."""
+) -> dict[int, list[int]]:
+    """Per-table probe sets for a query: its own sign-sketch bucket plus all
+    buckets within ``multiprobe`` bit-flips (driver-side, index metadata)."""
     dim = len(query_vec)
-    keep = None
+    out: dict[int, list[int]] = {}
     for t in range(n_tables):
         tseed = seed + 7919 * t
         planes = _hyperplanes(dim, n_planes, tseed)
@@ -211,12 +292,136 @@ def lsh_ann_topk(
         for _ in range(multiprobe):
             frontier = {b ^ (1 << p) for b in frontier for p in range(n_planes)}
             probe |= frontier
-        hit = _hyperplane_bucket(F.col(vec_col), n_planes, tseed, dim).isin(
-            list(probe)
-        )
-        keep = hit if keep is None else (keep | hit)
+        out[t] = sorted(probe)
+    return out
+
+
+def with_lsh_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    seed: int = 42,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
+    tbl_col: str = "lsh_tbl",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Stamp the multi-table sign-sketch as index rows: each input row
+    explodes into ``n_tables`` copies tagged (table, bucket) — the standard
+    L-tables LSH storage tradeoff (L× space for 1-(1-p)^L recall).  Persist
+    partitioned by (tbl, bucket) (``write_lsh_index``) and a probe reads
+    only the probed buckets' partitions of each table."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _hyperplane_bucket(
+                    F.col(vec_col), n_planes, seed + 7919 * t, dim
+                ).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        emb.withColumn("__tb", F.explode(pairs))
+        .withColumn(tbl_col, F.col("__tb.t"))
+        .withColumn(bucket_col, F.col("__tb.b"))
+        .drop("__tb")
+    )
+
+
+def write_lsh_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 4,
+    seed: int = 42,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
+    tbl_col: str = "lsh_tbl",
+    bucket_col: str = "lsh_bucket",
+) -> None:
+    """Materialize the LSH index: sketch once, write parquet partitioned by
+    (table, bucket) with the sketch params as sidecar metadata, so probes
+    are partition pruning — the per-query full-corpus sketch recompute
+    disappears."""
+    with_lsh_buckets(
+        emb, dim, n_planes, seed, n_tables, vec_col, tbl_col, bucket_col
+    ).write.mode("overwrite").partitionBy(tbl_col, bucket_col).parquet(path)
+    meta = {
+        "dim": dim,
+        "n_planes": n_planes,
+        "seed": seed,
+        "n_tables": n_tables,
+        "vec_col": vec_col,
+        "tbl_col": tbl_col,
+        "bucket_col": bucket_col,
+    }
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Open a materialized LSH index → (DataFrame with stored (tbl, bucket)
+    columns, sketch params)."""
+    with open(os.path.join(path, "_lsh_meta.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(path), meta
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    seed: int = 42,
+    multiprobe: int = 1,
+    n_tables: int = 1,
+    tbl_col: str | None = None,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket plus all
+    buckets within ``multiprobe`` bit-flips, in each of ``n_tables``
+    independent hash tables (OR across tables), exact cosine within.
+
+    Per-plane agreement probability for a neighbor at angle θ is 1 - θ/π,
+    so one table's recall is (that)^planes — weak for weakly-clustered
+    corpora; L independent tables lift a per-table hit rate p to
+    1-(1-p)^L while the scan stays ~L × bucket-fraction of the corpus.
+
+    Ad-hoc mode (``tbl_col=None``): the whole probe is ONE filtered scan
+    (no explode) — a row survives if ANY table's sign-sketch lands in that
+    table's probe set — but the sketch is recomputed over the corpus per
+    query.  Indexed mode (``tbl_col``/``bucket_col`` set): ``emb`` is an
+    index built by ``with_lsh_buckets``/``write_lsh_index`` with the SAME
+    (n_planes, seed, n_tables); the probe filters on the stored columns
+    (partition pruning) and de-duplicates candidates hit in several tables
+    before scoring."""
+    probes = lsh_query_buckets(query_vec, n_planes, seed, multiprobe, n_tables)
+    if (tbl_col is None) != (bucket_col is None):
+        raise ValueError("pass both tbl_col and bucket_col, or neither")
+    if tbl_col is not None:
+        for c in (tbl_col, bucket_col):
+            if c not in emb.columns:
+                raise ValueError(f"column {c!r} not in table; build the index first")
+        keep = None
+        for t, pb in probes.items():
+            hit = (F.col(tbl_col) == t) & F.col(bucket_col).isin(pb)
+            keep = hit if keep is None else (keep | hit)
+        cand = emb.where(keep).dropDuplicates([id_col])
+    else:
+        dim = len(query_vec)
+        keep = None
+        for t, pb in probes.items():
+            hit = _hyperplane_bucket(
+                F.col(vec_col), n_planes, seed + 7919 * t, dim
+            ).isin(pb)
+            keep = hit if keep is None else (keep | hit)
+        cand = emb.where(keep)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.where(keep).select(
+    scored = cand.select(
         F.col(id_col), F.round(_cosine(F.col(vec_col), q), 6).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

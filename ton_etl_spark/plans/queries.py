@@ -784,15 +784,72 @@ def q_ann_lsh_topk(spark, sf: str) -> DataFrame:
     )
 
 
+# IVF probe: ORACLE-CHECKED — the centroids are FIXED deterministic
+# literals (fixed_centroids), so cell assignment (elementwise squared-L2
+# argmin), nprobe cell selection from the query vector, and the cosine
+# top-k within the probed cells are all SQL-expressible.  The LEARNED
+# (k-means) index stays pytest-verified (recall on clustered data) because
+# the iterative fit is not SQL.  The query exercises the INDEXED path:
+# cells stamped once via with_ivf_cells, probe filters the stored column.
+# scale=0.125 (exact power of two, so literals round-trip IEEE754) matches
+# the testdata embeddings' per-component spread — unit-scale random
+# centroids would collapse every vector into one Voronoi cell.
+_IVF_CELLS, _IVF_NPROBE, _IVF_SEED, _IVF_SCALE = 8, 3, 7, 0.125
+
+
 def q_ann_ivf_topk(spark, sf: str) -> DataFrame:
-    # IVF scale path: k-means cells + nprobe nearest-cell scan (rows-only:
-    # the k-means index is iterative, not SQL-expressible; pytest checks
-    # recall vs brute force on clustered data)
+    from ton_etl_spark.operators.similarity import fixed_centroids, with_ivf_cells
+
     emb = load_table(spark, sf, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = fixed_centroids(_IVF_CELLS, _EMB_DIM, _IVF_SEED, scale=_IVF_SCALE)
+    idx = with_ivf_cells(emb.where(F.col("vec_id") != 0), cents)
     return ivf_ann_topk(
-        emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_cells=8, nprobe=3
+        idx, qv, k=10, nprobe=_IVF_NPROBE, centroids=cents, cell_col="ivf_cell"
     )
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB mirror of the fixed-centroid IVF probe: identical elementwise
+    (e[i]-c[i])^2 left-to-right double sums (matching F.aggregate /
+    driver-side Python), lexicographic (distance, cell) argmin ties
+    (matching the array_min-over-structs in _nearest_cell), same cosine."""
+    from ton_etl_spark.operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(_IVF_CELLS, _EMB_DIM, _IVF_SEED, scale=_IVF_SCALE)
+    cs = "[" + ",".join("[" + ",".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (ee[i] - cs[j][i]) * (ee[i] - cs[j][i])))"
+    ).format(dim=_EMB_DIM)
+    argrank = (
+        "list_sort(list_transform(generate_series(1, {nc}), "
+        "j -> [{d2}, CAST(j - 1 AS DOUBLE)]))"
+    ).format(nc=_IVF_CELLS, d2=d2)
+    cos = (
+        "list_dot_product(a.e, q.qe) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe)))"
+    )
+    return f"""
+WITH c AS (SELECT {cs} AS cs),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+a AS (
+  SELECT vec_id, e, CAST({argrank.replace('ee', 'e')}[1][2] AS INT) AS cell
+  FROM v, c WHERE vec_id <> 0
+),
+qc AS (
+  SELECT list_transform({argrank.replace('ee', 'qe')}[1:{_IVF_NPROBE}],
+                        x -> CAST(x[2] AS INT)) AS probe
+  FROM q, c
+)
+SELECT a.vec_id, ROUND({cos}, 6) AS cosine
+FROM a, q, qc WHERE list_contains(qc.probe, a.cell)
+ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
+"""
+
+
+SQL_ANN_IVF = _ann_ivf_sql()
 
 
 def q_media_features(spark, sf: str) -> DataFrame:
@@ -1304,4 +1361,5 @@ ORACLES: dict[str, str] = {
     "decimal_money_rollup": SQL_DECIMAL_MONEY,
     "trace_enrich_join": SQL_TRACE_ENRICH,
     "ngram_jaccard_allpairs": SQL_NGRAM_ALLPAIRS,
+    "ann_ivf_topk": SQL_ANN_IVF,
 }
