@@ -61,9 +61,18 @@ def test_expire_snapshots_frees_files_keeps_current(spark, table_with_tombstones
     cur = t.current_version()
     state_before = sorted(tuple(r) for r in read_state(t).collect())
     old_files = {f.path for f in t.snapshot(1).files}
+    kept_now = {f.path for f in t.snapshot(cur).files}
 
-    res = expire_snapshots(t, keep_last=1)
-    assert res["removed_snapshots"] >= 1
+    # default grace window: freshly-written files are NEVER collected, even
+    # when unreferenced — protects a concurrent commit's files written
+    # before its snapshot publishes
+    res_grace = expire_snapshots(t, keep_last=1)
+    assert res_grace["removed_files"] == 0
+    for p in old_files - kept_now:
+        assert os.path.exists(os.path.join(t.root, p))
+
+    res = expire_snapshots(t, keep_last=1, grace_seconds=0)
+    assert res["removed_snapshots"] + res_grace["removed_snapshots"] >= 1
     # current read identical
     assert sorted(tuple(r) for r in read_state(t).collect()) == state_before
     # time-travel to an expired version now fails
@@ -216,9 +225,12 @@ def test_incremental_changes_between_snapshots(spark, tmp_path):
     }
 
 
-def test_watermark_is_per_key_prefix(spark, tmp_path):
-    """'compact=3' must not be considered applied because stream epochs
-    reached 'epoch=99' — numeric watermarks are keyed by prefix."""
+def test_watermark_covers_only_reserved_prefix(spark, tmp_path):
+    """Watermark coverage is opt-in for the reserved streaming namespace
+    ('epoch'): 'compact=3' must not be considered applied because stream
+    epochs reached 'epoch=99', and — the silent-data-loss fix — an ad-hoc
+    numeric key below another ad-hoc key's value must NOT be swallowed by
+    a watermark, only deduplicated verbatim in the recent window."""
     t = make_sequences_table(spark, str(tmp_path / "pw"), n_buckets=2)
     for i in (98, 99):
         b = spark.createDataFrame(
@@ -227,10 +239,14 @@ def test_watermark_is_per_key_prefix(spark, tmp_path):
         apply_cdc_batch(t, b, epoch=i)
     assert t.has_commit("epoch=99") and t.has_commit("epoch=5")
     assert not t.has_commit("compact=3")
-    res = rewrite_buckets(t, commit_key="compact=3")
+    res = rewrite_buckets(t, commit_key="compact=7")
     assert res["applied"] is True
-    # within a prefix the monotone contract applies: <=3 now covered
-    assert t.has_commit("compact=3") and t.has_commit("compact=2")
+    # exact key dedups; LOWER numeric suffixes of a non-reserved prefix do
+    # NOT become covered (out-of-order ad-hoc writers keep their commits)
+    assert t.has_commit("compact=7")
+    assert not t.has_commit("compact=3")
+    assert rewrite_buckets(t, commit_key="compact=3")["applied"] is True
     assert not t.has_commit("compact=4")
     assert not t.has_commit("othersuite=1")
-    assert t.current().commit_watermarks == {"epoch": 99, "compact": 3}
+    # only the reserved prefix accrues a watermark
+    assert t.current().commit_watermarks == {"epoch": 99}

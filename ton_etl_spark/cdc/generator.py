@@ -169,7 +169,9 @@ def write_cdc_log(
             continue
         sub = allev.where(F.col("__phase") == ph)
         cols = ["doc_id", "op", "lsn", "ts_ms", "tokens", "n_tok", "source"]
-        if ph == 1:
+        if ph == 1 and "extra_meta" in log.columns:
+            # a single-batch schedule (n0=0) routes a NOT-yet-evolved log
+            # through phase 1; selecting the absent column would throw
             cols.append("extra_meta")
         subfile = F.pmod(F.xxhash64(lsn, F.lit(seed), F.lit(11)), F.lit(files_per_batch))
         (

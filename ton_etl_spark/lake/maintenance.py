@@ -63,12 +63,24 @@ def gc_tombstones(
     return rewrite_buckets(table, buckets=buckets, predicate=keep, commit_key=commit_key)
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
+def expire_snapshots(
+    table: LakeTable, keep_last: int = 1, grace_seconds: float = 600.0
+) -> dict:
     """Delete snapshot metadata older than the newest ``keep_last``
     versions and any data file no kept snapshot references.  Time-travel
     reads to expired versions stop working (same contract as Iceberg
     ``expire_snapshots``); the commit-key history of the CURRENT snapshot
-    is untouched, so batch idempotency is preserved."""
+    is untouched, so batch idempotency is preserved.
+
+    ``grace_seconds``: files younger than this are never deleted even when
+    unreferenced.  A concurrent commit writes its data files and manifest
+    BEFORE publishing the snapshot that references them; without the grace
+    window, maintenance running inside that gap would collect the
+    about-to-be-published files and corrupt the commit (Iceberg's
+    ``expire_snapshots`` carries the same ``older_than`` guard).  Pass 0
+    only when the caller serializes expiry with writers."""
+    import time
+
     cur = table.current_version()
     keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
     referenced: set[str] = set()
@@ -78,27 +90,38 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
         referenced_manifests.update(s.manifests.values())
         referenced.update(f.path for f in s.files)
 
+    cutoff = time.time() - grace_seconds
+
+    def _expired(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False
+
     removed_files = 0
     data_root = os.path.join(table.root, DATA_DIR)
     for commit_dir in list(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         cdir = os.path.join(data_root, commit_dir)
         for sub, _dirs, files in os.walk(cdir, topdown=False):
             for fn in files:
-                rel = os.path.relpath(os.path.join(sub, fn), table.root)
-                if rel not in referenced:
-                    os.unlink(os.path.join(sub, fn))
+                full = os.path.join(sub, fn)
+                rel = os.path.relpath(full, table.root)
+                if rel not in referenced and _expired(full):
+                    os.unlink(full)
                     removed_files += 1
             if not os.listdir(sub):
                 os.rmdir(sub)
 
-    # manifests referenced only by expired snapshots
+    # manifests referenced only by expired snapshots (same write-then-publish
+    # race as data files, same grace guard)
     removed_manifests = 0
     man_root = os.path.join(table.root, MANIFEST_DIR)
     if os.path.isdir(man_root):
         for fn in os.listdir(man_root):
             rel = os.path.join(MANIFEST_DIR, fn)
-            if rel not in referenced_manifests:
-                os.unlink(os.path.join(table.root, rel))
+            full = os.path.join(table.root, rel)
+            if rel not in referenced_manifests and _expired(full):
+                os.unlink(full)
                 removed_manifests += 1
 
     removed_snaps = 0

@@ -20,13 +20,13 @@ filesystem APIs.  Design goals, in order:
    ``foreachBatch`` retries exactly-once (reference analog:
    ``ON CONFLICT DO NOTHING`` + Athena ``EXCEPT`` dedup,
    ``parser/db.py:279-283``, ``datalake_daily_sync.py:301-328``).
-   The applied-key record is BOUNDED, not O(history): keys with a numeric
-   ``...=N`` suffix (streaming batch ids, which Spark guarantees monotone)
-   are covered by a high-watermark integer, and the last
-   ``RECENT_KEYS_MAX`` keys are kept verbatim for ad-hoc keys.  Contract:
-   numeric-suffixed keys must be applied in nondecreasing order (true for
-   checkpointed streams and ordered replays); arbitrary keys are
-   deduplicated within the recent window only.
+   The applied-key record is BOUNDED, not O(history): keys in the RESERVED
+   streaming namespace (``WATERMARK_PREFIXES``, i.e. ``epoch=N`` where
+   Spark guarantees monotone batch ids) are covered by a high-watermark
+   integer, and the last ``RECENT_KEYS_MAX`` keys are kept verbatim for
+   everything else.  Watermark coverage is opt-in by prefix precisely so
+   an ad-hoc numeric key (``backfill=3`` after ``backfill=7``) can never
+   be silently swallowed; reserved-prefix skips are logged.
 3. **Hash-bucketed layout** — every data file belongs to one bucket of
    ``pmod(murmur3(key), n_buckets)`` (Spark's ``F.hash``; see
    ``bucket_of``).  The bucket function is RECORDED in the snapshot
@@ -58,6 +58,7 @@ runs one consumer-group per sink table).  Readers are lock-free.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
@@ -69,6 +70,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_LOG = logging.getLogger(__name__)
+
 META_DIR = "_meta"
 MANIFEST_DIR = os.path.join(META_DIR, "manifests")
 DATA_DIR = "data"
@@ -78,6 +81,16 @@ BUCKET_COL = "__bucket"
 # bounded idempotency record (see module docstring §2)
 RECENT_KEYS_MAX = 1024
 _NUMERIC_KEY = re.compile(r"(.*)=(\d+)\Z")
+
+# Watermark coverage is OPT-IN per prefix: only keys in this reserved
+# streaming namespace ('epoch=<batch_id>', issued by cdc/apply and
+# cdc/stream, where Spark guarantees monotone batch ids) are covered by
+# the high-watermark integer.  Any other numeric-suffixed key (an ad-hoc
+# 'backfill=3' issued after 'backfill=7', or a second writer with a fresh
+# checkpoint) is deduplicated within the recent-keys window ONLY — it can
+# never be silently swallowed by a watermark whose monotonicity contract
+# it does not honor.
+WATERMARK_PREFIXES = frozenset({"epoch"})
 
 # recorded in Snapshot.properties and validated on every bucket-dependent
 # operation: changing the hash silently mis-prunes existing tables
@@ -144,7 +157,21 @@ class Snapshot:
         if commit_key in self.recent_commit_keys:
             return True
         pn = _numeric_epoch(commit_key)
-        return pn is not None and pn[1] <= self.commit_watermarks.get(pn[0], -1)
+        if pn is None or pn[0] not in WATERMARK_PREFIXES:
+            return False
+        wm = self.commit_watermarks.get(pn[0], -1)
+        if pn[1] <= wm:
+            # visible, not silent: for a checkpoint replay this is the
+            # expected exactly-once skip; for an out-of-order writer it is
+            # the first symptom of a broken monotonicity contract.
+            _LOG.info(
+                "commit key %r already covered by %r watermark %d — skipping",
+                commit_key,
+                pn[0],
+                wm,
+            )
+            return True
+        return False
 
     def advanced_keys(self, commit_key: str | None) -> tuple[dict[str, int], list[str]]:
         """(watermarks, recent keys) after recording ``commit_key``."""
@@ -152,7 +179,7 @@ class Snapshot:
         if commit_key is None:
             return wms, list(self.recent_commit_keys)
         pn = _numeric_epoch(commit_key)
-        if pn is not None:
+        if pn is not None and pn[0] in WATERMARK_PREFIXES:
             wms[pn[0]] = max(wms.get(pn[0], -1), pn[1])
         recent = (self.recent_commit_keys + [commit_key])[-RECENT_KEYS_MAX:]
         return wms, recent

@@ -132,6 +132,7 @@ def minhash_lsh_pairs(
     min_jaccard_est: float = 0.5,
     min_words: int | None = None,
     max_bucket_size: int | None = None,
+    return_sigs: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) whose estimated Jaccard (signature
     agreement rate) >= threshold.
@@ -155,11 +156,13 @@ def minhash_lsh_pairs(
       reuses the exchange rather than adding a shuffle.
 
     Signature caching: the sigs DataFrame is persisted through a BOUNDED
-    module registry (newest two kept; older entries unpersisted), so
-    repeated calls in a long-lived session cost a bounded cache, not an
-    unbounded storage-memory leak.  The handle is also exposed as
-    ``._minhash_sigs`` on the returned DataFrame for callers that want to
-    release it immediately after consuming the pairs.
+    module registry (newest two kept; older entries unpersisted).  Eviction
+    affects CACHE HITS only, never correctness — an unpersisted DataFrame
+    recomputes its lineage.  Callers that want to release the cache
+    immediately after consuming the pairs pass ``return_sigs=True`` and get
+    ``(pairs, sigs)`` so they can ``sigs.unpersist()`` themselves (an
+    explicit handle, not an attribute stapled to the DataFrame — attributes
+    are lost on the first ``select``/``filter``).
     """
     rows_per_band = n_hashes // bands
     if min_words is None:
@@ -232,7 +235,8 @@ def minhash_lsh_pairs(
     )
     est = (agree.cast("double") / F.lit(float(n_hashes))).alias("jaccard_est")
     out = verified.select("id_a", "id_b", est).where(F.col("jaccard_est") >= min_jaccard_est)
-    out._minhash_sigs = sigs  # cache handle — see docstring
+    if return_sigs:
+        return out, sigs
     return out
 
 
