@@ -45,6 +45,11 @@ KAFKA_FRAME_SCHEMA = T.StructType(
 # parity with the reference's FIELDS_TO_REMOVE (datalake/main.py:50)
 ENVELOPE_META_FIELDS = ["__op", "__table", "__lsn", "__source_ts_ms"]
 
+# routing column kept (on request) through the decode so ONE decoded stream
+# can fan out to N sinks — the reference's topic→parsers routing map
+# (parser/parsers/__init__.py:118-132).  Dropped again before any merge.
+ROUTE_COL = "_route_table"
+
 
 def envelope_schema(payload_schema: T.StructType) -> T.StructType:
     """Flat Debezium-style JSON document schema: the payload columns (minus
@@ -73,6 +78,7 @@ def parse_cdc_envelope(
     value_col: str = "value",
     table: str | None = None,
     allowed_ops: tuple[str, ...] | None = None,
+    keep_route_col: bool = False,
 ) -> DataFrame:
     """Kafka-shaped frames → CDC event rows (the engine's envelope schema).
 
@@ -82,6 +88,9 @@ def parse_cdc_envelope(
       append-mart op filter (``__op == c/r``, plus ``u`` when
       ``updates_enabled`` — ``datalake/main.py:214``).  ``None`` keeps every
       op including tombstones — the keyed-table MERGE path needs deletes.
+    - ``keep_route_col``: retain ``__table`` as :data:`ROUTE_COL` so a
+      single decoded stream can fan out to several sinks (the multi-table
+      routing path, ``cdc.stream.start_cdc_multi_table_stream``).
 
     The ``__``-meta fields are renamed into the engine envelope
     (op/lsn/ts_ms) and never appear in the output — the FIELDS_TO_REMOVE
@@ -118,14 +127,15 @@ def parse_cdc_envelope(
         LSN_COL: "e.__lsn",
         TS_COL: "e.__source_ts_ms",
     }
-    return parsed.select(
-        *[
-            F.col(rename[f.name]).alias(f.name)
-            if f.name in rename
-            else F.col(f"e.{f.name}").alias(f.name)
-            for f in payload_schema.fields
-        ]
-    )
+    cols = [
+        F.col(rename[f.name]).alias(f.name)
+        if f.name in rename
+        else F.col(f"e.{f.name}").alias(f.name)
+        for f in payload_schema.fields
+    ]
+    if keep_route_col:
+        cols.append(F.col("e.__table").alias(ROUTE_COL))
+    return parsed.select(*cols)
 
 
 def to_kafka_frames(

@@ -122,6 +122,74 @@ def start_cdc_envelope_stream(
     )
 
 
+def start_cdc_multi_table_stream(
+    spark: SparkSession,
+    frames_glob: str,
+    table_roots: dict[str, str],
+    checkpoint_dir: str,
+    lineage_roots: dict[str, str] | None = None,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 2,
+):
+    """One envelope stream fanned out to N LakeTables — the reference's
+    topic→parsers routing (one consumed topic feeds several parser sinks,
+    ``parser/parsers/__init__.py:118-132``; topics list
+    ``datalake/topics.py:1-24``).
+
+    ``table_roots`` maps a ``__table`` value to that sink's LakeTable root.
+    The Debezium decode runs ONCE on the streaming DataFrame (JVM-side
+    ``from_json``, keeping ``__table`` as the routing column); inside each
+    ``foreachBatch`` the decoded micro-batch is persisted once and sliced
+    per table, so N sinks cost one decode + N bucket-pruned merges, not N
+    decodes.
+
+    Exactly-once is PER SINK: every table records ``epoch=<batch_id>`` in
+    its OWN commit manifest.  A crash after table A committed epoch k but
+    before table B did replays the micro-batch on restart — A's merge is a
+    manifest no-op, B's applies — so each table independently converges to
+    exactly-once without cross-table coordination (the same property the
+    reference gets from per-sink consumer groups)."""
+    from ton_etl_spark.cdc.envelope import (
+        KAFKA_FRAME_SCHEMA,
+        ROUTE_COL,
+        parse_cdc_envelope,
+    )
+
+    for root in table_roots.values():
+        make_sequences_table(spark, root, n_buckets=n_buckets)
+    lineages = {
+        name: make_lineage_table(spark, root)
+        for name, root in (lineage_roots or {}).items()
+    }
+
+    frames = (
+        spark.readStream.schema(KAFKA_FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frames_glob)
+    )
+    events = parse_cdc_envelope(frames, keep_route_col=True)
+    # messages routed to tables this job does not own are dropped here, the
+    # same way the reference ignores topics absent from its routing map
+    events = events.where(F.col(ROUTE_COL).isin(list(table_roots)))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, root in table_roots.items():
+                t = LakeTable.load(spark, root)
+                sl = batch_df.where(F.col(ROUTE_COL) == name).drop(ROUTE_COL)
+                apply_cdc_batch(t, sl, epoch=batch_id, lineage=lineages.get(name))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_completion(
     spark: SparkSession,
     log_glob: str,
