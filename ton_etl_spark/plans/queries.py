@@ -1186,6 +1186,62 @@ FROM src GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# 32b. Debezium decimal wire decode → DecimalType → aggregate, END TO END —
+#     the path the reference runs on every money column (Debezium NUMERIC
+#     arrives as {"value": base64(two's-complement big-endian), "scale"} and
+#     is decoded per row, datalake/converters/converter.py:41-47).  Here the
+#     wire bytes are SYNTHESIZED deterministically from orders (8-byte
+#     two's-complement of floor(o_totalprice*100) - 3e6 — the offset forces
+#     real negative values through the sign path), decoded by the
+#     Arrow-batched decode_debezium_decimal_udf, cast to DecimalType and
+#     aggregated.  The DuckDB oracle reproduces the expected result from
+#     the same unscaled integers with exact HUGEINT arithmetic and renders
+#     the identical fixed-scale strings — so a decode bug of even one ULP
+#     or one sign flips the hash.
+def q_debezium_money_rollup(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.functions.debezium import decode_debezium_decimal_udf
+
+    o = load_table(spark, sf, "orders")
+    unscaled = (F.floor(F.col("o_totalprice") * 100).cast("long") - F.lit(3_000_000)).alias("u")
+    # 8-byte big-endian two's complement: hex() of a negative BIGINT is its
+    # 16-digit two's-complement form; lpad covers short positive values
+    wire = F.base64(F.to_binary(F.lpad(F.hex(F.col("u")), 16, "0"), F.lit("hex")))
+    amount = decode_debezium_decimal_udf(F.col("wire"), F.lit(2)).cast("decimal(38,2)")
+    return (
+        o.select("o_orderstatus", unscaled)
+        .select("o_orderstatus", wire.alias("wire"))
+        .select("o_orderstatus", amount.alias("amount"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("amount").cast("decimal(38,2)").cast("string").alias("total_amount"),
+            F.min("amount").cast("decimal(38,2)").cast("string").alias("min_amount"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+SQL_DEBEZIUM_MONEY = """
+WITH u AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) - 3000000 AS v
+  FROM orders
+), agg AS (
+  SELECT o_orderstatus, SUM(v) AS s, MIN(v) AS m, COUNT(*) AS n
+  FROM u GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       CASE WHEN s < 0 THEN '-' ELSE '' END
+         || CAST(abs(s) // 100 AS VARCHAR) || '.'
+         || lpad(CAST(abs(s) % 100 AS VARCHAR), 2, '0') AS total_amount,
+       CASE WHEN m < 0 THEN '-' ELSE '' END
+         || CAST(abs(m) // 100 AS VARCHAR) || '.'
+         || lpad(CAST(abs(m) % 100 AS VARCHAR), 2, '0') AS min_amount,
+       CAST(n AS BIGINT) AS n_rows
+FROM agg
+"""
+
+
 # approx count-distinct — SURVEY.md A7, the form you actually run at 100 TB
 # (reference README.md:487-491 approx_distinct).  rows-only: DuckDB's
 # approx_count_distinct uses a different sketch, so exact agreement is
@@ -1308,6 +1364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_pattern": q_funnel_pattern,
     "purchase_installments": q_purchase_installments,
     "decimal_money_rollup": q_decimal_money_rollup,
+    "debezium_money_rollup": q_debezium_money_rollup,
     "trace_enrich_join": q_trace_enrich_join,
     "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
@@ -1359,6 +1416,7 @@ ORACLES: dict[str, str] = {
     "funnel_pattern": SQL_FUNNEL,
     "purchase_installments": SQL_INSTALLMENTS,
     "decimal_money_rollup": SQL_DECIMAL_MONEY,
+    "debezium_money_rollup": SQL_DEBEZIUM_MONEY,
     "trace_enrich_join": SQL_TRACE_ENRICH,
     "ngram_jaccard_allpairs": SQL_NGRAM_ALLPAIRS,
     "ann_ivf_topk": SQL_ANN_IVF,
