@@ -158,6 +158,101 @@ def test_nonnumeric_keys_dedupe_within_recent_window(spark, tmp_path, monkeypatc
     assert t.has_commit("beta") and t.has_commit("eps")
 
 
+def test_rolling_maintenance_keeps_stream_tables_bounded(spark, tmp_path):
+    """A long-running stream with the rolling maintenance policy: the
+    append-only lineage table's per-bucket file counts must stay bounded
+    (not O(epochs)), and the maintained sink must still equal the one-pass
+    replay oracle."""
+    import os as _os
+
+    from ton_etl_spark.cdc.apply import final_state_oracle, read_full_log
+    from ton_etl_spark.cdc.generator import generate_cdc_log, write_cdc_log
+    from ton_etl_spark.cdc.stream import start_cdc_stream
+    from ton_etl_spark.lake.table import LakeTable
+
+    log_dir = str(tmp_path / "log")
+    dirs = write_cdc_log(
+        generate_cdc_log(spark, 4000, seed=41), log_dir, n_batches=12, dup_pct=5, seed=41
+    )
+    assert len(dirs) == 12
+    q = start_cdc_stream(
+        spark,
+        log_glob=_os.path.join(log_dir, "phase=*", "__seq=*"),
+        table_root=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lineage_root=str(tmp_path / "lin"),
+        max_files_per_trigger=8,  # one delivery dir (8 files) per epoch
+        maintenance_every=3,
+        maintenance_groups=2,
+    )
+    q.awaitTermination()
+
+    t = LakeTable.load(spark, str(tmp_path / "tbl"))
+    got = sorted(tuple(r) for r in read_state(t).collect())
+    want = sorted(
+        tuple(r) for r in final_state_oracle(read_full_log(spark, log_dir)).collect()
+    )
+    assert got == want
+
+    # lineage: 12 epochs appended one file per touched bucket per epoch;
+    # whole-table compaction every 3 epochs caps files/bucket at ~3, far
+    # below the unmaintained 12
+    lin = LakeTable.load(spark, str(tmp_path / "lin"))
+    per_bucket: dict[int, int] = {}
+    for f in lin.current().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert per_bucket and max(per_bucket.values()) <= 4, per_bucket
+    # lineage content survived compaction: every epoch still covered
+    epochs = {r["checkpoint_epoch"] for r in lin.read().select("checkpoint_epoch").collect()}
+    assert epochs == set(range(12))
+
+
+def test_rolling_tombstone_gc_bounds_tombstones_on_ordered_log(spark, tmp_path):
+    """In-order delivery (the case where a retain window is sound): rolling
+    GC keeps the stored tombstone count bounded by the retain window while
+    cumulative deletes grow, without disturbing live state."""
+    from ton_etl_spark.lake.maintenance import rolling_maintenance
+
+    t = make_sequences_table(spark, str(tmp_path / "t"), n_buckets=4)
+    n_epochs, per_epoch = 12, 20
+    total_deletes = 0
+    for e in range(n_epochs):
+        base = e * 100
+        rows = []
+        for i in range(per_epoch):
+            lsn = base + i
+            rows.append((f"d{e}_{i}", "c", lsn, lsn, [i], 1, "web"))
+        if e > 0:
+            # delete half of the PREVIOUS epoch's docs, in order
+            for i in range(0, per_epoch, 2):
+                lsn = base + per_epoch + i
+                rows.append((f"d{e-1}_{i}", "d", lsn, lsn, None, None, "web"))
+                total_deletes += 1
+        batch = spark.createDataFrame(rows, schema=CDC_EVENT_SCHEMA)
+        apply_cdc_batch(t, batch, epoch=e)
+        # retain window = 250 LSNs (~2.5 epochs of redelivery slack)
+        rolling_maintenance(
+            t, e, every=2, groups=2, tombstone_horizon_lsn=base + 2 * per_epoch - 250
+        )
+    raw = t.read()
+    n_tomb = raw.where(F.col("op") == "d").count()
+    assert total_deletes >= 100
+    # without GC all 110 tombstones persist; with the rolling policy only
+    # the retain window's worth survives: ~2.5 epochs of slack in the
+    # just-rewritten bucket group plus up to ~2 more rounds in the group
+    # awaiting its turn — ≤ ~5 epochs × 10 deletes, independent of runtime
+    assert n_tomb <= 55, n_tomb
+    # live state is exact: every doc not deleted survives
+    live = {r["doc_id"] for r in read_state(t).collect()}
+    expect = set()
+    for e in range(n_epochs):
+        for i in range(per_epoch):
+            deleted = e < n_epochs - 1 and i % 2 == 0
+            if not deleted:
+                expect.add(f"d{e}_{i}")
+    assert live == expect
+
+
 def test_bucket_fn_mismatch_fails_loudly(spark, tmp_path):
     """A table recorded with a different bucket hash must refuse
     bucket-dependent operations instead of silently mis-pruning."""

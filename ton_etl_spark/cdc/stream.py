@@ -43,6 +43,9 @@ def start_cdc_stream(
     n_buckets: int = 16,
     max_files_per_trigger: int = 2,
     epoch_prefix: str = "stream",
+    maintenance_every: int | None = None,
+    maintenance_groups: int = 4,
+    tombstone_retain_lsn: int | None = None,
 ):
     """Start (or restart from checkpoint) the streaming tail.
 
@@ -50,7 +53,16 @@ def start_cdc_stream(
     ``<log>/phase=*/__seq=*``.  Restart with the same ``checkpoint_dir``
     resumes from the last committed source offset; batches that were
     applied but not checkpointed replay and are skipped by manifest.
-    """
+
+    ``maintenance_every``: every K epochs, run the rolling maintenance
+    policy (``lake.maintenance.rolling_maintenance``) on one bucket group
+    of the sink table — and compact the append-only lineage table, whose
+    per-commit files would otherwise grow without bound.  With
+    ``tombstone_retain_lsn`` set, the same rewrite GCs tombstones older
+    than (max applied LSN − retain window); ONLY set it when the source's
+    redelivery/out-of-order horizon is genuinely bounded by that window —
+    a GC ahead of the redelivery bound re-opens the resurrection window
+    (see ``gc_tombstones``)."""
     table = make_sequences_table(spark, table_root, n_buckets=n_buckets)
     lineage = make_lineage_table(spark, lineage_root) if lineage_root else None
 
@@ -73,6 +85,25 @@ def start_cdc_stream(
         # reload table handle each batch: snapshot pointer may have advanced
         t = LakeTable.load(spark, table_root)
         apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
+        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
+            from ton_etl_spark.lake.maintenance import rolling_maintenance
+
+            horizon = None
+            if tombstone_retain_lsn is not None:
+                mx = batch_df.agg(F.max("lsn")).first()[0]
+                if mx is not None:
+                    horizon = mx - tombstone_retain_lsn
+            rolling_maintenance(
+                t,
+                batch_id,
+                every=maintenance_every,
+                groups=maintenance_groups,
+                tombstone_horizon_lsn=horizon,
+            )
+            if lineage is not None:
+                # the lineage table is append-only (one file per bucket per
+                # epoch) — compact it whole; it is small by construction
+                rolling_maintenance(lineage, batch_id, every=maintenance_every, groups=1)
 
     query = (
         src.writeStream.foreachBatch(_apply)

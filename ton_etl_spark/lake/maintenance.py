@@ -63,6 +63,45 @@ def gc_tombstones(
     return rewrite_buckets(table, buckets=buckets, predicate=keep, commit_key=commit_key)
 
 
+def rolling_maintenance(
+    table: LakeTable,
+    epoch: int,
+    every: int = 8,
+    groups: int = 4,
+    tombstone_horizon_lsn: int | None = None,
+) -> dict | None:
+    """Automated maintenance policy for a long-running ingest loop: every
+    ``every`` epochs, compact ONE rolling group of buckets (group id cycles
+    with the epoch), optionally GC'ing tombstones at or below
+    ``tombstone_horizon_lsn`` in the same rewrite.
+
+    Rolling by bucket group is the 100 TB discipline: each maintenance
+    commit rewrites 1/``groups`` of the table, so maintenance cost per
+    epoch is bounded and amortized instead of a periodic full-table
+    rewrite (reference analog: the daily CTAS compaction works one
+    partition at a time, ``datalake_daily_sync.py:298-337``).  Over
+    ``every × groups`` epochs every bucket gets compacted once.
+
+    Returns None on non-maintenance epochs; otherwise the rewrite stats.
+    Idempotent per epoch via the ``roll=<epoch>`` commit key (recent-keys
+    dedup, so a foreachBatch retry doesn't compact twice)."""
+    if every <= 0 or (epoch + 1) % every != 0:
+        return None
+    snap = table.current()
+    g = ((epoch + 1) // every - 1) % groups
+    buckets = [b for b in sorted(snap.manifests) if b % groups == g]
+    if not buckets:
+        return None
+    predicate = None
+    if tombstone_horizon_lsn is not None:
+        predicate = ~(
+            (F.col(OP_COL) == "d") & (F.col(LSN_COL) <= F.lit(tombstone_horizon_lsn))
+        )
+    return rewrite_buckets(
+        table, buckets=buckets, predicate=predicate, commit_key=f"roll={epoch}-g{g}"
+    )
+
+
 def expire_snapshots(
     table: LakeTable, keep_last: int = 1, grace_seconds: float = 600.0
 ) -> dict:
