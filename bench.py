@@ -118,7 +118,11 @@ def main() -> None:
     try:  # Firecracker lazy-snapshot mitigation (scripts/prefault.py)
         from scripts.prefault import ensure_prefaulted
 
-        ensure_prefaulted(float(os.environ.get("SPARK_GRAFT_PREFAULT_GB", "32")))
+        # 64 GB (not 32): the ingest job + page cache + JVM heap overshoot a
+        # 32 GB prefault on a cold boot, and the overshoot pages fault at
+        # ~45× cost — measured as the main source of the ~10-20% gap between
+        # cold-boot (driver) and warm-VM (session) ingest numbers (BENCH.md)
+        ensure_prefaulted(float(os.environ.get("SPARK_GRAFT_PREFAULT_GB", "64")))
     except Exception:
         pass
 
