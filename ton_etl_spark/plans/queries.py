@@ -776,12 +776,68 @@ WHERE {cos} >= {_EMB_MINCOS}
 SQL_EMB_NEAR_DUPS = _emb_near_dups_sql()
 
 
+# LSH ANN probe: ORACLE-CHECKED — the hyperplanes are deterministic
+# constants (same construction the embedding_near_dups oracle reproduces),
+# and the multiprobe=1 probe set {qb} ∪ {qb with one bit flipped} is
+# exactly the hamming-distance-≤1 predicate, which DuckDB expresses as
+# bit_count(xor(bucket, query_bucket)) <= 1 per table, OR'd across the 4
+# tables.  Only the sketch params are baked in; the query vector and all
+# buckets are computed inside each engine independently.
+_LSH_PLANES, _LSH_TABLES, _LSH_SEED, _LSH_MULTIPROBE = 4, 4, 42, 1
+
+
 def q_ann_lsh_topk(spark, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return lsh_ann_topk(
-        emb.where(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_tables=4
+        emb.where(F.col("vec_id") != 0),
+        [float(x) for x in qv],
+        k=10,
+        n_planes=_LSH_PLANES,
+        seed=_LSH_SEED,
+        multiprobe=_LSH_MULTIPROBE,
+        n_tables=_LSH_TABLES,
     )
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB mirror of the multi-table LSH probe: identical plane literals
+    (float repr round-trips IEEE754), sign-bit bucket construction, and the
+    multiprobe-1 membership rewritten as hamming(bucket, qbucket) <= 1."""
+    from ton_etl_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(vec: str, seed: int) -> str:
+        planes = _hyperplanes(_EMB_DIM, _LSH_PLANES, seed)
+        terms = []
+        for p, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    hits = []
+    for t in range(_LSH_TABLES):
+        tseed = _LSH_SEED + 7919 * t
+        hits.append(
+            f"bit_count(xor(CAST({bucket_expr('v.e', tseed)} AS BIGINT), "
+            f"CAST({bucket_expr('q.qe', tseed)} AS BIGINT))) <= {_LSH_MULTIPROBE}"
+        )
+    keep = " OR ".join(hits)
+    cos = (
+        "list_dot_product(v.e, q.qe) / "
+        "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+SELECT v.vec_id, ROUND({cos}, 6) AS cosine
+FROM v, q WHERE v.vec_id <> 0 AND ({keep})
+ORDER BY cosine DESC, v.vec_id ASC LIMIT 10
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
 
 
 # IVF probe: ORACLE-CHECKED — the centroids are FIXED deterministic
@@ -1420,4 +1476,5 @@ ORACLES: dict[str, str] = {
     "trace_enrich_join": SQL_TRACE_ENRICH,
     "ngram_jaccard_allpairs": SQL_NGRAM_ALLPAIRS,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "ann_lsh_topk": SQL_ANN_LSH,
 }
