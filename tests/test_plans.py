@@ -140,6 +140,24 @@ def test_ivf_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
         spark.read.parquet(path).where(F.col("vec_id") >= 0).count()
 
 
+def test_indexed_ann_api_misuse_fails_loudly(spark):
+    """Indexed probes must refuse to run without their index: silent
+    fallback to a full-corpus recompute would defeat the point at scale."""
+    from ton_etl_spark.operators.similarity import ivf_ann_topk, lsh_ann_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_ann_topk(emb, [1.0, 0.0], cell_col="ivf_cell")
+    with pytest.raises(ValueError, match="build the index"):
+        ivf_ann_topk(emb, [1.0, 0.0], centroids=[[0.0, 0.0]], cell_col="ivf_cell")
+    with pytest.raises(ValueError, match="both"):
+        lsh_ann_topk(emb, [1.0, 0.0], tbl_col="lsh_tbl")
+    with pytest.raises(ValueError, match="build the index"):
+        lsh_ann_topk(emb, [1.0, 0.0], tbl_col="lsh_tbl", bucket_col="lsh_bucket")
+
+
 def test_lsh_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     """Same contract for the multi-table LSH index: probe filters on the
     stored (table, bucket) partition columns and matches the ad-hoc path."""
