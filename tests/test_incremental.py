@@ -18,11 +18,14 @@ from ton_etl_spark.lake.maintenance import rewrite_buckets
 
 
 def _mart_rows(mart):
-    return sorted(tuple(r) for r in mart.read().collect())
+    # key=repr: group values may be None, which plain tuple sort rejects
+    return sorted((tuple(r) for r in mart.read().collect()), key=repr)
 
 
 def _full_rows(source):
-    return sorted(tuple(r) for r in recompute_agg_mart(source, ["source"]).collect())
+    return sorted(
+        (tuple(r) for r in recompute_agg_mart(source, ["source"]).collect()), key=repr
+    )
 
 
 def test_incremental_mart_equals_full_recompute_over_epochs(spark, tmp_path):
@@ -80,6 +83,32 @@ def test_incremental_mart_refresh_is_idempotent_and_handles_retraction(spark, tm
     assert refresh_agg_mart(mart, t, v1, v2)["applied"]
     assert _mart_rows(mart) == [("web", 2, 2)]
     assert _mart_rows(mart) == _full_rows(t)
+
+
+def test_incremental_mart_handles_null_group(spark, tmp_path):
+    """source is nullable: the NULL group must fold into ONE mart row
+    across refreshes (null-safe join), exactly like the full recompute."""
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    mart = make_agg_mart(spark, str(tmp_path / "mart"), group_cols=["source"])
+    v0 = t.current_version()
+    b0 = spark.createDataFrame(
+        [("k1", "c", 1, 1, [1], 1, None), ("k2", "c", 2, 2, [2], 1, "web")],
+        schema=CDC_EVENT_SCHEMA,
+    )
+    apply_cdc_batch(t, b0, epoch=0)
+    v1 = t.current_version()
+    refresh_agg_mart(mart, t, v0, v1)
+    # second refresh touches the NULL group again — must UPDATE its row,
+    # not add a second NULL row
+    b1 = spark.createDataFrame(
+        [("k3", "c", 3, 3, [3, 4], 2, None)], schema=CDC_EVENT_SCHEMA
+    )
+    apply_cdc_batch(t, b1, epoch=1)
+    refresh_agg_mart(mart, t, v1)
+    rows = _mart_rows(mart)
+    assert rows == _full_rows(t)
+    assert sum(1 for r in rows if r[0] is None) == 1
+    assert (None, 2, 3) in rows
 
 
 def test_incremental_mart_survives_source_compaction(spark, tmp_path):

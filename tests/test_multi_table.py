@@ -103,3 +103,33 @@ def test_multi_table_stream_replay_equality_under_crash_restart(
         lin = LakeTable.load(spark, lr).read()
         per_epoch = lin.groupBy("checkpoint_epoch", "partition_id").count()
         assert per_epoch.where(F.col("count") > 1).count() == 0
+
+
+def test_multi_table_stream_runs_rolling_maintenance_per_sink(spark, tmp_path):
+    """The multi-table loop applies the same maintenance policy as the
+    single-table stream: per-sink lineage file counts stay bounded."""
+    frames_dir = _make_two_table_frames(spark, tmp_path, n=1200, n_batches=4)
+    roots = {"seq_a": str(tmp_path / "ta"), "seq_b": str(tmp_path / "tb")}
+    lineage_roots = {"seq_a": str(tmp_path / "la"), "seq_b": str(tmp_path / "lb")}
+    q = start_cdc_multi_table_stream(
+        spark,
+        frames_glob=os.path.join(frames_dir, "*"),
+        table_roots=roots,
+        checkpoint_dir=str(tmp_path / "ck"),
+        lineage_roots=lineage_roots,
+        max_files_per_trigger=1,
+        maintenance_every=2,
+    )
+    q.awaitTermination()
+    for lr in lineage_roots.values():
+        lin = LakeTable.load(spark, lr)
+        per_bucket: dict[int, int] = {}
+        for f in lin.current().files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        # 4 epochs appended; compaction every 2 keeps files/bucket ≤ 3
+        assert per_bucket and max(per_bucket.values()) <= 3, per_bucket
+        epochs = {
+            r["checkpoint_epoch"]
+            for r in lin.read().select("checkpoint_epoch").collect()
+        }
+        assert epochs == set(range(4))

@@ -112,11 +112,11 @@ def test_ivf_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     cents = fixed_centroids(8, len(qv), seed=5, scale=0.125)
     path = str(tmp_path / "ivf")
     write_ivf_index(emb, path, cents)
-    idx, cents2, cell_col = read_ivf_index(spark, path)
-    assert cents2 == cents
+    idx, meta = read_ivf_index(spark, path)
+    assert meta["centroids"] == cents
 
-    probe = ivf_probe_cells(qv, cents2, nprobe=2)
-    df = ivf_ann_topk(idx, qv, k=5, nprobe=2, centroids=cents2, cell_col=cell_col)
+    probe = ivf_probe_cells(qv, meta["centroids"], nprobe=2)
+    df = ivf_ann_topk(idx, qv, k=5, nprobe=2, index_meta=meta)
     txt = _optimized_scan_line(df)
     assert "PartitionFilters" in txt and "ivf_cell" in txt, txt
 
@@ -173,17 +173,7 @@ def test_lsh_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     write_lsh_index(emb, path, dim=len(qv), n_planes=4, seed=42, n_tables=2)
     idx, meta = read_lsh_index(spark, path)
 
-    df = lsh_ann_topk(
-        idx,
-        qv,
-        k=5,
-        n_planes=meta["n_planes"],
-        seed=meta["seed"],
-        multiprobe=1,
-        n_tables=meta["n_tables"],
-        tbl_col=meta["tbl_col"],
-        bucket_col=meta["bucket_col"],
-    )
+    df = lsh_ann_topk(idx, qv, k=5, multiprobe=1, index_meta=meta)
     txt = _optimized_scan_line(df)
     assert "PartitionFilters" in txt, txt
     assert "lsh_bucket" in txt and "lsh_tbl" in txt, txt

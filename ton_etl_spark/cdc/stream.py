@@ -34,6 +34,45 @@ from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA_EVOLVED
 from ton_etl_spark.lake.table import LakeTable
 
 
+def _run_rolling_maintenance(
+    table: LakeTable,
+    lineage: LakeTable | None,
+    batch_df: DataFrame,
+    batch_id: int,
+    every: int | None,
+    groups: int,
+    tombstone_retain_lsn: int | None,
+) -> None:
+    """Invoke the rolling maintenance policy on a maintenance epoch: one
+    bucket group of the sink (optionally GC'ing tombstones below max
+    applied LSN − retain window) plus a whole-table compaction of the
+    small append-only lineage table.
+
+    The GC horizon is derived from the LINEAGE table's recorded max_lsn
+    (a few rows per epoch) rather than re-aggregating the micro-batch,
+    which would re-read the whole delivery batch from the source — the
+    lineage rows were computed on the same scan that fed the merge."""
+    if not every or (batch_id + 1) % every != 0:
+        return
+    from ton_etl_spark.lake.maintenance import rolling_maintenance
+
+    horizon = None
+    if tombstone_retain_lsn is not None:
+        if lineage is not None:
+            mx = lineage.read().agg(F.max("max_lsn")).first()[0]
+        else:
+            mx = batch_df.agg(F.max("lsn")).first()[0]
+        if mx is not None:
+            horizon = mx - tombstone_retain_lsn
+    rolling_maintenance(
+        table, batch_id, every=every, groups=groups, tombstone_horizon_lsn=horizon
+    )
+    if lineage is not None:
+        # append-only, one file per bucket per epoch — compact it whole;
+        # it is small by construction
+        rolling_maintenance(lineage, batch_id, every=every, groups=1)
+
+
 def start_cdc_stream(
     spark: SparkSession,
     log_glob: str,
@@ -42,7 +81,6 @@ def start_cdc_stream(
     lineage_root: str | None = None,
     n_buckets: int = 16,
     max_files_per_trigger: int = 2,
-    epoch_prefix: str = "stream",
     maintenance_every: int | None = None,
     maintenance_groups: int = 4,
     tombstone_retain_lsn: int | None = None,
@@ -85,25 +123,15 @@ def start_cdc_stream(
         # reload table handle each batch: snapshot pointer may have advanced
         t = LakeTable.load(spark, table_root)
         apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
-        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
-            from ton_etl_spark.lake.maintenance import rolling_maintenance
-
-            horizon = None
-            if tombstone_retain_lsn is not None:
-                mx = batch_df.agg(F.max("lsn")).first()[0]
-                if mx is not None:
-                    horizon = mx - tombstone_retain_lsn
-            rolling_maintenance(
-                t,
-                batch_id,
-                every=maintenance_every,
-                groups=maintenance_groups,
-                tombstone_horizon_lsn=horizon,
-            )
-            if lineage is not None:
-                # the lineage table is append-only (one file per bucket per
-                # epoch) — compact it whole; it is small by construction
-                rolling_maintenance(lineage, batch_id, every=maintenance_every, groups=1)
+        _run_rolling_maintenance(
+            t,
+            lineage,
+            batch_df,
+            batch_id,
+            maintenance_every,
+            maintenance_groups,
+            tombstone_retain_lsn,
+        )
 
     query = (
         src.writeStream.foreachBatch(_apply)
@@ -161,11 +189,20 @@ def start_cdc_multi_table_stream(
     lineage_roots: dict[str, str] | None = None,
     n_buckets: int = 16,
     max_files_per_trigger: int = 2,
+    maintenance_every: int | None = None,
+    maintenance_groups: int = 4,
+    tombstone_retain_lsn: int | None = None,
 ):
     """One envelope stream fanned out to N LakeTables — the reference's
     topic→parsers routing (one consumed topic feeds several parser sinks,
     ``parser/parsers/__init__.py:118-132``; topics list
     ``datalake/topics.py:1-24``).
+
+    ``maintenance_every``/``maintenance_groups``/``tombstone_retain_lsn``:
+    the same rolling maintenance policy as ``start_cdc_stream``, applied to
+    EVERY sink (and its lineage table) on maintenance epochs — without it a
+    long-running multi-table stream's lineage tables grow one file per
+    bucket per epoch without bound.
 
     ``table_roots`` maps a ``__table`` value to that sink's LakeTable root.
     The Debezium decode runs ONCE on the streaming DataFrame (JVM-side
@@ -210,6 +247,15 @@ def start_cdc_multi_table_stream(
                 t = LakeTable.load(spark, root)
                 sl = batch_df.where(F.col(ROUTE_COL) == name).drop(ROUTE_COL)
                 apply_cdc_batch(t, sl, epoch=batch_id, lineage=lineages.get(name))
+                _run_rolling_maintenance(
+                    t,
+                    lineages.get(name),
+                    sl,
+                    batch_id,
+                    maintenance_every,
+                    maintenance_groups,
+                    tombstone_retain_lsn,
+                )
         finally:
             batch_df.unpersist()
 

@@ -106,26 +106,40 @@ def refresh_agg_mart(
     )
     # drop no-op groups early (an update that keeps n_tok constant nets out)
     delta = delta.where((F.col("d_docs") != 0) | (F.col("d_tok") != 0))
+    # the delta plan (changes() = two bucket scans + two exceptAll shuffles)
+    # is consumed twice — the bucket probe below, then the merge — so cache
+    # it for the refresh's duration (same double-execution trap the CDC
+    # bucket probe documents in cdc/apply.py)
+    delta = delta.persist()
+    try:
+        bexpr = bucket_of(group_cols, msnap.n_buckets)
+        buckets = [r["__b"] for r in delta.select(bexpr.alias("__b")).distinct().collect()]
+        if not buckets:
+            # nothing changed (or a pure compaction): still record the interval
+            mart.append(mart.spark.createDataFrame([], msnap.schema), commit_key=commit_key)
+            return {"applied": True, "from": from_version, "to": to_version, "buckets": []}
 
-    bexpr = bucket_of(group_cols, msnap.n_buckets)
-    buckets = [r["__b"] for r in delta.select(bexpr.alias("__b")).distinct().collect()]
-    if not buckets:
-        # nothing changed (or a pure compaction): still record the interval
-        mart.append(mart.spark.createDataFrame([], msnap.schema), commit_key=commit_key)
-        return {"applied": True, "from": from_version, "to": to_version, "buckets": []}
-
-    old = mart.read(buckets=buckets)
-    merged = old.join(delta, on=list(group_cols), how="full").select(
-        *group_cols,
-        (F.coalesce(F.col("n_docs"), F.lit(0)) + F.coalesce(F.col("d_docs"), F.lit(0)))
-        .cast("long")
-        .alias("n_docs"),
-        (F.coalesce(F.col("n_tok_sum"), F.lit(0)) + F.coalesce(F.col("d_tok"), F.lit(0)))
-        .cast("long")
-        .alias("n_tok_sum"),
-    )
-    survivors = merged.where(F.col("n_docs") > 0)
-    applied = mart.overwrite_buckets(
-        survivors, buckets, commit_key=commit_key, schema=msnap.schema
-    )
+        old = mart.read(buckets=buckets)
+        # null-SAFE join on the group key: a NULL group value (nullable in the
+        # CDC schema) must match its own delta row, or the mart accumulates
+        # duplicate NULL-group rows and diverges from the full recompute
+        cond = None
+        for c in group_cols:
+            e = old[c].eqNullSafe(delta[c])
+            cond = e if cond is None else (cond & e)
+        merged = old.join(delta, on=cond, how="full").select(
+            *[F.coalesce(old[c], delta[c]).alias(c) for c in group_cols],
+            (F.coalesce(old["n_docs"], F.lit(0)) + F.coalesce(delta["d_docs"], F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.coalesce(old["n_tok_sum"], F.lit(0)) + F.coalesce(delta["d_tok"], F.lit(0)))
+            .cast("long")
+            .alias("n_tok_sum"),
+        )
+        survivors = merged.where(F.col("n_docs") > 0)
+        applied = mart.overwrite_buckets(
+            survivors, buckets, commit_key=commit_key, schema=msnap.schema
+        )
+    finally:
+        delta.unpersist()
     return {"applied": applied, "from": from_version, "to": to_version, "buckets": buckets}

@@ -92,14 +92,13 @@ def rolling_maintenance(
     buckets = [b for b in sorted(snap.manifests) if b % groups == g]
     if not buckets:
         return None
-    predicate = None
+    key = f"roll={epoch}-g{g}"
     if tombstone_horizon_lsn is not None:
-        predicate = ~(
-            (F.col(OP_COL) == "d") & (F.col(LSN_COL) <= F.lit(tombstone_horizon_lsn))
+        # delegate so the tombstone-retention predicate lives in ONE place
+        return gc_tombstones(
+            table, tombstone_horizon_lsn, buckets=buckets, commit_key=key
         )
-    return rewrite_buckets(
-        table, buckets=buckets, predicate=predicate, commit_key=f"roll={epoch}-g{g}"
-    )
+    return rewrite_buckets(table, buckets=buckets, commit_key=key)
 
 
 def expire_snapshots(

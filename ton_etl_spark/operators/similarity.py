@@ -213,12 +213,13 @@ def write_ivf_index(
         json.dump(meta, fh)
 
 
-def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], str]:
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Open a materialized IVF index → (DataFrame with the stored cell
-    column, centroids, cell_col name)."""
+    column, sidecar metadata).  Pass the metadata to ``ivf_ann_topk`` as
+    ``index_meta`` so the probe's centroids/columns are the index's own."""
     with open(os.path.join(path, "_ivf_meta.json")) as fh:
         meta = json.load(fh)
-    return spark.read.parquet(path), meta["centroids"], meta["cell_col"]
+    return spark.read.parquet(path), meta
 
 
 def ivf_ann_topk(
@@ -232,6 +233,7 @@ def ivf_ann_topk(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     cell_col: str | None = None,
+    index_meta: dict | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
     k-means cells, probe only the ``nprobe`` cells whose centroids are
@@ -246,7 +248,16 @@ def ivf_ann_topk(
       ``write_ivf_index`` so the column is the parquet partition key);
       ``centroids`` is required and must be the index's own metadata.  The
       probe filters on the STORED column — partition pruning, no recompute.
+    - ``index_meta`` (preferred for indexed mode): the dict returned by
+      ``read_ivf_index``'s sidecar — centroids, vec_col, and cell_col are
+      taken from it, so probe parameters CANNOT silently diverge from what
+      the index was built with (a mismatched manual ``centroids`` would
+      select wrong cells with no error).
     """
+    if index_meta is not None:
+        centroids = index_meta["centroids"]
+        vec_col = index_meta["vec_col"]
+        cell_col = index_meta["cell_col"]
     dim = len(query_vec)
     if cell_col is not None:
         if centroids is None:
@@ -381,6 +392,7 @@ def lsh_ann_topk(
     n_tables: int = 1,
     tbl_col: str | None = None,
     bucket_col: str | None = None,
+    index_meta: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's hyperplane bucket plus all
     buckets within ``multiprobe`` bit-flips, in each of ``n_tables``
@@ -398,7 +410,18 @@ def lsh_ann_topk(
     index built by ``with_lsh_buckets``/``write_lsh_index`` with the SAME
     (n_planes, seed, n_tables); the probe filters on the stored columns
     (partition pruning) and de-duplicates candidates hit in several tables
-    before scoring."""
+    before scoring.  Prefer ``index_meta`` (the dict from
+    ``read_lsh_index``): sketch params and column names are taken from the
+    index's own sidecar, so they CANNOT silently diverge from the build —
+    a manual seed/n_planes mismatch would probe wrong buckets and return
+    a wrong or empty top-k with no error."""
+    if index_meta is not None:
+        n_planes = index_meta["n_planes"]
+        seed = index_meta["seed"]
+        n_tables = index_meta["n_tables"]
+        vec_col = index_meta["vec_col"]
+        tbl_col = index_meta["tbl_col"]
+        bucket_col = index_meta["bucket_col"]
     probes = lsh_query_buckets(query_vec, n_planes, seed, multiprobe, n_tables)
     if (tbl_col is None) != (bucket_col is None):
         raise ValueError("pass both tbl_col and bucket_col, or neither")
