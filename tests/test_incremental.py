@@ -111,6 +111,45 @@ def test_incremental_mart_handles_null_group(spark, tmp_path):
     assert (None, 2, 3) in rows
 
 
+@pytest.mark.parametrize("seed", [101, 202])
+def test_incremental_mart_randomized_equivalence(spark, tmp_path, seed):
+    """Property-style: random create/update/delete batches (NULL sources
+    included, monotone LSNs) — after every refresh the mart must equal
+    the full recompute.  Catches interaction bugs a scripted scenario
+    misses (group churn, re-creation after delete, mixed-batch nets)."""
+    import random
+
+    rng = random.Random(seed)
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    mart = make_agg_mart(spark, str(tmp_path / "mart"), group_cols=["source"])
+    sources = ["web", "books", "code", None]
+    live: set[str] = set()
+    lsn = 0
+    prev_v = t.current_version()
+    for epoch in range(6):
+        rows = []
+        for _ in range(rng.randint(3, 12)):
+            lsn += 1
+            op = rng.choice(["c", "u", "d"])
+            if op == "d" and live:
+                k = rng.choice(sorted(live))
+                live.discard(k)
+                rows.append((k, "d", lsn, lsn, None, None, rng.choice(sources)))
+            else:
+                k = f"k{rng.randint(0, 15)}"
+                live.add(k)
+                n = rng.randint(1, 5)
+                rows.append(
+                    (k, op if op != "d" else "c", lsn, lsn,
+                     list(range(n)), n, rng.choice(sources))
+                )
+        apply_cdc_batch(t, spark.createDataFrame(rows, schema=CDC_EVENT_SCHEMA), epoch=epoch)
+        cur_v = t.current_version()
+        assert refresh_agg_mart(mart, t, prev_v, cur_v)["applied"]
+        prev_v = cur_v
+        assert _mart_rows(mart) == _full_rows(t), f"seed={seed} epoch={epoch}"
+
+
 def test_incremental_mart_survives_source_compaction(spark, tmp_path):
     """A compaction commit moves manifests without changing logical rows —
     the refresh over that interval must be a clean no-op delta."""
