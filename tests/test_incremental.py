@@ -150,6 +150,54 @@ def test_incremental_mart_randomized_equivalence(spark, tmp_path, seed):
         assert _mart_rows(mart) == _full_rows(t), f"seed={seed} epoch={epoch}"
 
 
+def test_streaming_mart_maintenance_crash_safe(spark, tmp_path, monkeypatch):
+    """The streaming materialized view: a mart maintained inside the CDC
+    stream loop, with a crash injected BETWEEN a merge and its mart
+    refresh.  On restart the cursor (recovered from the mart's own commit
+    keys) widens the next interval — the mart must converge to the full
+    recompute with no gap and no double-count."""
+    import os as _os
+
+    import ton_etl_spark.lake.incremental as inc
+    from ton_etl_spark.cdc.generator import generate_cdc_log, write_cdc_log
+    from ton_etl_spark.cdc.stream import start_cdc_stream
+    from ton_etl_spark.lake.table import LakeTable
+
+    log_dir = str(tmp_path / "log")
+    write_cdc_log(
+        generate_cdc_log(spark, 3000, seed=51), log_dir, n_batches=4, dup_pct=10, seed=51
+    )
+    real_refresh = inc.refresh_agg_mart
+    state = {"crashed": False}
+
+    def flaky(mart, source, from_version, to_version=None):
+        if not state["crashed"] and to_version is not None and to_version >= 2:
+            state["crashed"] = True
+            raise RuntimeError("injected crash after merge, before refresh")
+        return real_refresh(mart, source, from_version, to_version)
+
+    monkeypatch.setattr(inc, "refresh_agg_mart", flaky)
+    kw = dict(
+        log_glob=_os.path.join(log_dir, "phase=*", "__seq=*"),
+        table_root=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=8,
+        mart_root=str(tmp_path / "mart"),
+    )
+    q = start_cdc_stream(spark, **kw)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert state["crashed"]
+
+    q2 = start_cdc_stream(spark, **kw)
+    q2.awaitTermination()
+
+    t = LakeTable.load(spark, str(tmp_path / "tbl"))
+    mart = LakeTable.load(spark, str(tmp_path / "mart"))
+    assert _mart_rows(mart) == _full_rows(t)
+    assert inc.last_synced_version(mart) == t.current_version()
+
+
 def test_incremental_mart_survives_source_compaction(spark, tmp_path):
     """A compaction commit moves manifests without changing logical rows —
     the refresh over that interval must be a clean no-op delta."""

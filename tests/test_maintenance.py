@@ -88,6 +88,33 @@ def test_expire_snapshots_frees_files_keeps_current(spark, table_with_tombstones
     ] is False
 
 
+def test_expire_grace_protects_in_flight_commit(spark, table_with_tombstones):
+    """The concurrent-writer race directly: a commit writes its data file
+    and manifest BEFORE publishing its snapshot.  Maintenance running in
+    that window must not collect them (default grace); explicit
+    grace_seconds=0 (caller-serialized) may."""
+    import json as _json
+
+    t = table_with_tombstones
+    # simulate the pre-publish window: fresh data file + manifest that no
+    # published snapshot references yet
+    data_rel = os.path.join("data", "c99-pending", "__bucket=0", "part-pending.parquet")
+    os.makedirs(os.path.dirname(os.path.join(t.root, data_rel)), exist_ok=True)
+    with open(os.path.join(t.root, data_rel), "wb") as fh:
+        fh.write(b"PAR1pending")
+    man_rel = os.path.join("_meta", "manifests", "c99-pending-b0.json")
+    with open(os.path.join(t.root, man_rel), "w") as fh:
+        _json.dump([{"path": data_rel, "bucket": 0, "rows": 1}], fh)
+
+    expire_snapshots(t, keep_last=1)  # default grace
+    assert os.path.exists(os.path.join(t.root, data_rel))
+    assert os.path.exists(os.path.join(t.root, man_rel))
+
+    expire_snapshots(t, keep_last=1, grace_seconds=0)
+    assert not os.path.exists(os.path.join(t.root, data_rel))
+    assert not os.path.exists(os.path.join(t.root, man_rel))
+
+
 def test_rewrite_compacts_multi_file_buckets(spark, tmp_path):
     # appends accumulate one file per bucket per commit; rewrite collapses
     schema = spark.createDataFrame([], "k string, v long").schema

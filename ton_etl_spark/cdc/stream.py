@@ -84,6 +84,8 @@ def start_cdc_stream(
     maintenance_every: int | None = None,
     maintenance_groups: int = 4,
     tombstone_retain_lsn: int | None = None,
+    mart_root: str | None = None,
+    mart_group_cols: tuple[str, ...] = ("source",),
 ):
     """Start (or restart from checkpoint) the streaming tail.
 
@@ -100,7 +102,17 @@ def start_cdc_stream(
     than (max applied LSN − retain window); ONLY set it when the source's
     redelivery/out-of-order horizon is genuinely bounded by that window —
     a GC ahead of the redelivery bound re-opens the resurrection window
-    (see ``gc_tombstones``)."""
+    (see ``gc_tombstones``).
+
+    ``mart_root``: maintain a derived aggregate mart (a streaming
+    materialized view) alongside the sink — after each merge, the mart is
+    folded forward from ``LakeTable.changes`` over exactly the version
+    interval the merge produced (reference analog: the incremental
+    nft_events build as a continuous process).  Crash-safe with no side
+    channel: the refresh cursor is recovered from the mart's own commit
+    keys (``last_synced_version``), so a crash between the merge and the
+    refresh simply widens the next epoch's interval, and a replayed epoch
+    whose merge was a manifest no-op refreshes nothing."""
     table = make_sequences_table(spark, table_root, n_buckets=n_buckets)
     lineage = make_lineage_table(spark, lineage_root) if lineage_root else None
 
@@ -123,6 +135,19 @@ def start_cdc_stream(
         # reload table handle each batch: snapshot pointer may have advanced
         t = LakeTable.load(spark, table_root)
         apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
+        if mart_root is not None:
+            from ton_etl_spark.lake.incremental import (
+                last_synced_version,
+                make_agg_mart,
+                refresh_agg_mart,
+            )
+
+            mart = make_agg_mart(spark, mart_root, group_cols=list(mart_group_cols))
+            frm = last_synced_version(mart)
+            refresh_agg_mart(
+                mart, t, from_version=0 if frm is None else frm,
+                to_version=t.current_version(),
+            )
         _run_rolling_maintenance(
             t,
             lineage,

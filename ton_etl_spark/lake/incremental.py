@@ -65,6 +65,23 @@ def recompute_agg_mart(source: LakeTable, group_cols: list[str]) -> DataFrame:
     )
 
 
+def last_synced_version(mart: LakeTable) -> int | None:
+    """The newest source version this mart has folded in, recovered from
+    the mart's own commit keys (``martsync=<from>-<to>``) — the refresh
+    cursor survives crashes with NO side channel, because it lives in the
+    same atomically-published snapshot as the data it describes.  Returns
+    None for a never-refreshed mart."""
+    best: int | None = None
+    for k in mart.current().recent_commit_keys:
+        if k.startswith("martsync="):
+            try:
+                to_v = int(k.split("-")[-1])
+            except ValueError:
+                continue
+            best = to_v if best is None or to_v > best else best
+    return best
+
+
 def refresh_agg_mart(
     mart: LakeTable,
     source: LakeTable,
@@ -92,6 +109,10 @@ def refresh_agg_mart(
     changelog consumer).
     """
     to_version = to_version if to_version is not None else source.current_version()
+    if to_version <= from_version:
+        # nothing new (e.g. a crash-replayed epoch whose merge was already
+        # a manifest no-op) — no empty commit, no cursor movement needed
+        return {"applied": False, "from": from_version, "to": to_version}
     commit_key = f"martsync={from_version}-{to_version}"
     if mart.has_commit(commit_key):
         return {"applied": False, "from": from_version, "to": to_version}
