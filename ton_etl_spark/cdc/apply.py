@@ -112,7 +112,11 @@ def apply_cdc_batch(
         )
         lineage.append(lin, commit_key=commit_key)
 
-    if validate:
+    if validate and "tokens" in batch.columns and "n_tok" in batch.columns:
+        # token validation applies to tokenized-sequence payloads; a
+        # heterogeneous sink (multi-table routing, custom payload schema)
+        # without token columns merges unvalidated — its parser analog
+        # would do its own domain validation
         batch = with_token_validation(batch)
 
     stats = merge_lww(table, batch, commit_key=commit_key, buckets=buckets)

@@ -217,24 +217,35 @@ def start_cdc_multi_table_stream(
     maintenance_every: int | None = None,
     maintenance_groups: int = 4,
     tombstone_retain_lsn: int | None = None,
+    payload_schemas: dict | None = None,
 ):
     """One envelope stream fanned out to N LakeTables — the reference's
     topic→parsers routing (one consumed topic feeds several parser sinks,
     ``parser/parsers/__init__.py:118-132``; topics list
     ``datalake/topics.py:1-24``).
 
+    ``table_roots`` maps a ``__table`` value to that sink's LakeTable root.
+    The sinks may be HETEROGENEOUS: ``payload_schemas`` maps a table name
+    to its own payload ``StructType`` (must carry the engine envelope
+    columns doc_id/op/lsn/ts_ms; defaults to the tokenized-sequence
+    schema) — the reference's parsers each produce a different table
+    shape from the same topic.
+
+    Decode is two-phase, sized to what each phase needs: the STREAM
+    extracts only the routing field (``get_json_object`` of ``__table`` —
+    one narrow JVM expression over every message), and each table's full
+    Debezium decode (``from_json`` with THAT table's schema) runs inside
+    ``foreachBatch`` on that table's slice only — so every message is
+    full-decoded exactly once, with its own schema, and messages for
+    tables this job does not own (or with unparseable routing) are
+    dropped before any heavy parse, the same way the reference ignores
+    topics absent from its routing map.
+
     ``maintenance_every``/``maintenance_groups``/``tombstone_retain_lsn``:
     the same rolling maintenance policy as ``start_cdc_stream``, applied to
     EVERY sink (and its lineage table) on maintenance epochs — without it a
     long-running multi-table stream's lineage tables grow one file per
     bucket per epoch without bound.
-
-    ``table_roots`` maps a ``__table`` value to that sink's LakeTable root.
-    The Debezium decode runs ONCE on the streaming DataFrame (JVM-side
-    ``from_json``, keeping ``__table`` as the routing column); inside each
-    ``foreachBatch`` the decoded micro-batch is persisted once and sliced
-    per table, so N sinks cost one decode + N bucket-pruned merges, not N
-    decodes.
 
     Exactly-once is PER SINK: every table records ``epoch=<batch_id>`` in
     its OWN commit manifest.  A crash after table A committed epoch k but
@@ -247,9 +258,18 @@ def start_cdc_multi_table_stream(
         ROUTE_COL,
         parse_cdc_envelope,
     )
+    from ton_etl_spark.cdc.schema import KEY_COLS
 
-    for root in table_roots.values():
-        make_sequences_table(spark, root, n_buckets=n_buckets)
+    schemas = payload_schemas or {}
+    for name, root in table_roots.items():
+        if name in schemas:
+            if not LakeTable.exists(root):
+                LakeTable.create(
+                    spark, root, schema=schemas[name], key_cols=KEY_COLS,
+                    n_buckets=n_buckets,
+                )
+        else:
+            make_sequences_table(spark, root, n_buckets=n_buckets)
     lineages = {
         name: make_lineage_table(spark, root)
         for name, root in (lineage_roots or {}).items()
@@ -260,17 +280,19 @@ def start_cdc_multi_table_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(frames_glob)
     )
-    events = parse_cdc_envelope(frames, keep_route_col=True)
-    # messages routed to tables this job does not own are dropped here, the
-    # same way the reference ignores topics absent from its routing map
-    events = events.where(F.col(ROUTE_COL).isin(list(table_roots)))
+    routed = frames.withColumn(
+        ROUTE_COL, F.get_json_object(F.col("value").cast("string"), "$.__table")
+    ).where(F.col(ROUTE_COL).isin(list(table_roots)))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
             for name, root in table_roots.items():
                 t = LakeTable.load(spark, root)
-                sl = batch_df.where(F.col(ROUTE_COL) == name).drop(ROUTE_COL)
+                sl = parse_cdc_envelope(
+                    batch_df.where(F.col(ROUTE_COL) == name),
+                    payload_schema=schemas.get(name),
+                )
                 apply_cdc_batch(t, sl, epoch=batch_id, lineage=lineages.get(name))
                 _run_rolling_maintenance(
                     t,
@@ -285,7 +307,7 @@ def start_cdc_multi_table_stream(
             batch_df.unpersist()
 
     return (
-        events.writeStream.foreachBatch(_apply)
+        routed.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
