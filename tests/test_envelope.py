@@ -82,6 +82,58 @@ def test_envelope_drops_malformed_frames(spark):
     assert out.where(F.col("lsn") == 99).count() == 0  # mistyped row dropped whole
 
 
+def test_envelope_decode_fuzz_invariants(spark):
+    """Adversarial wire bytes: truncated JSON, wrong-typed fields, huge
+    numbers, unicode junk, empty/null values, meta-only and payload-only
+    documents.  Invariants: the decode NEVER raises, NEVER emits a row
+    with null op/lsn, and every surviving row round-trips its doc_id."""
+    import json as _json
+    import random
+
+    rng = random.Random(7)
+    frames = []
+    valid_ids = set()
+    for i in range(300):
+        kind = i % 10
+        if kind < 4:  # well-formed
+            doc = {
+                "doc_id": f"ok{i}", "tokens": [1, 2, 3], "n_tok": 3,
+                "source": "web", "extra_meta": None, "__op": "u",
+                "__table": "sequences", "__lsn": i, "__source_ts_ms": i,
+            }
+            valid_ids.add(f"ok{i}")
+            payload = _json.dumps(doc).encode()
+        elif kind == 4:  # truncated
+            payload = _json.dumps({"doc_id": f"t{i}", "__op": "u"}).encode()[: rng.randint(1, 20)]
+        elif kind == 5:  # wrong-typed payload field
+            payload = _json.dumps(
+                {"doc_id": f"w{i}", "tokens": "not-an-array", "n_tok": 1,
+                 "source": "web", "__op": "u", "__table": "sequences",
+                 "__lsn": i, "__source_ts_ms": i}
+            ).encode()
+        elif kind == 6:  # meta missing
+            payload = _json.dumps({"doc_id": f"m{i}", "tokens": [1], "n_tok": 1}).encode()
+        elif kind == 7:  # huge / overflowing numbers
+            payload = _json.dumps(
+                {"doc_id": f"h{i}", "tokens": [1], "n_tok": 1, "source": "web",
+                 "__op": "u", "__table": "sequences",
+                 "__lsn": 10**25, "__source_ts_ms": i}
+            ).encode()
+        elif kind == 8:  # unicode junk, not json
+            payload = ("☃" * rng.randint(1, 30)).encode()
+        else:  # null value
+            payload = None
+        frames.append((None, payload, "cdc.sequences", 0, i, None))
+    df = spark.createDataFrame(frames, KAFKA_FRAME_SCHEMA)
+    out = parse_cdc_envelope(df).collect()  # must not raise
+    assert all(r["op"] is not None and r["lsn"] is not None for r in out)
+    got_ids = {r["doc_id"] for r in out}
+    # every well-formed row survived; nothing else leaked through with a
+    # parseable-but-broken payload (wrong-typed rows are dropped WHOLE)
+    assert valid_ids <= got_ids
+    assert not any(d and (d.startswith("w") or d.startswith("t")) for d in got_ids)
+
+
 def test_envelope_replay_equality(spark, tmp_path):
     """Full CDC replay (out-of-order + duplicates + mid-stream evolution)
     through the Kafka-envelope decode: final state must equal the one-pass
