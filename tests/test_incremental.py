@@ -150,6 +150,57 @@ def test_incremental_mart_randomized_equivalence(spark, tmp_path, seed):
         assert _mart_rows(mart) == _full_rows(t), f"seed={seed} epoch={epoch}"
 
 
+def test_refresh_falls_back_to_rebuild_after_snapshot_expiry(spark, tmp_path):
+    """If snapshot expiry ran past the mart's cursor, the incremental
+    interval is unreadable — the refresh must fall back to a full rebuild
+    instead of crashing forever on the missing snapshot file."""
+    from ton_etl_spark.lake.maintenance import expire_snapshots
+
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    mart = make_agg_mart(spark, str(tmp_path / "mart"), group_cols=["source"])
+    v0 = t.current_version()
+    for e in range(3):
+        b = spark.createDataFrame(
+            [(f"k{e}", "c", e + 1, e + 1, [e], 1, "web")], schema=CDC_EVENT_SCHEMA
+        )
+        apply_cdc_batch(t, b, epoch=e)
+    # cursor at v0+1; expire everything but the newest snapshot
+    from ton_etl_spark.lake.incremental import rebuild_agg_mart, refresh_agg_mart as rf
+
+    rf(mart, t, v0, v0 + 1)
+    expire_snapshots(t, keep_last=1, grace_seconds=0)
+    res = rf(mart, t, v0 + 1)
+    assert res["applied"] and res.get("rebuild") is True
+    assert _mart_rows(mart) == _full_rows(t)
+    from ton_etl_spark.lake.incremental import last_synced_version
+
+    assert last_synced_version(mart) == t.current_version()
+    # strict callers can opt out of the fallback and get the loud error
+    with pytest.raises(FileNotFoundError):
+        rf(mart, t, v0 + 1, allow_rebuild=False)
+
+
+def test_rebuild_corrects_cursorless_prepopulated_mart(spark, tmp_path):
+    """A mart holding content but no cursor (manual bootstrap, or the key
+    aged out of the recent window) must be REBUILT, not delta'd from
+    version 0 — the delta would double every count."""
+    from ton_etl_spark.lake.incremental import rebuild_agg_mart, recompute_agg_mart
+
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    mart = make_agg_mart(spark, str(tmp_path / "mart"), group_cols=["source"])
+    b = spark.createDataFrame(
+        [("k1", "c", 1, 1, [1, 2], 2, "web"), ("k2", "c", 2, 2, [3], 1, "web")],
+        schema=CDC_EVENT_SCHEMA,
+    )
+    apply_cdc_batch(t, b, epoch=0)
+    # manual cursorless bootstrap (non-martsync key)
+    mart.append(recompute_agg_mart(t, ["source"]), commit_key="bootstrap")
+    assert _mart_rows(mart) == [("web", 2, 3)]
+    res = rebuild_agg_mart(mart, t)
+    assert res["applied"]
+    assert _mart_rows(mart) == [("web", 2, 3)]  # NOT doubled
+
+
 def test_streaming_mart_maintenance_crash_safe(spark, tmp_path, monkeypatch):
     """The streaming materialized view: a mart maintained inside the CDC
     stream loop, with a crash injected BETWEEN a merge and its mart

@@ -90,6 +90,56 @@ def test_fetch_with_cache_fetches_each_key_once(spark, tmp_path):
     assert got == {"a": b"v1:a", "b": b"v1:b", "c": b"v2:c"}
     assert cache.read().count() == 3
 
+    # a fully-cached call performs no fetch and mints NO new cache version
+    v_before = cache.current_version()
+
+    def exploding(keys, attempt):
+        raise AssertionError("fetcher must not be called for cached keys")
+
+    out3 = fetch_with_cache(d2, cache, "key", fetcher=exploding)
+    assert out3.where(F.col("status") == "ok").count() == 3
+    assert cache.current_version() == v_before
+
+
+def test_fetch_with_cache_failure_policies(spark, tmp_path):
+    def half(keys, attempt):
+        return {k: b"x" for k in keys if k != "bad"}
+
+    # default: failures surface for THIS call but are not cached (retried)
+    cache = make_sideload_cache(spark, str(tmp_path / "c1"))
+    out = fetch_with_cache(
+        _keys_df(spark, ["good", "bad"]), cache, "key", fetcher=half, max_attempts=2
+    )
+    rows = {r["key"]: r for r in out.collect()}
+    assert rows["good"]["status"] == "ok"
+    assert rows["bad"]["status"] == "failed" and rows["bad"]["payload"] is None
+    assert cache.read().where(F.col("key") == "bad").count() == 0
+
+    def healed(keys, attempt):
+        return {k: b"y" for k in keys}
+
+    out_retry = fetch_with_cache(_keys_df(spark, ["bad"]), cache, "key", fetcher=healed)
+    assert out_retry.collect()[0]["status"] == "ok"
+
+    # negative caching: the failure is recorded and NEVER refetched
+    cache2 = make_sideload_cache(spark, str(tmp_path / "c2"))
+    fetch_with_cache(
+        _keys_df(spark, ["good", "bad"]), cache2, "key",
+        fetcher=half, max_attempts=2, cache_failures=True,
+    )
+    assert cache2.read().where(F.col("status") == "failed").count() == 1
+
+    def exploding(keys, attempt):
+        raise AssertionError("negative-cached key must not be refetched")
+
+    out2 = fetch_with_cache(
+        _keys_df(spark, ["good", "bad"]), cache2, "key",
+        fetcher=exploding, cache_failures=True,
+    )
+    rows2 = {r["key"]: r for r in out2.collect()}
+    assert rows2["bad"]["status"] == "failed"
+    assert rows2["good"]["status"] == "ok"
+
 
 # ---------------------------------------------------------------- emulator
 

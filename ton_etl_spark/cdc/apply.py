@@ -73,7 +73,7 @@ def apply_cdc_batch(
     batch: DataFrame,
     epoch: int,
     lineage: LakeTable | None = None,
-    validate: bool = True,
+    validate: bool | str = "auto",
 ) -> dict:
     """Apply one delivery micro-batch: validate tokens (vectorized pandas
     UDF), record per-partition lineage, LWW-reduce, MERGE.  Idempotent on
@@ -112,11 +112,19 @@ def apply_cdc_batch(
         )
         lineage.append(lin, commit_key=commit_key)
 
-    if validate and "tokens" in batch.columns and "n_tok" in batch.columns:
-        # token validation applies to tokenized-sequence payloads; a
-        # heterogeneous sink (multi-table routing, custom payload schema)
-        # without token columns merges unvalidated — its parser analog
-        # would do its own domain validation
+    # validate='auto' (default): validate token payloads, pass through
+    # schemas without token columns (heterogeneous multi-table sinks do
+    # their own domain validation, like the reference's per-table parsers).
+    # validate=True is a hard requirement: a sequences batch that LOST its
+    # token columns to a bad upstream projection must fail loudly, not
+    # merge unvalidated.
+    has_token_cols = "tokens" in batch.columns and "n_tok" in batch.columns
+    if validate is True and not has_token_cols:
+        raise ValueError(
+            "validate=True but batch lacks tokens/n_tok columns; pass "
+            "validate='auto' for heterogeneous payloads"
+        )
+    if validate and has_token_cols:
         batch = with_token_validation(batch)
 
     stats = merge_lww(table, batch, commit_key=commit_key, buckets=buckets)

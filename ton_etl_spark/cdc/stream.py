@@ -139,15 +139,23 @@ def start_cdc_stream(
             from ton_etl_spark.lake.incremental import (
                 last_synced_version,
                 make_agg_mart,
+                rebuild_agg_mart,
                 refresh_agg_mart,
             )
 
             mart = make_agg_mart(spark, mart_root, group_cols=list(mart_group_cols))
             frm = last_synced_version(mart)
-            refresh_agg_mart(
-                mart, t, from_version=0 if frm is None else frm,
-                to_version=t.current_version(),
-            )
+            if frm is None:
+                # no cursor: the mart may hold pre-existing content (manual
+                # bootstrap, or the cursor key aged out of the recent-keys
+                # window) — a delta from version 0 would double-count it, so
+                # bootstrap with the full recompute, which is correct from
+                # ANY prior state
+                rebuild_agg_mart(mart, t, to_version=t.current_version())
+            else:
+                refresh_agg_mart(
+                    mart, t, from_version=frm, to_version=t.current_version()
+                )
         _run_rolling_maintenance(
             t,
             lineage,
@@ -260,6 +268,8 @@ def start_cdc_multi_table_stream(
     )
     from ton_etl_spark.cdc.schema import KEY_COLS
 
+    from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA_EVOLVED
+
     schemas = payload_schemas or {}
     for name, root in table_roots.items():
         if name in schemas:
@@ -270,6 +280,21 @@ def start_cdc_multi_table_stream(
                 )
         else:
             make_sequences_table(spark, root, n_buckets=n_buckets)
+        # config-drift guard: restarting WITHOUT the schema a sink was built
+        # with would decode its frames against the default sequences schema,
+        # silently nulling the custom payload columns and letting those rows
+        # win LWW over good stored data.  The sink's own persisted schema is
+        # the source of truth — every stored payload column must survive the
+        # decode we are about to run.
+        stored = set(LakeTable.load(spark, root).current().schema.fieldNames())
+        decode = set((schemas.get(name) or CDC_EVENT_SCHEMA_EVOLVED).fieldNames())
+        missing = sorted(stored - decode)
+        if missing:
+            raise ValueError(
+                f"table {name!r} at {root} stores columns {missing} that the "
+                f"configured payload schema would not decode — pass the "
+                f"table's schema in payload_schemas (config drift guard)"
+            )
     lineages = {
         name: make_lineage_table(spark, root)
         for name, root in (lineage_roots or {}).items()
@@ -289,20 +314,28 @@ def start_cdc_multi_table_stream(
         try:
             for name, root in table_roots.items():
                 t = LakeTable.load(spark, root)
+                # persist the DECODED slice too: the merge path consumes it
+                # several times (bucket probe, lineage, merge, maintenance
+                # max-lsn) and each action would otherwise re-run the heavy
+                # from_json over the raw frames — this is what makes
+                # "full-decoded exactly once" true, not just intended
                 sl = parse_cdc_envelope(
                     batch_df.where(F.col(ROUTE_COL) == name),
                     payload_schema=schemas.get(name),
-                )
-                apply_cdc_batch(t, sl, epoch=batch_id, lineage=lineages.get(name))
-                _run_rolling_maintenance(
-                    t,
-                    lineages.get(name),
-                    sl,
-                    batch_id,
-                    maintenance_every,
-                    maintenance_groups,
-                    tombstone_retain_lsn,
-                )
+                ).persist()
+                try:
+                    apply_cdc_batch(t, sl, epoch=batch_id, lineage=lineages.get(name))
+                    _run_rolling_maintenance(
+                        t,
+                        lineages.get(name),
+                        sl,
+                        batch_id,
+                        maintenance_every,
+                        maintenance_groups,
+                        tombstone_retain_lsn,
+                    )
+                finally:
+                    sl.unpersist()
         finally:
             batch_df.unpersist()
 

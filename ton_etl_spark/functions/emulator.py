@@ -81,6 +81,12 @@ def run_get_method(
     Debezium decimal decode (functions/debezium.py)."""
     factory = emulator_factory or _no_vm_factory
     libs = libraries or {}
+    clash = {"result", "status", "lib_hops"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} that the emulator "
+            f"output would shadow; rename them first"
+        )
 
     def _run(batches) -> Iterator:
         import pandas as pd

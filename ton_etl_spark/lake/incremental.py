@@ -82,11 +82,34 @@ def last_synced_version(mart: LakeTable) -> int | None:
     return best
 
 
+def rebuild_agg_mart(mart: LakeTable, source: LakeTable, to_version: int | None = None) -> dict:
+    """Full recompute of the mart from the source's LIVE state, replacing
+    every mart bucket, and setting the refresh cursor to ``to_version``
+    (commit key ``martsync=<v>-<v>``).  This is the safe bootstrap AND the
+    fallback when an incremental interval can no longer be read (the
+    ``from`` snapshot was expired): correct from any prior mart content,
+    at full-recompute cost."""
+    to_version = to_version if to_version is not None else source.current_version()
+    commit_key = f"martsync={to_version}-{to_version}"
+    if mart.has_commit(commit_key):
+        return {"applied": False, "from": to_version, "to": to_version, "rebuild": True}
+    msnap = mart.current()
+    new = recompute_agg_mart(source, msnap.key_cols)
+    applied = mart.overwrite_buckets(
+        new,
+        buckets=list(range(msnap.n_buckets)),
+        commit_key=commit_key,
+        schema=msnap.schema,
+    )
+    return {"applied": applied, "from": to_version, "to": to_version, "rebuild": True}
+
+
 def refresh_agg_mart(
     mart: LakeTable,
     source: LakeTable,
     from_version: int,
     to_version: int | None = None,
+    allow_rebuild: bool = True,
 ) -> dict:
     """Fold the source changelog ``(from_version, to_version]`` into the
     mart.
@@ -116,6 +139,16 @@ def refresh_agg_mart(
     commit_key = f"martsync={from_version}-{to_version}"
     if mart.has_commit(commit_key):
         return {"applied": False, "from": from_version, "to": to_version}
+    try:
+        source.snapshot(from_version)
+    except FileNotFoundError:
+        # the interval's base snapshot was expired (snapshot-expiry
+        # maintenance ran past the cursor) — an incremental read is
+        # impossible; fall back to the full recompute instead of wedging
+        # the caller in an unrecoverable crash loop
+        if allow_rebuild:
+            return rebuild_agg_mart(mart, source, to_version)
+        raise
     msnap = mart.current()
     group_cols = msnap.key_cols
 

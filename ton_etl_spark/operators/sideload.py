@@ -72,6 +72,12 @@ def fetch_sideload(
     ``backoff_base * 2**round`` between rounds inside each task (keep 0 in
     tests; real deployments set it to the API's pacing)."""
     the_fetcher = fetcher or _no_network_fetcher
+    clash = {"payload", "status", "attempts"} & set(df.columns) - {key_col}
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} that the fetch "
+            f"output would shadow; rename them first"
+        )
 
     def _run(batches) -> Iterator:
         import pandas as pd
@@ -129,20 +135,48 @@ def fetch_with_cache(
     max_attempts: int = 3,
     backoff_base: float = 0.0,
     commit_key: str | None = None,
+    cache_failures: bool = False,
 ) -> DataFrame:
     """Enrich ``df`` with fetched payloads, fetching ONLY keys the cache
-    has never successfully fetched (anti-join), and appending the new
-    successes to the cache — the reference's fetch-once-then-DB-cache
-    policy (jetton_metadata.py:40-66).  Returns ``df`` left-joined with
-    ``(payload, status)`` per key."""
-    cached_ok = cache.read().where(F.col("status") == "ok")
+    has no record for, and appending this call's results to the cache —
+    the reference's fetch-once-then-DB-cache policy
+    (jetton_metadata.py:40-66).
+
+    Successful keys are fetched once EVER.  Failed keys: with
+    ``cache_failures=False`` (default) the failure is returned for this
+    call (``status='failed'``) but not cached, so a later call retries it
+    — the transient-outage policy; with ``cache_failures=True`` the
+    failure IS cached and never retried — the permanent-404 policy
+    (choose per source, like the reference's per-API retry rules).
+
+    Returns ``df`` left-joined with ``(payload, status)`` per key —
+    ``status`` is 'ok', 'failed', or NULL only for keys genuinely never
+    attempted (absent from ``df``'s current call and the cache).
+    An all-cached call performs no fetch and writes NO new cache version."""
+    known = cache.read()
+    if not cache_failures:
+        known = known.where(F.col("status") == "ok")
     missing = df.select(key_col).distinct().join(
-        cached_ok.select(key_col), on=key_col, how="left_anti"
+        known.select(key_col), on=key_col, how="left_anti"
     )
-    fetched = fetch_sideload(missing, key_col, fetcher, max_attempts, backoff_base)
-    new_ok = fetched.where(F.col("status") == "ok")
-    cache.append(new_ok, commit_key=commit_key)
-    enrich = cache.read().where(F.col("status") == "ok").select(
-        key_col, "payload", "status"
+    # localCheckpoint (eager): the fetch runs EXACTLY once — every later
+    # consumer (cache append, emptiness check, enrichment join) reads the
+    # materialized result instead of re-invoking the side-effecting fetcher
+    fetched = fetch_sideload(
+        missing, key_col, fetcher, max_attempts, backoff_base
+    ).localCheckpoint()
+    to_cache = fetched if cache_failures else fetched.where(F.col("status") == "ok")
+    # skip the commit entirely when nothing was fetched — a hot loop over
+    # fully-cached keys must not mint empty table versions
+    if to_cache.limit(1).count() > 0:
+        cache.append(to_cache, commit_key=commit_key)
+    # enrich from every cached record PLUS this call's results, so a failed
+    # key surfaces as status='failed' whether cached or fresh — NULL status
+    # means only "never attempted"
+    cols = [key_col, "payload", "status"]
+    enrich = (
+        cache.read().select(*cols)
+        .unionByName(fetched.select(*cols))
+        .dropDuplicates([key_col])
     )
     return df.join(enrich, on=key_col, how="left")
