@@ -1,0 +1,73 @@
+"""CLI entry points: the operational layer a deployment runs
+(`python -m ton_etl_spark <cmd>` — the reference's process runners,
+parser/main.py:24-44).  Driven in-process via cli.main(argv); the
+session factory reuses the test session through getOrCreate."""
+
+import json
+import os
+
+from ton_etl_spark.cdc.envelope import to_kafka_frames
+from ton_etl_spark.cdc.generator import generate_cdc_log, write_cdc_log
+from ton_etl_spark.cli import main
+
+
+def test_cli_replay_then_oracle_check_and_maintain(spark, tmp_path, capsys):
+    log_root = str(tmp_path / "log")
+    write_cdc_log(generate_cdc_log(spark, 2000, seed=71), log_root, n_batches=3, dup_pct=10, seed=71)
+    table = str(tmp_path / "tbl")
+
+    assert main(["replay", "--log-root", log_root, "--table", table]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["cmd"] == "replay" and rep["epochs"] == 3 and rep["rows"] > 0
+
+    # the operational replay-equality check: exit code IS the verdict
+    assert main(["oracle-check", "--table", table, "--log-root", log_root]) == 0
+    oc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert oc["equal"] is True and oc["diff_rows"] == 0
+
+    assert main([
+        "maintain", "--table", table, "--compact",
+        "--gc-tombstones-below", "0", "--commit-key", "cli-m1",
+    ]) == 0
+    mt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mt["compact"]["applied"] is True
+
+    # state still matches the oracle after maintenance
+    assert main(["oracle-check", "--table", table, "--log-root", log_root]) == 0
+    capsys.readouterr()
+
+
+def test_cli_stream_and_multi_stream(spark, tmp_path, capsys):
+    log_root = str(tmp_path / "log")
+    dirs = write_cdc_log(
+        generate_cdc_log(spark, 1500, seed=72), log_root, n_batches=2, dup_pct=5, seed=72
+    )
+    assert main([
+        "stream",
+        "--log-glob", os.path.join(log_root, "phase=*", "__seq=*"),
+        "--table", str(tmp_path / "t1"),
+        "--checkpoint", str(tmp_path / "ck1"),
+        "--mart", str(tmp_path / "mart"),
+        "--max-files-per-trigger", "8",
+    ]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] > 0
+    assert main(["oracle-check", "--table", str(tmp_path / "t1"), "--log-root", log_root]) == 0
+    capsys.readouterr()
+
+    frames_dir = str(tmp_path / "frames")
+    for i, d in enumerate(dirs):
+        to_kafka_frames(spark.read.parquet(d), table="seq_a").coalesce(1).write.parquet(
+            os.path.join(frames_dir, f"b{i}")
+        )
+    assert main([
+        "multi-stream",
+        "--frames-glob", os.path.join(frames_dir, "*"),
+        "--route", f"seq_a={tmp_path / 't2'}",
+        "--checkpoint", str(tmp_path / "ck2"),
+        "--max-files-per-trigger", "1",
+    ]) == 0
+    ms = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ms["tables"] == ["seq_a"]
+    assert main(["oracle-check", "--table", str(tmp_path / "t2"), "--log-root", log_root]) == 0
+    capsys.readouterr()

@@ -1,0 +1,192 @@
+"""Command-line entry points — the operational parity layer.
+
+The reference is run as processes (`python parser/main.py`, the datalake
+exporter, the Airflow-triggered sync — parser/main.py:24-44 env-driven
+boot).  This engine is a library first, but a deployment needs runnable
+entry points; `python -m ton_etl_spark <cmd>` provides them:
+
+  replay        batch-replay a delivery schedule into a lake table
+  stream        run the Structured Streaming tail (file source) once
+                (availableNow) with optional lineage/mart/maintenance
+  multi-stream  one envelope stream fanned out to several tables
+  maintain      compaction / tombstone GC / snapshot expiry
+  oracle-check  recompute the one-pass oracle and diff it against the
+                table state (the operational replay-equality check)
+
+Every command builds its session via ``session.get_spark`` (honors
+``SPARK_MASTER`` env; local[*] default) — under spark-submit the master
+comes from the submit flags, matching the north rule's
+``spark-submit --py-files`` deployment."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from ton_etl_spark.session import get_spark
+
+    master = args.master or os.environ.get("SPARK_MASTER") or "local[*]"
+    return get_spark(app_name=f"ton_etl_spark.{args.cmd}", master=master)
+
+
+def _cmd_replay(args) -> int:
+    from ton_etl_spark.cdc.apply import read_state, replay_log_batched
+
+    spark = _spark(args)
+    # numeric delivery order (lexicographic would put __seq=10 before
+    # __seq=2; the LWW replay converges either way, but lineage epoch
+    # numbering should match the delivery schedule)
+    dirs = [
+        os.path.join(args.log_root, f"phase={p}", f"__seq={s}")
+        for p, s in sorted(
+            (int(d1.split("=")[1]), int(d2.split("=")[1]))
+            for d1 in os.listdir(args.log_root)
+            if d1.startswith("phase=")
+            for d2 in os.listdir(os.path.join(args.log_root, d1))
+            if d2.startswith("__seq=")
+        )
+    ]
+    table = replay_log_batched(
+        spark, dirs, args.table, lineage_root=args.lineage, n_buckets=args.buckets
+    )
+    print(json.dumps({"cmd": "replay", "epochs": len(dirs), "rows": read_state(table).count()}))
+    return 0
+
+
+def _cmd_stream(args) -> int:
+    from ton_etl_spark.cdc.apply import read_state
+    from ton_etl_spark.cdc.stream import start_cdc_stream
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    q = start_cdc_stream(
+        spark,
+        log_glob=args.log_glob,
+        table_root=args.table,
+        checkpoint_dir=args.checkpoint,
+        lineage_root=args.lineage,
+        n_buckets=args.buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+        maintenance_every=args.maintenance_every,
+        tombstone_retain_lsn=args.tombstone_retain_lsn,
+        mart_root=args.mart,
+    )
+    q.awaitTermination()
+    rows = read_state(LakeTable.load(spark, args.table)).count()
+    print(json.dumps({"cmd": "stream", "rows": rows}))
+    return 0
+
+
+def _cmd_multi_stream(args) -> int:
+    from ton_etl_spark.cdc.stream import start_cdc_multi_table_stream
+
+    spark = _spark(args)
+    routes = dict(kv.split("=", 1) for kv in args.route)
+    q = start_cdc_multi_table_stream(
+        spark,
+        frames_glob=args.frames_glob,
+        table_roots=routes,
+        checkpoint_dir=args.checkpoint,
+        n_buckets=args.buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+        maintenance_every=args.maintenance_every,
+    )
+    q.awaitTermination()
+    print(json.dumps({"cmd": "multi-stream", "tables": sorted(routes)}))
+    return 0
+
+
+def _cmd_maintain(args) -> int:
+    from ton_etl_spark.lake.maintenance import (
+        expire_snapshots,
+        gc_tombstones,
+        rewrite_buckets,
+    )
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    out: dict = {"cmd": "maintain"}
+    if args.compact:
+        out["compact"] = rewrite_buckets(t, commit_key=args.commit_key)
+    if args.gc_tombstones_below is not None:
+        out["gc"] = gc_tombstones(
+            t, args.gc_tombstones_below,
+            commit_key=(args.commit_key + "-gc") if args.commit_key else None,
+        )
+    if args.expire_keep_last is not None:
+        out["expire"] = expire_snapshots(t, keep_last=args.expire_keep_last)
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_oracle_check(args) -> int:
+    from ton_etl_spark.cdc.apply import final_state_oracle, read_full_log, read_state
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    got = read_state(t)
+    want = final_state_oracle(read_full_log(spark, args.log_root))
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    print(json.dumps({"cmd": "oracle-check", "rows": got.count(), "diff_rows": diff,
+                      "equal": diff == 0}))
+    return 0 if diff == 0 else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m ton_etl_spark")
+    p.add_argument("--master", default=None, help="spark master (default: SPARK_MASTER env or local[*])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="batch-replay a delivery schedule")
+    r.add_argument("--log-root", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--lineage", default=None)
+    r.add_argument("--buckets", type=int, default=16)
+    r.set_defaults(fn=_cmd_replay)
+
+    s = sub.add_parser("stream", help="run the streaming tail to completion")
+    s.add_argument("--log-glob", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--lineage", default=None)
+    s.add_argument("--mart", default=None)
+    s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--max-files-per-trigger", type=int, default=2)
+    s.add_argument("--maintenance-every", type=int, default=None)
+    s.add_argument("--tombstone-retain-lsn", type=int, default=None)
+    s.set_defaults(fn=_cmd_stream)
+
+    m = sub.add_parser("multi-stream", help="fan one envelope stream out to N tables")
+    m.add_argument("--frames-glob", required=True)
+    m.add_argument("--route", action="append", required=True,
+                   help="TABLE=ROOT mapping; repeatable")
+    m.add_argument("--checkpoint", required=True)
+    m.add_argument("--buckets", type=int, default=16)
+    m.add_argument("--max-files-per-trigger", type=int, default=2)
+    m.add_argument("--maintenance-every", type=int, default=None)
+    m.set_defaults(fn=_cmd_multi_stream)
+
+    mt = sub.add_parser("maintain", help="compaction / GC / snapshot expiry")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--compact", action="store_true")
+    mt.add_argument("--gc-tombstones-below", type=int, default=None)
+    mt.add_argument("--expire-keep-last", type=int, default=None)
+    mt.add_argument("--commit-key", default=None)
+    mt.set_defaults(fn=_cmd_maintain)
+
+    oc = sub.add_parser("oracle-check", help="diff table state vs the one-pass replay oracle")
+    oc.add_argument("--table", required=True)
+    oc.add_argument("--log-root", required=True)
+    oc.set_defaults(fn=_cmd_oracle_check)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv if argv is not None else sys.argv[1:])
+    return args.fn(args)
