@@ -141,6 +141,56 @@ def test_fetch_with_cache_failure_policies(spark, tmp_path):
     assert rows2["good"]["status"] == "ok"
 
 
+def test_fetch_with_cache_failed_then_ok_is_deterministic(spark, tmp_path):
+    """Alternating policies can legally leave BOTH a 'failed' and an 'ok'
+    row in the append-only cache for one key; every reader must resolve
+    that pair the same way ('ok' wins), never an arbitrary pick."""
+    from ton_etl_spark.operators.sideload import read_sideload_cache
+
+    cache = make_sideload_cache(spark, str(tmp_path / "c3"))
+
+    def failing(keys, attempt):
+        return {}
+
+    # 1) negative-cache the failure
+    fetch_with_cache(
+        _keys_df(spark, ["k"]), cache, "key",
+        fetcher=failing, max_attempts=1, cache_failures=True, commit_key="neg",
+    ).collect()
+    assert cache.read().collect()[0]["status"] == "failed"
+
+    def healed(keys, attempt):
+        return {k: b"fresh" for k in keys}
+
+    # 2) a cache_failures=False call refetches it (ok-only anti-join) and
+    # appends the ok row — the cache now holds two rows for 'k'
+    out = fetch_with_cache(
+        _keys_df(spark, ["k"]), cache, "key", fetcher=healed, commit_key="pos"
+    )
+    assert out.collect()[0]["status"] == "ok"
+    assert cache.read().count() == 2
+
+    def exploding(keys, attempt):
+        raise AssertionError("key resolved ok must not be refetched")
+
+    # 3) BOTH policies must now deterministically see the ok row, every call
+    for policy in (False, True, False, True):
+        rows = fetch_with_cache(
+            _keys_df(spark, ["k"]), cache, "key",
+            fetcher=exploding, cache_failures=policy,
+        ).collect()
+        assert rows[0]["status"] == "ok" and bytes(rows[0]["payload"]) == b"fresh"
+    resolved = read_sideload_cache(cache).collect()
+    assert len(resolved) == 1 and resolved[0]["status"] == "ok"
+
+
+def test_fetch_with_cache_rejects_clashing_columns(spark):
+    df = spark.createDataFrame([("k", "x")], "key string, status string")
+    cache = None  # guard fires before the cache is touched
+    with pytest.raises(ValueError, match="rename them first"):
+        fetch_with_cache(df, cache, "key", fetcher=lambda ks, a: {})
+
+
 # ---------------------------------------------------------------- emulator
 
 

@@ -27,6 +27,12 @@ filesystem APIs.  Design goals, in order:
    everything else.  Watermark coverage is opt-in by prefix precisely so
    an ad-hoc numeric key (``backfill=3`` after ``backfill=7``) can never
    be silently swallowed; reserved-prefix skips are logged.
+   Upgrade note (pre-release): tables written before watermark coverage
+   became opt-in may carry ``commit_watermarks`` under other prefixes;
+   those stored watermarks are now ignored, so a replay of such an old key
+   is deduplicated only within the recent-keys window.  No such deployed
+   tables exist; if one ever does, migrate its non-``epoch`` watermarks
+   into ``recent_commit_keys`` before upgrading.
 3. **Hash-bucketed layout** — every data file belongs to one bucket of
    ``pmod(murmur3(key), n_buckets)`` (Spark's ``F.hash``; see
    ``bucket_of``).  The bucket function is RECORDED in the snapshot

@@ -111,17 +111,26 @@ def minhash_signatures(
     element) instead of n_hashes independent transform+array_min passes —
     measured 1.5× at sf0.1, same trick as the single-pass simhash
     rewrite.  Signatures are bit-identical to the multi-pass form (min is
-    commutative).  All array ops; one narrow pass, no shuffle."""
+    commutative) for NON-EMPTY shingle sets; an empty/NULL shingle array
+    yields ``sig = NULL`` (the multi-pass ``array_min`` NULL, NOT the
+    fold's untouched Long.MAX accumulator — a MAX-sentinel sig would make
+    every shingle-less doc band-collide with every other).  ``shingles``
+    never emits an empty array for non-NULL text, so this only guards
+    direct callers with NULL/degenerate inputs.  All array ops; one narrow
+    pass, no shuffle."""
     sh = shingles(F.col(text_col), k_shingle).alias("__sh")
     base = F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed))).alias("__h")
     init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * n_hashes)
-    sig = F.aggregate(
-        F.col("__h"),
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(h, F.lit(seed + i)) for i in range(n_hashes)]),
-            lambda a, b: F.least(a, b),
+    sig = F.when(
+        F.size(F.col("__h")) > 0,
+        F.aggregate(
+            F.col("__h"),
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(h, F.lit(seed + i)) for i in range(n_hashes)]),
+                lambda a, b: F.least(a, b),
+            ),
         ),
     )
     return docs.select(F.col(id_col), sh).select(F.col(id_col), base).select(
@@ -141,7 +150,7 @@ def minhash_lsh_pairs(
     min_words: int | None = None,
     max_bucket_size: int | None = None,
     return_sigs: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate near-dup pairs (a < b) whose estimated Jaccard (signature
     agreement rate) >= threshold.
 
@@ -170,7 +179,9 @@ def minhash_lsh_pairs(
     immediately after consuming the pairs pass ``return_sigs=True`` and get
     ``(pairs, sigs)`` so they can ``sigs.unpersist()`` themselves (an
     explicit handle, not an attribute stapled to the DataFrame — attributes
-    are lost on the first ``select``/``filter``).
+    are lost on the first ``select``/``filter``).  Changed in round 3: the
+    old undocumented ``pairs._minhash_sigs`` attribute handle was REMOVED
+    in favor of this tuple return — update any caller that used it.
     """
     rows_per_band = n_hashes // bands
     if min_words is None:
@@ -188,7 +199,9 @@ def minhash_lsh_pairs(
     # band entries carry ONLY (id, band, bhash) — the 256-byte sig arrays
     # stay out of the self-join shuffle; candidate pairs join back to the
     # slim sigs table afterwards (near-dup candidates are sparse).
-    band_entries = sigs.select(
+    # NULL sigs (shingle-less docs, reachable only with min_words=0) are
+    # excluded: their band hashes would all be equal and bucket-collide.
+    band_entries = sigs.where(F.col("sig").isNotNull()).select(
         F.col(id_col),
         F.explode(
             F.array(

@@ -127,6 +127,28 @@ def make_sideload_cache(spark, root: str, key_col: str = "key") -> LakeTable:
     return LakeTable.create(spark, root, schema=schema, key_cols=[key_col], n_buckets=4)
 
 
+def read_sideload_cache(cache: LakeTable, key_col: str = "key") -> DataFrame:
+    """One row per key from the append-only cache log, resolved with a
+    DETERMINISTIC preference: 'ok' beats 'failed', then more attempts,
+    then larger payload.  The cache can legitimately hold two rows for one
+    key — a 'failed' row recorded under ``cache_failures=True`` and an
+    'ok' row appended by a later ``cache_failures=False`` call that
+    retried it (the upgrade path).  Every reader must resolve that pair
+    the same way; an arbitrary ``dropDuplicates`` pick would return a
+    different status/payload run to run."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(F.col("status") == "ok"), F.desc("attempts"), F.desc("payload")
+    )
+    return (
+        cache.read()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def fetch_with_cache(
     df: DataFrame,
     cache: LakeTable,
@@ -152,8 +174,21 @@ def fetch_with_cache(
     Returns ``df`` left-joined with ``(payload, status)`` per key —
     ``status`` is 'ok', 'failed', or NULL only for keys genuinely never
     attempted (absent from ``df``'s current call and the cache).
-    An all-cached call performs no fetch and writes NO new cache version."""
-    known = cache.read()
+    An all-cached call performs no fetch and writes NO new cache version.
+
+    Determinism: the cache is an append-only log, so a key retried across
+    calls with different ``cache_failures`` policies can hold both a
+    'failed' and a later 'ok' row.  All reads here go through
+    ``read_sideload_cache``, which resolves multi-row keys with a fixed
+    preference ('ok' first) — the enrichment never returns an arbitrary
+    row."""
+    clash = {"payload", "status"} & set(df.columns) - {key_col}
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} that the cache "
+            f"enrichment would shadow; rename them first"
+        )
+    known = read_sideload_cache(cache, key_col)
     if not cache_failures:
         known = known.where(F.col("status") == "ok")
     missing = df.select(key_col).distinct().join(
@@ -172,11 +207,16 @@ def fetch_with_cache(
         cache.append(to_cache, commit_key=commit_key)
     # enrich from every cached record PLUS this call's results, so a failed
     # key surfaces as status='failed' whether cached or fresh — NULL status
-    # means only "never attempted"
+    # means only "never attempted".  Fresh results win over cached rows for
+    # the same key (a retried key's new outcome supersedes its cached
+    # failure this call); the cached side is already one
+    # deterministically-preferred row per key.
     cols = [key_col, "payload", "status"]
+    fresh_keys = fetched.select(key_col)
     enrich = (
-        cache.read().select(*cols)
+        read_sideload_cache(cache, key_col)
+        .select(*cols)
+        .join(fresh_keys, on=key_col, how="left_anti")
         .unionByName(fetched.select(*cols))
-        .dropDuplicates([key_col])
     )
     return df.join(enrich, on=key_col, how="left")
