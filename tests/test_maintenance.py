@@ -372,3 +372,35 @@ def test_watermark_covers_only_reserved_prefix(spark, tmp_path):
     assert not t.has_commit("othersuite=1")
     # only the reserved prefix accrues a watermark
     assert t.current().commit_watermarks == {"epoch": 99}
+
+
+def test_target_file_rows_splits_hot_buckets(spark, tmp_path):
+    """A table created with target_file_rows bounds every data file at that
+    row count — the merge write splits a hot bucket into N manifest-
+    registered files (intra-task maxRecordsPerFile, so the pre-partitioned
+    zero-exchange plan is untouched), and compaction rewrites respect the
+    same bound instead of collapsing a big bucket into one straggler file."""
+    from ton_etl_spark.cdc.apply import final_state_oracle, read_state
+    from ton_etl_spark.cdc.generator import generate_cdc_log
+
+    t = make_sequences_table(
+        spark, str(tmp_path / "t"), n_buckets=4, target_file_rows=100
+    )
+    log = generate_cdc_log(spark, 8000, seed=11)
+    apply_cdc_batch(t, log, epoch=0)
+    files = t.current().files
+    assert all(f.rows <= 100 for f in files), sorted(f.rows for f in files)
+    per_bucket: dict[int, int] = {}
+    for f in files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) >= 2  # a hot bucket really split
+    # multi-file buckets read back to the exact merged state
+    got = {r["doc_id"]: r["lsn"] for r in read_state(t).collect()}
+    want = {r["doc_id"]: r["lsn"] for r in final_state_oracle(log).collect()}
+    assert got == want
+    # compaction keeps the bound (the old behavior was 1 file/bucket)
+    res = rewrite_buckets(t, commit_key="compact=1")
+    assert res["applied"]
+    files2 = t.current().files
+    assert all(f.rows <= 100 for f in files2), sorted(f.rows for f in files2)
+    assert sum(f.rows for f in files2) >= len(want)

@@ -56,7 +56,8 @@ def read_state(table: LakeTable) -> DataFrame:
 
 
 def make_sequences_table(
-    spark: SparkSession, root: str, n_buckets: int = 16
+    spark: SparkSession, root: str, n_buckets: int = 16,
+    target_file_rows: int | None = None,
 ) -> LakeTable:
     from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
 
@@ -64,7 +65,8 @@ def make_sequences_table(
         return LakeTable.load(spark, root)
     # start from the PRE-evolution schema: extra_meta must arrive mid-stream
     return LakeTable.create(
-        spark, root, schema=CDC_EVENT_SCHEMA, key_cols=KEY_COLS, n_buckets=n_buckets
+        spark, root, schema=CDC_EVENT_SCHEMA, key_cols=KEY_COLS,
+        n_buckets=n_buckets, target_file_rows=target_file_rows,
     )
 
 

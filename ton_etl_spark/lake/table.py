@@ -300,17 +300,31 @@ class LakeTable:
         key_cols: list[str],
         n_buckets: int = 16,
         properties: dict[str, str] | None = None,
+        target_file_rows: int | None = None,
     ) -> "LakeTable":
+        """``target_file_rows``: when set, every commit splits each bucket's
+        output at this row count (``maxRecordsPerFile``) instead of writing
+        one file per bucket — the Iceberg ``write.target-file-size`` role.
+        Without it a hot/compacted bucket becomes one multi-GB file: a
+        straggler task and an executor-memory hazard at 100 TB.  Rows, not
+        bytes, because rows are what the writer can bound deterministically;
+        size n_buckets × target_file_rows so a file lands in the hundreds
+        of MB for the table's row width."""
         t = cls(spark, root)
         os.makedirs(t._meta, exist_ok=True)
         os.makedirs(os.path.join(t.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.root, DATA_DIR), exist_ok=True)
+        props = {**(properties or {}), "bucket_fn": BUCKET_FN_ID}
+        if target_file_rows is not None:
+            if target_file_rows <= 0:
+                raise ValueError("target_file_rows must be positive")
+            props["target_file_rows"] = str(int(target_file_rows))
         snap = Snapshot(
             version=0,
             schema_json=json.dumps(schema.jsonValue()),
             n_buckets=n_buckets,
             key_cols=list(key_cols),
-            properties={**(properties or {}), "bucket_fn": BUCKET_FN_ID},
+            properties=props,
         )
         snap._root = t.root
         t._publish(snap)
@@ -357,6 +371,11 @@ class LakeTable:
 
     def has_commit(self, commit_key: str) -> bool:
         return self.current().has_commit_key(commit_key)
+
+    @staticmethod
+    def _target_file_rows(snap: Snapshot) -> int | None:
+        v = snap.properties.get("target_file_rows")
+        return int(v) if v else None
 
     # ------------------------------------------------------------------ bucketing
     def check_bucket_fn(self, snap: Snapshot) -> None:
@@ -437,28 +456,39 @@ class LakeTable:
         n_buckets: int,
         key_cols: list[str],
         pre_partitioned: bool = False,
+        target_file_rows: int | None = None,
     ) -> list[DataFile]:
         """Write ``df`` as one directory tree partitioned by bucket; return the
         produced files tagged with their bucket.  One output file per bucket
-        (a MERGE batch touches a bounded set of buckets, so files stay
-        coarse; a real deployment would also split by target-file-size).
+        by default (a MERGE batch touches a bounded set of buckets, so files
+        stay coarse); with ``target_file_rows`` set (the table property, see
+        ``create``) each bucket's output is split at that row count via
+        ``maxRecordsPerFile`` — an intra-task split, so the pre-partitioned
+        merge path keeps its zero-exchange plan while a hot or freshly
+        compacted bucket still lands as N bounded files in the per-bucket
+        manifest instead of one multi-GB straggler.
 
         ``pre_partitioned=True``: caller guarantees ``df`` is already
         hash-partitioned on the key columns with numPartitions==n_buckets
         (e.g. it is the output of a groupBy(key) run with
         ``spark.sql.shuffle.partitions = n_buckets``).  Because
         ``bucket_of`` equals Spark's partition-id expression, each task then
-        holds whole buckets and the dynamic-partition write still yields one
-        file per bucket with NO repartition exchange.  Otherwise an explicit
-        repartition keeps the snapshot's file count O(n_buckets) — skipping
-        it would fan out to n_partitions × n_buckets files (measured 2×
-        end-to-end regression from distributed listing on every read)."""
+        holds whole buckets and the dynamic-partition write needs NO
+        repartition exchange (write parallelism is n_buckets by design —
+        the zero-exchange trade; size n_buckets to the cluster).  Otherwise
+        an explicit repartition keeps the snapshot's file count
+        O(n_buckets) — skipping it would fan out to n_partitions ×
+        n_buckets files (measured 2× end-to-end regression from distributed
+        listing on every read)."""
         commit_rel = os.path.join(DATA_DIR, commit_id)
         commit_abs = os.path.join(self.root, commit_rel)
         out = df.withColumn(BUCKET_COL, bucket_of(key_cols, n_buckets))
         if not pre_partitioned:
             out = out.repartition(n_buckets, F.col(BUCKET_COL))
-        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_abs)
+        writer = out.write.mode("overwrite")
+        if target_file_rows is not None:
+            writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+        writer.partitionBy(BUCKET_COL).parquet(commit_abs)
         # stat the produced files with a thread pool: footer opens are
         # ~ms each but serial over n_buckets files they add up to a fixed
         # driver-side cost per commit that hurts scaling (Amdahl)
@@ -507,7 +537,10 @@ class LakeTable:
         schema = _merge_schemas(snap.schema, df.schema)
         df = _conform(df, schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
-        new_files = self._write_commit_files(df, commit_id, snap.n_buckets, snap.key_cols)
+        new_files = self._write_commit_files(
+            df, commit_id, snap.n_buckets, snap.key_cols,
+            target_file_rows=self._target_file_rows(snap),
+        )
         by_bucket: dict[int, list[DataFile]] = {}
         for f in new_files:
             by_bucket.setdefault(f.bucket, []).append(f)
@@ -550,7 +583,9 @@ class LakeTable:
         df = _conform(df, new_schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
         new_files = self._write_commit_files(
-            df, commit_id, snap.n_buckets, snap.key_cols, pre_partitioned=pre_partitioned
+            df, commit_id, snap.n_buckets, snap.key_cols,
+            pre_partitioned=pre_partitioned,
+            target_file_rows=self._target_file_rows(snap),
         )
         bset = set(buckets)
         stray = sorted({f.bucket for f in new_files} - bset)
