@@ -58,7 +58,11 @@ filesystem APIs.  Design goals, in order:
    ``datalake_daily_sync.py:268-296``).
 
 Concurrency contract: single writer per table (exactly how the reference
-runs one consumer-group per sink table).  Readers are lock-free.
+runs one consumer-group per sink table) — and since round 4 the contract
+is ENFORCED, not just documented: ``_publish`` is an optimistic
+compare-and-swap on the ``_current`` pointer, so a second writer racing a
+commit gets ``CommitConflictError`` instead of silently dropping the
+winner's snapshot.  Readers are lock-free.
 """
 
 from __future__ import annotations
@@ -101,6 +105,15 @@ WATERMARK_PREFIXES = frozenset({"epoch"})
 # recorded in Snapshot.properties and validated on every bucket-dependent
 # operation: changing the hash silently mis-prunes existing tables
 BUCKET_FN_ID = "murmur3_v1"
+
+
+class CommitConflictError(Exception):
+    """Another writer published a snapshot after this commit read its base
+    version.  The losing commit's data files are unreferenced orphans
+    (``expire_snapshots`` collects them); the table itself is untouched.
+    Retry the whole operation — it must re-read the NEW current state, not
+    just re-publish (the merge's winners were computed against stale
+    data)."""
 
 
 def _numeric_epoch(commit_key: str) -> tuple[str, int] | None:
@@ -358,16 +371,47 @@ class LakeTable:
         return snap
 
     def _publish(self, snap: Snapshot) -> None:
-        """Write snapshot JSON, then atomically flip the _current pointer."""
-        path = self._snapshot_path(snap.version)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(snap.to_json(), fh)
-        os.replace(tmp, path)
-        ptr_tmp = os.path.join(self._meta, CURRENT_PTR + ".tmp")
-        with open(ptr_tmp, "w") as fh:
-            fh.write(str(snap.version))
-        os.replace(ptr_tmp, os.path.join(self._meta, CURRENT_PTR))
+        """Compare-and-swap publish: write snapshot JSON, then atomically
+        flip the ``_current`` pointer — but ONLY if the pointer still reads
+        ``snap.version - 1`` (the base this commit was planned against).
+
+        This enforces the single-writer contract instead of documenting it
+        (Iceberg's optimistic concurrency on the catalog pointer; reference
+        analog: Postgres serializes the upserts transactionally,
+        ``parser/db.py:258-330``).  Two writers racing the old
+        last-write-wins ``os.replace`` could silently drop a committed
+        snapshot; now the slower writer gets ``CommitConflictError`` and
+        must retry from the new current state (its data files become
+        orphans; ``expire_snapshots`` collects them).  The check-and-swap
+        runs under an exclusive ``flock`` — kernel-released on process
+        death, so no stale-lock recovery path — and the critical section
+        is two small metadata writes, never Spark work.  On an object
+        store without atomic rename, swap this for a catalog CAS
+        (DynamoDB/Glue conditional put); the contract is identical."""
+        import fcntl
+
+        ptr = os.path.join(self._meta, CURRENT_PTR)
+        with open(os.path.join(self._meta, "_commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = self.current_version() if os.path.exists(ptr) else -1
+                if cur != snap.version - 1:
+                    raise CommitConflictError(
+                        f"table {self.root}: commit planned against version "
+                        f"{snap.version - 1} but current is {cur} — another "
+                        f"writer committed first; retry from the new state"
+                    )
+                path = self._snapshot_path(snap.version)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(snap.to_json(), fh)
+                os.replace(tmp, path)
+                ptr_tmp = ptr + ".tmp"
+                with open(ptr_tmp, "w") as fh:
+                    fh.write(str(snap.version))
+                os.replace(ptr_tmp, ptr)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def has_commit(self, commit_key: str) -> bool:
         return self.current().has_commit_key(commit_key)
