@@ -1,0 +1,102 @@
+"""Metrics drain: every micro-batch's progress (input rows, durations,
+observed delivery counters) lands as a row in a queryable LakeTable via a
+StreamingQueryListener, survives a stream restart, and feeds the
+dashboard queries (ingest rate, batch-duration percentiles) — the
+prometheus_exporter parity surface (reference
+prometheus_exporter/main.py:88-106)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ton_etl_spark.cdc.apply import read_full_log
+from ton_etl_spark.cdc.generator import generate_cdc_log, write_cdc_log
+from ton_etl_spark.cdc.stream import run_stream_to_completion
+from ton_etl_spark.streaming.observability import (
+    attach_metrics_recorder,
+    batch_duration_percentiles,
+    detach_metrics_recorder,
+    ingest_rate_windows,
+    make_metrics_table,
+)
+
+
+def test_metrics_recorder_drains_progress_and_survives_restart(spark, tmp_path):
+    log_dir = str(tmp_path / "mlog1")
+    log = generate_cdc_log(spark, 2000, seed=33)
+    write_cdc_log(log, log_dir, n_batches=4, dup_pct=10, seed=33)
+    # glob spans sibling dirs so the restart below can deliver NEW files
+    glob_path = os.path.join(str(tmp_path), "mlog*", "phase=*", "__seq=*")
+    metrics_root = str(tmp_path / "metrics")
+
+    def _rows_by_batch(timeout=60.0, want_input_total=None):
+        # listener delivery is asynchronous (rows can land after
+        # awaitTermination) — poll until the totals converge
+        import time
+
+        deadline = time.time() + timeout
+        rows = {}
+        while time.time() < deadline:
+            m = make_metrics_table(spark, metrics_root).read()
+            rows = {(r["run_id"], r["batch_id"]): r for r in m.collect()}
+            total = sum(r["num_input_rows"] for r in rows.values())
+            if want_input_total is not None and total >= want_input_total:
+                break
+            time.sleep(0.5)
+        return rows
+
+    rec = attach_metrics_recorder(spark, metrics_root)
+    try:
+        run_stream_to_completion(
+            spark, glob_path, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=4,
+        )
+        delivered = read_full_log(spark, log_dir).count()
+        rows = _rows_by_batch(want_input_total=delivered)
+        assert not rec.errors, rec.errors
+        assert {b for _, b in rows} >= {0, 1, 2, 3}  # one row per applied epoch
+        # the stream persists each micro-batch, so the trigger's counters
+        # are exact (one execution pass) and must equal the delivered log
+        assert sum(r["num_input_rows"] for r in rows.values()) == delivered
+        assert sum(r["events"] for r in rows.values() if r["events"]) == delivered
+        assert all(
+            r["num_input_rows"] > 0 and r["trigger_ms"] > 0
+            for r in rows.values()
+        )
+        lsn_max = read_full_log(spark, log_dir).agg(F.max("lsn")).first()[0]
+        assert max(r["max_lsn"] for r in rows.values() if r["max_lsn"] is not None) == lsn_max
+        n_first_run = len(rows)
+
+        # restart the SAME checkpoint with new files: old rows survive, the
+        # new run's batches append under its own run_id
+        delivered2 = 500  # dup_pct=0 below
+        write_cdc_log(
+            generate_cdc_log(spark, 500, seed=34), str(tmp_path / "mlog2"),
+            n_batches=1, dup_pct=0, seed=34,
+        )
+        run_stream_to_completion(
+            spark, glob_path, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=4,
+        )
+        rows2 = _rows_by_batch(want_input_total=delivered + delivered2)
+        assert not rec.errors, rec.errors
+        assert sum(r["num_input_rows"] for r in rows2.values()) == delivered + delivered2
+        assert len(rows2) > n_first_run
+        assert len({run for run, _ in rows2}) == 2
+        # first run's rows are untouched by the restart
+        assert all(k in rows2 for k in rows)
+        m2 = make_metrics_table(spark, metrics_root).read()
+
+        # dashboard queries over the metrics table
+        rate = ingest_rate_windows(m2, window_sec=3600).collect()
+        assert len(rate) >= 1
+        assert (
+            sum(r["events_total"] for r in rate)
+            == m2.agg(F.sum("num_input_rows")).first()[0]
+        )
+        assert all(r["events_per_sec"] > 0 for r in rate)
+        lat = batch_duration_percentiles(m2, window_sec=3600).collect()
+        assert len(lat) >= 1
+        assert all(r["p50"] > 0 and r["p95"] >= r["p50"] for r in lat)
+    finally:
+        detach_metrics_recorder(spark, rec)

@@ -132,9 +132,21 @@ def start_cdc_stream(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # reload table handle each batch: snapshot pointer may have advanced
-        t = LakeTable.load(spark, table_root)
-        apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
+        # persist: apply_cdc_batch consumes the batch more than once (bucket
+        # probe, lineage, merge) — caching it (a) reads the source files once
+        # per trigger instead of per action and (b) makes the trigger's
+        # progress counters (numInputRows, observed delivery events) exact
+        # instead of accumulating one count per execution pass
+        batch_df.persist()
+        try:
+            # reload table handle each batch: snapshot pointer may have advanced
+            t = LakeTable.load(spark, table_root)
+            apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
+            _post_merge(t, batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _post_merge(t: LakeTable, batch_df: DataFrame, batch_id: int) -> None:
         if mart_root is not None:
             from ton_etl_spark.lake.incremental import (
                 last_synced_version,
@@ -203,8 +215,14 @@ def start_cdc_envelope_stream(
     events = parse_cdc_envelope(frames, table=table_filter)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        t = LakeTable.load(spark, table_root)
-        apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
+        # persist for the same reasons as start_cdc_stream — and here each
+        # re-execution would also re-run the from_json envelope decode
+        batch_df.persist()
+        try:
+            t = LakeTable.load(spark, table_root)
+            apply_cdc_batch(t, batch_df, epoch=batch_id, lineage=lineage)
+        finally:
+            batch_df.unpersist()
 
     return (
         events.writeStream.foreachBatch(_apply)

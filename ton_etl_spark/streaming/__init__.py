@@ -1,3 +1,20 @@
 from ton_etl_spark.streaming.metrics import tumbling_tps, latency_percentiles
+from ton_etl_spark.streaming.observability import (
+    MetricsRecorder,
+    attach_metrics_recorder,
+    batch_duration_percentiles,
+    detach_metrics_recorder,
+    ingest_rate_windows,
+    make_metrics_table,
+)
 
-__all__ = ["tumbling_tps", "latency_percentiles"]
+__all__ = [
+    "tumbling_tps",
+    "latency_percentiles",
+    "MetricsRecorder",
+    "attach_metrics_recorder",
+    "detach_metrics_recorder",
+    "make_metrics_table",
+    "ingest_rate_windows",
+    "batch_duration_percentiles",
+]

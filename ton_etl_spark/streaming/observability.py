@@ -1,0 +1,197 @@
+"""Drain streaming progress + observed metrics into a queryable table.
+
+The reference ships a Prometheus exporter process that polls pipeline
+state and exposes gauges for scraping (``prometheus_exporter/main.py:
+88-106``).  The Spark-first equivalent: a ``StreamingQueryListener``
+turns every micro-batch's ``StreamingQueryProgress`` — input rows,
+trigger durations, and the free ``observe()`` delivery counters that
+ride the source scan (``cdc/stream.py``) — into rows of a small
+LakeTable.  Operational dashboards are then ordinary queries over that
+table (``ingest_rate_windows`` reuses ``tumbling_tps``,
+``batch_duration_percentiles`` reuses ``latency_percentiles``) instead
+of a bespoke exporter protocol; a real deployment points a SQL/parquet
+Prometheus exporter or Trino at the table root.
+
+Delivery semantics: listener events are driver-side and asynchronous
+(Spark dispatches them on the listener bus AFTER the batch commits), so
+rows can land moments after ``awaitTermination`` returns — callers that
+need a barrier call ``MetricsRecorder.wait_for(n)``.  Each progress row
+is idempotent on a ``(run, batch)`` commit key, a metrics write never
+raises into the listener bus (errors are kept on ``recorder.errors``),
+and a ``CommitConflictError`` from another recorder sharing the table is
+retried — metrics are observability, they must not fight the pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQueryListener
+
+from ton_etl_spark.lake.table import CommitConflictError, LakeTable
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("batch_ts", T.StringType(), True),  # ISO-8601 progress timestamp
+        T.StructField("num_input_rows", T.LongType(), True),
+        T.StructField("trigger_ms", T.LongType(), True),  # durationMs.triggerExecution
+        T.StructField("add_batch_ms", T.LongType(), True),  # durationMs.addBatch
+        # the observe("delivery", ...) counters from cdc/stream.py (NULL when
+        # the watched observation is absent from this query).  CAVEAT:
+        # `events` counts rows THROUGH the observation point accumulated
+        # across every execution of the batch plan — a foreachBatch that
+        # consumes the batch twice (bucket probe + merge) reports ~2× the
+        # delivered rows.  min/max aggregates are pass-invariant and exact;
+        # for exact delivered counts use num_input_rows (derived from source
+        # offsets, not execution) or the lineage table's event_count.
+        T.StructField("events", T.LongType(), True),
+        T.StructField("min_lsn", T.LongType(), True),
+        T.StructField("max_lsn", T.LongType(), True),
+    ]
+)
+
+
+def make_metrics_table(spark: SparkSession, root: str) -> LakeTable:
+    if LakeTable.exists(root):
+        return LakeTable.load(spark, root)
+    return LakeTable.create(
+        spark, root, schema=METRICS_SCHEMA, key_cols=["run_id", "batch_id"], n_buckets=2
+    )
+
+
+class MetricsRecorder(StreamingQueryListener):
+    """Append one row per micro-batch progress event to a LakeTable.
+
+    Attach with ``attach_metrics_recorder`` (or
+    ``spark.streams.addListener``); one recorder serves every query on the
+    session, so multiple streams share one metrics table with their rows
+    distinguished by ``query_id``/``run_id``."""
+
+    def __init__(self, spark: SparkSession, root: str, observation: str = "delivery"):
+        self.spark = spark
+        self.observation = observation
+        self.table = make_metrics_table(spark, root)
+        self.errors: list[Exception] = []
+        self.rows_written = 0
+        self._lock = threading.Lock()
+
+    # -------------------------------------------------------- listener API
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API names)
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        # a metrics failure must never propagate into the listener bus (it
+        # would be swallowed there anyway, with a scarier stack trace)
+        try:
+            self._record(json.loads(event.progress.json))
+        except Exception as e:  # pragma: no cover - defensive
+            self.errors.append(e)
+
+    # -------------------------------------------------------- internals
+    def _record(self, p: dict) -> None:
+        obs = (p.get("observedMetrics") or {}).get(self.observation) or {}
+        dur = p.get("durationMs") or {}
+
+        def _long(v):
+            return None if v is None else int(v)
+
+        row = (
+            str(p["id"]),
+            str(p["runId"]),
+            int(p["batchId"]),
+            p.get("timestamp"),
+            _long(p.get("numInputRows", 0)),
+            _long(dur.get("triggerExecution")),
+            _long(dur.get("addBatch")),
+            _long(obs.get("events")),
+            _long(obs.get("min_lsn")),
+            _long(obs.get("max_lsn")),
+        )
+        key = f"qp-{row[1][:8]}={row[2]}"  # (run, batch): replays dedupe
+        df = self.spark.createDataFrame([row], METRICS_SCHEMA)
+        # the lock serializes this process's recorders; the retry handles a
+        # recorder in ANOTHER process sharing the table (CAS loser re-reads)
+        with self._lock:
+            for _ in range(8):
+                try:
+                    if self.table.append(df, commit_key=key):
+                        self.rows_written += 1
+                    return
+                except CommitConflictError:
+                    continue
+        self.errors.append(RuntimeError(f"metrics commit starved for {key}"))
+
+    # -------------------------------------------------------- barrier
+    def wait_for(self, n_rows: int, timeout: float = 60.0) -> bool:
+        """Block until this recorder has written ``n_rows`` rows (listener
+        delivery is asynchronous; awaitTermination does not wait for it)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if self.rows_written >= n_rows and not self.errors:
+                return True
+            time.sleep(0.2)
+        return self.rows_written >= n_rows
+
+
+def attach_metrics_recorder(
+    spark: SparkSession, root: str, observation: str = "delivery"
+) -> MetricsRecorder:
+    rec = MetricsRecorder(spark, root, observation)
+    spark.streams.addListener(rec)
+    return rec
+
+
+def detach_metrics_recorder(spark: SparkSession, rec: MetricsRecorder) -> None:
+    spark.streams.removeListener(rec)
+
+
+# ------------------------------------------------------------- dashboards
+def ingest_rate_windows(metrics: DataFrame, window_sec: int = 60) -> DataFrame:
+    """Delivered events/sec per wall-clock window — the exporter's
+    messages-per-second gauge, as a query over the metrics table.  Uses
+    ``num_input_rows`` (offset-derived, exact) — the observed ``events``
+    counter accumulates across batch re-executions (see METRICS_SCHEMA)."""
+    from ton_etl_spark.streaming.metrics import tumbling_tps
+
+    df = metrics.withColumn(
+        "__sec", F.unix_timestamp(F.try_to_timestamp(F.col("batch_ts"))).cast("long")
+    ).withColumn("__events", F.coalesce(F.col("num_input_rows"), F.col("events")))
+    return tumbling_tps(
+        df.where(F.col("__sec").isNotNull()),
+        ts_col="__sec",
+        count_col="__events",
+        window_sec=window_sec,
+    ).withColumnsRenamed({"tx_total": "events_total", "tps": "events_per_sec"})
+
+
+def batch_duration_percentiles(metrics: DataFrame, window_sec: int = 3600) -> DataFrame:
+    """avg/p50/p75/p95 micro-batch duration (seconds) per wall-clock window
+    — the exporter's pipeline-latency gauges, reusing the same percentile
+    query the chain metrics use."""
+    from ton_etl_spark.streaming.metrics import latency_percentiles
+
+    end = F.unix_timestamp(F.try_to_timestamp(F.col("batch_ts"))).cast("double")
+    df = (
+        metrics.withColumn("__end", end)
+        .withColumn(
+            "__start", F.col("__end") - F.col("trigger_ms").cast("double") / F.lit(1000.0)
+        )
+        .where(F.col("__end").isNotNull() & F.col("trigger_ms").isNotNull())
+    )
+    return latency_percentiles(
+        df, start_col="__start", end_col="__end", group_window_sec=window_sec
+    )
