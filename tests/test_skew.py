@@ -72,3 +72,42 @@ def test_merge_hot_key_matches_oracle(spark, hot_batch, tmp_path):
     got = sorted(tuple(r) for r in read_state(table).collect())
     want = sorted(tuple(r) for r in final_state_oracle(hot_batch).collect())
     assert got == want and len(got) > 0
+
+
+def test_funnel_pattern_bounded_under_hot_user(spark, tmp_path):
+    """funnel_pattern must not materialize a hot user's whole event chain:
+    one user with 100k events (ending view→click→purchase) and a control
+    population must produce exactly the brute-force answer, through the
+    windowed top-3 plan rather than a collect_list of the full chain."""
+    from ton_etl_spark.plans.queries import QUERIES
+
+    n_hot = 100_000
+    hot = (
+        spark.range(n_hot, numPartitions=8)
+        .select(
+            F.lit(0).alias("user_id"),
+            F.col("id").cast("long").alias("ts"),
+            F.col("id").cast("long").alias("event_id"),
+            # last three (ts = n-3, n-2, n-1) form the funnel; earlier events
+            # are noise the plan must never buffer wholesale
+            F.when(F.col("id") == n_hot - 3, "view")
+            .when(F.col("id") == n_hot - 2, "click")
+            .when(F.col("id") == n_hot - 1, "purchase")
+            .otherwise("view")
+            .alias("event_type"),
+        )
+    )
+    # control users: u1 matches the funnel, u2 fails it, u3 too short
+    ctl = spark.createDataFrame(
+        [
+            (1, 10, 1, "view"), (1, 11, 2, "click"), (1, 12, 3, "purchase"),
+            (2, 10, 4, "view"), (2, 11, 5, "purchase"), (2, 12, 6, "click"),
+            (3, 10, 7, "purchase"),
+        ],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    events = hot.unionByName(ctl)
+    root = str(tmp_path / "sf")
+    events.write.parquet(f"{root}/events.parquet")
+    got = {(r["user_id"], r["n_events"]) for r in QUERIES["funnel_pattern"](spark, root).collect()}
+    assert got == {(0, n_hot), (1, 3)}

@@ -127,30 +127,41 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     row-in over Arrow batches — is real."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, tss, frames = [], [], [], []
-            for mid, kind, payload, dur in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
-            ):
-                # pd.isna: a NULL duration arrives as float NaN in the
-                # pandas batch (nullable int), and int(NaN) raises
-                if kind != "video" or payload is None or pd.isna(dur) or not dur:
-                    continue
-                n = int(dur) // every_ms
-                b = bytes(payload)
-                for i in range(n):
-                    ids.append(mid)
-                    idxs.append(i)
-                    tss.append(i * every_ms)
-                    lo = (i * len(b)) // max(n, 1)
-                    hi = ((i + 1) * len(b)) // max(n, 1)
-                    frames.append(b[lo:hi])
+            # pd.to_numeric: a NULL duration arrives as float NaN in the
+            # pandas batch (nullable int), and int(NaN) raises
+            dur = pd.to_numeric(pdf["duration_ms"], errors="coerce")
+            valid = (pdf["kind"] == "video") & pdf["payload"].notna() & (dur > 0)
+            sub = pdf[valid.fillna(False)]
+            if len(sub) == 0:
+                continue
+            n = (dur[valid.fillna(False)].astype("int64") // every_ms).to_numpy()
+            sub, n = sub[n > 0], n[n > 0]
+            if len(sub) == 0:
+                continue
+            # vectorized fan-out (same shape as explode_token_windows):
+            # per-frame source row, frame index, and byte offsets come from
+            # numpy repeat/cumsum — the only per-item Python left is the
+            # byte slice itself, which is the stand-in for real codec work
+            total = int(n.sum())
+            row_of = np.repeat(np.arange(len(sub)), n)
+            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+            idx = np.arange(total, dtype=np.int64) - starts[row_of]
+            payloads = [bytes(p) for p in sub["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(sub))
+            lo = (idx * lens[row_of]) // n[row_of]
+            hi = ((idx + 1) * lens[row_of]) // n[row_of]
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="object"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "ts_ms": pd.Series(tss, dtype="int32"),
-                    "frame": pd.Series(frames, dtype="object"),
+                    "media_id": pd.Series(sub["media_id"].to_numpy()[row_of], dtype="object"),
+                    "frame_idx": pd.Series(idx, dtype="int32"),
+                    "ts_ms": pd.Series(idx * every_ms, dtype="int32"),
+                    "frame": pd.Series(
+                        [payloads[r][int(a):int(b)] for r, a, b in zip(row_of, lo, hi)],
+                        dtype="object",
+                    ),
                 }
             )
 

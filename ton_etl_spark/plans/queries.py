@@ -1120,22 +1120,35 @@ FROM w WHERE next_ts IS NOT NULL
 #     (megaton.py:32-95 fetch-all-by-trace, sort by lt, verify a hop
 #     pattern): users whose last three events end view → click → purchase.
 def q_funnel_pattern(spark, sf: str) -> DataFrame:
+    # The query only inspects each user's LAST THREE events, so it never
+    # materializes the whole chain: a window row_number (sort-based, spills
+    # gracefully) picks the top 3 per user — a collect_list of the full
+    # chain would make one 100×-skewed hot user a single-reducer memory
+    # hazard at scale.  The per-user total rides the same window partition
+    # (count over user_id), and the groupBy reuses the window's exchange
+    # (HashPartitioning(user_id) satisfies the (user_id, n) clustering).
+    # Ordering (ts, event_id, event_type) matches the struct sort the
+    # chain form used, reversed — rn=1 is the final event.
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf, "events")
-    seq = (
-        ev.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
-            ).alias("chain")
-        )
-        .withColumn("n", F.size("chain"))
-        .where(F.col("n") >= 3)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"), F.desc("event_type")
     )
-    last3 = F.slice(F.col("chain"), F.col("n") - 2, 3)
-    types = F.transform(last3, lambda s: s["event_type"])
-    return seq.where(
-        (types[0] == "view") & (types[1] == "click") & (types[2] == "purchase")
-    ).select("user_id", F.col("n").cast("long").alias("n_events"))
+    wc = Window.partitionBy("user_id")
+    top = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .where((F.col("rn") <= 3) & (F.col("n") >= 3))
+    )
+    pick = lambda k: F.max(F.when(F.col("rn") == k, F.col("event_type")))  # noqa: E731
+    return (
+        top.groupBy("user_id", "n")
+        .agg(pick(3).alias("t3"), pick(2).alias("t2"), pick(1).alias("t1"))
+        .where((F.col("t3") == "view") & (F.col("t2") == "click") & (F.col("t1") == "purchase"))
+        .select("user_id", F.col("n").cast("long").alias("n_events"))
+    )
 
 
 SQL_FUNNEL = """
