@@ -268,3 +268,68 @@ def test_incremental_mart_survives_source_compaction(spark, tmp_path):
     res = refresh_agg_mart(mart, t, v1, v2)
     assert res["applied"] and res["buckets"] == []
     assert _mart_rows(mart) == _full_rows(t) == [("web", 2, 3)]
+
+
+@pytest.mark.parametrize("seed", [7, 77])
+def test_mart_correct_under_adversarial_maintenance_interleaving(spark, tmp_path, seed):
+    """Property: randomized schedules of snapshot expiry (keep_last=1,
+    grace=0 — the harshest legal setting), rolling bucket compaction, and
+    incremental mart refresh, interleaved with random CDC batches, must
+    keep the mart equal to the full recompute at EVERY step.  The two
+    interaction hazards this hunts: (a) expiry running past the mart's
+    cursor mid-loop (the refresh must fall back to rebuild, not wedge or
+    delta-from-garbage); (b) compaction moving bucket manifests between a
+    merge and its refresh (changes() must net to zero for rewritten-only
+    buckets)."""
+    import random
+
+    from ton_etl_spark.lake.incremental import last_synced_version, rebuild_agg_mart
+    from ton_etl_spark.lake.maintenance import expire_snapshots
+
+    rng = random.Random(seed)
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    mart = make_agg_mart(spark, str(tmp_path / "mart"), group_cols=["source"])
+    sources = ["web", "books", None]
+    live: set[str] = set()
+    lsn = 0
+    saw_rebuild_fallback = False
+
+    def _maintain(epoch: int, tag: str) -> None:
+        act = rng.choice(["none", "expire", "compact", "both"])
+        if act in ("compact", "both"):
+            bs = rng.sample(range(4), rng.randint(1, 4))
+            rewrite_buckets(t, buckets=bs, commit_key=f"cmp-{tag}={epoch}")
+        if act in ("expire", "both"):
+            expire_snapshots(t, keep_last=1, grace_seconds=0)
+
+    for epoch in range(8):
+        rows = []
+        for _ in range(rng.randint(2, 10)):
+            lsn += 1
+            op = rng.choice(["c", "u", "d"])
+            if op == "d" and live:
+                k = rng.choice(sorted(live))
+                live.discard(k)
+                rows.append((k, "d", lsn, lsn, None, None, rng.choice(sources)))
+            else:
+                k = f"k{rng.randint(0, 9)}"
+                live.add(k)
+                n = rng.randint(1, 4)
+                rows.append((k, "c" if op == "d" else op, lsn, lsn,
+                             list(range(n)), n, rng.choice(sources)))
+        apply_cdc_batch(t, spark.createDataFrame(rows, schema=CDC_EVENT_SCHEMA), epoch=epoch)
+        # adversarial maintenance lands BETWEEN the merge and its refresh —
+        # exactly the crash-window interleaving the streaming loop can see
+        _maintain(epoch, "pre")
+        frm = last_synced_version(mart)
+        if frm is None:
+            rebuild_agg_mart(mart, t, to_version=t.current_version())
+        else:
+            res = refresh_agg_mart(mart, t, frm, t.current_version())
+            saw_rebuild_fallback = saw_rebuild_fallback or res.get("rebuild", False)
+        assert _mart_rows(mart) == _full_rows(t), f"seed={seed} epoch={epoch}"
+        # and sometimes again after the refresh
+        _maintain(epoch, "post")
+        assert _mart_rows(mart) == _full_rows(t), f"seed={seed} epoch={epoch} post"
+    # the schedule really exercised the expiry-fallback path at least once
+    assert saw_rebuild_fallback, f"seed={seed} never hit the rebuild fallback"
