@@ -1151,6 +1151,30 @@ def q_funnel_pattern(spark, sf: str) -> DataFrame:
     )
 
 
+# 30b. Sorted collect over a BOUNDED domain — SURVEY.md T4.  Per (user, day):
+# the sorted distinct event-type chain.  This is the scale-safe form of a
+# sorted collect: the aggregation buffer is bounded by the event-type domain
+# (5 values), never by a hot user's event count — the unbounded whole-chain
+# collect was deliberately rewritten OUT of q_funnel_pattern above.
+def q_daily_event_type_chain(spark, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_chain"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+SQL_TYPE_CHAIN = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       array_to_string(list_sort(list_distinct(array_agg(event_type))), ',') AS type_chain,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 SQL_FUNNEL = """
 WITH chain AS (
   SELECT user_id,
@@ -1431,6 +1455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_mart_branches": q_event_mart_branches,
     "next_event_gaps": q_next_event_gaps,
     "funnel_pattern": q_funnel_pattern,
+    "daily_event_type_chain": q_daily_event_type_chain,
     "purchase_installments": q_purchase_installments,
     "decimal_money_rollup": q_decimal_money_rollup,
     "debezium_money_rollup": q_debezium_money_rollup,
@@ -1483,6 +1508,7 @@ ORACLES: dict[str, str] = {
     "event_mart_branches": SQL_EVENT_MART,
     "next_event_gaps": SQL_NEXT_EVENT,
     "funnel_pattern": SQL_FUNNEL,
+    "daily_event_type_chain": SQL_TYPE_CHAIN,
     "purchase_installments": SQL_INSTALLMENTS,
     "decimal_money_rollup": SQL_DECIMAL_MONEY,
     "debezium_money_rollup": SQL_DEBEZIUM_MONEY,
