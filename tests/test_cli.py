@@ -48,10 +48,12 @@ def test_cli_stream_and_multi_stream(spark, tmp_path, capsys):
         "--table", str(tmp_path / "t1"),
         "--checkpoint", str(tmp_path / "ck1"),
         "--mart", str(tmp_path / "mart"),
+        "--metrics", str(tmp_path / "metrics"),
         "--max-files-per-trigger", "8",
     ]) == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["rows"] > 0
+    assert st["metrics_rows"] >= 1  # the exporter surface drained progress rows
     assert main(["oracle-check", "--table", str(tmp_path / "t1"), "--log-root", log_root]) == 0
     capsys.readouterr()
 

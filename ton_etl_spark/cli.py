@@ -63,6 +63,11 @@ def _cmd_stream(args) -> int:
     from ton_etl_spark.lake.table import LakeTable
 
     spark = _spark(args)
+    rec = None
+    if args.metrics:
+        from ton_etl_spark.streaming.observability import attach_metrics_recorder
+
+        rec = attach_metrics_recorder(spark, args.metrics)
     q = start_cdc_stream(
         spark,
         log_glob=args.log_glob,
@@ -77,7 +82,14 @@ def _cmd_stream(args) -> int:
     )
     q.awaitTermination()
     rows = read_state(LakeTable.load(spark, args.table)).count()
-    print(json.dumps({"cmd": "stream", "rows": rows}))
+    out: dict = {"cmd": "stream", "rows": rows}
+    if rec is not None:
+        # drain: listener delivery is asynchronous; progress rows may land
+        # moments after awaitTermination
+        rec.wait_for(1)
+        out["metrics_rows"] = rec.rows_written
+        out["metrics_root"] = args.metrics
+    print(json.dumps(out))
     return 0
 
 
@@ -160,6 +172,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-files-per-trigger", type=int, default=2)
     s.add_argument("--maintenance-every", type=int, default=None)
     s.add_argument("--tombstone-retain-lsn", type=int, default=None)
+    s.add_argument("--metrics", default=None,
+                   help="LakeTable root for per-micro-batch progress metrics "
+                        "(streaming/observability.py — the exporter surface)")
     s.set_defaults(fn=_cmd_stream)
 
     m = sub.add_parser("multi-stream", help="fan one envelope stream out to N tables")
