@@ -162,3 +162,20 @@ def test_racing_writers_one_table_all_commits_survive(spark, tmp_path):
     assert got == {f"w{i}": i for i in range(n_writers)}
     # idempotency records survived the races too
     assert all(t.has_commit(f"writer-{i}") for i in range(n_writers))
+
+
+def test_get_or_create_loser_loads_instead_of_crashing(spark, tmp_path, monkeypatch):
+    """Two processes booting against the same fresh root race exists()/create:
+    the CAS makes the slower create raise CommitConflictError — get_or_create
+    must treat that as 'the table now exists' and load it, not fail startup."""
+    from ton_etl_spark.lake.table import LakeTable
+
+    schema = spark.createDataFrame([], "k string, v long").schema
+    root = str(tmp_path / "goc")
+    t = LakeTable.create(spark, root, schema=schema, key_cols=["k"], n_buckets=2)
+    t.append(spark.createDataFrame([("a", 1)], schema), commit_key="seed")
+    # simulate the loser: its exists() check ran before the winner published
+    monkeypatch.setattr(LakeTable, "exists", classmethod(lambda cls, r: False))
+    got = LakeTable.get_or_create(spark, root, schema=schema, key_cols=["k"], n_buckets=2)
+    assert {r["k"] for r in got.read().collect()} == {"a"}  # winner's data intact
+    assert got.current_version() == t.current_version()

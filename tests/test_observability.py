@@ -100,3 +100,46 @@ def test_metrics_recorder_drains_progress_and_survives_restart(spark, tmp_path):
         assert all(r["p50"] > 0 and r["p95"] >= r["p50"] for r in lat)
     finally:
         detach_metrics_recorder(spark, rec)
+
+
+def test_wait_for_and_drain_do_not_burn_timeout(spark, tmp_path):
+    """wait_for returns promptly once the rows are there (errors short-circuit
+    to False instead of delaying), and drain() needs no expected count — it
+    returns at quiescence, including the zero-row case."""
+    import time
+
+    rec = attach_metrics_recorder(spark, str(tmp_path / "m0"))
+    try:
+        t0 = time.time()
+        assert rec.drain(idle=0.3, timeout=30.0) == 0  # nothing ever fired
+        assert time.time() - t0 < 5.0  # quiesced, did not burn the timeout
+        rec.errors.append(RuntimeError("append failed"))
+        t0 = time.time()
+        assert rec.wait_for(1, timeout=30.0) is False  # row will never come
+        assert time.time() - t0 < 5.0
+        rec.errors.clear()
+        rec.rows_written = 3
+        assert rec.wait_for(3, timeout=30.0) is True
+    finally:
+        detach_metrics_recorder(spark, rec)
+
+
+def test_batch_duration_windows_key_off_batch_end(spark, tmp_path):
+    """StreamingQueryProgress.timestamp is the TRIGGER START; a batch that
+    starts at 00:59:40 and runs 30 s belongs to the 01:00 window (its end),
+    and its reported delay is the trigger duration."""
+    m = make_metrics_table(spark, str(tmp_path / "mend"))
+    rows = [
+        # (query, run, batch, start_ts, input, trigger_ms, add_batch, ev, lo, hi)
+        ("q", "r", 0, "2026-01-01T00:59:40.000Z", 10, 30_000, 1000, None, None, None),
+        ("q", "r", 1, "2026-01-01T00:10:00.000Z", 10, 5_000, 1000, None, None, None),
+    ]
+    m.append(spark.createDataFrame(rows, m.current().schema), commit_key="seed")
+    got = {
+        r["window_start"].strftime("%H:%M"): r
+        for r in batch_duration_percentiles(m.read(), window_sec=3600).collect()
+    }
+    # batch 0 ends at 01:00:10 -> the 01:00 window, NOT the 00:00 one
+    assert set(got) == {"01:00", "00:00"}
+    assert got["01:00"]["p50"] == 30.0
+    assert got["00:00"]["p50"] == 5.0

@@ -269,6 +269,29 @@ def test_minhash_degenerate_bucket_gate(spark):
     assert exact_dedup(docs).collect()[0]["n_dups"] == 10_000
 
 
+def test_minhash_null_and_empty_text_sigs_are_null(spark):
+    """NULL / empty / all-punctuation text must yield sig=NULL, not a shared
+    constant sentinel: ``F.array(array_join(NULL))`` is ``[NULL]`` (size 1),
+    whose single constant hash would band-collide every degenerate doc with
+    every other — the exact quadratic monster bucket the gates exist to
+    prevent, reachable by any direct minhash_signatures caller."""
+    from ton_etl_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "!!! ... ---"), (4, "real words here ok")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[1] is None and sigs[2] is None and sigs[3] is None
+    assert sigs[4] is not None and len(sigs[4]) == 32
+    # and with the min-word gate disabled, degenerate docs still produce no
+    # pairs among themselves (NULL sigs are excluded from banding)
+    degenerate = spark.createDataFrame(
+        [(i, None if i % 2 else "") for i in range(200)], "doc_id long, text string"
+    )
+    assert minhash_lsh_pairs(degenerate, min_words=0, min_jaccard_est=0.0).count() == 0
+
+
 def test_minhash_bucket_cap(spark):
     """max_bucket_size drops monster buckets (a 50-doc clique would emit
     ~1225 pairs) while pairs in small buckets survive."""

@@ -61,10 +61,8 @@ def make_sequences_table(
 ) -> LakeTable:
     from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
 
-    if LakeTable.exists(root):
-        return LakeTable.load(spark, root)
     # start from the PRE-evolution schema: extra_meta must arrive mid-stream
-    return LakeTable.create(
+    return LakeTable.get_or_create(
         spark, root, schema=CDC_EVENT_SCHEMA, key_cols=KEY_COLS,
         n_buckets=n_buckets, target_file_rows=target_file_rows,
     )
@@ -167,10 +165,8 @@ LINEAGE_SCHEMA = "checkpoint_epoch long, partition_id int, min_lsn long, max_lsn
 def make_lineage_table(spark: SparkSession, root: str) -> LakeTable:
     from pyspark.sql.types import StructType
 
-    if LakeTable.exists(root):
-        return LakeTable.load(spark, root)
     schema = spark.createDataFrame([], LINEAGE_SCHEMA).schema
-    return LakeTable.create(
+    return LakeTable.get_or_create(
         spark, root, schema=schema, key_cols=["checkpoint_epoch", "partition_id"], n_buckets=4
     )
 

@@ -291,11 +291,10 @@ def start_cdc_multi_table_stream(
     schemas = payload_schemas or {}
     for name, root in table_roots.items():
         if name in schemas:
-            if not LakeTable.exists(root):
-                LakeTable.create(
-                    spark, root, schema=schemas[name], key_cols=KEY_COLS,
-                    n_buckets=n_buckets,
-                )
+            LakeTable.get_or_create(
+                spark, root, schema=schemas[name], key_cols=KEY_COLS,
+                n_buckets=n_buckets,
+            )
         else:
             make_sequences_table(spark, root, n_buckets=n_buckets)
         # config-drift guard: restarting WITHOUT the schema a sink was built

@@ -84,10 +84,10 @@ def _cmd_stream(args) -> int:
     rows = read_state(LakeTable.load(spark, args.table)).count()
     out: dict = {"cmd": "stream", "rows": rows}
     if rec is not None:
-        # drain: listener delivery is asynchronous; progress rows may land
-        # moments after awaitTermination
-        rec.wait_for(1)
-        out["metrics_rows"] = rec.rows_written
+        # drain: listener delivery is asynchronous; later batches' progress
+        # events may still be queued when awaitTermination returns, so wait
+        # for quiescence rather than any fixed row count
+        out["metrics_rows"] = rec.drain()
         out["metrics_root"] = args.metrics
     print(json.dumps(out))
     return 0

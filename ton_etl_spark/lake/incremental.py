@@ -43,14 +43,12 @@ def make_agg_mart(
     """Create (or open) the derived aggregate mart: one row per group with
     (n_docs, n_tok_sum) — the doc-count / token-volume rollup a training
     pipeline keeps per corpus source."""
-    if LakeTable.exists(root):
-        return LakeTable.load(spark, root)
     types = group_types or [T.StringType()] * len(group_cols)
     schema = T.StructType(
         [T.StructField(c, t, True) for c, t in zip(group_cols, types)]
         + MART_SCHEMA_SUFFIX
     )
-    return LakeTable.create(
+    return LakeTable.get_or_create(
         spark, root, schema=schema, key_cols=list(group_cols), n_buckets=n_buckets
     )
 

@@ -344,6 +344,19 @@ class LakeTable:
         return t
 
     @classmethod
+    def get_or_create(cls, spark: SparkSession, root: str, **create_kwargs) -> "LakeTable":
+        """Race-safe exists-or-create: when two processes boot against the
+        same fresh root simultaneously, the CAS in ``_publish`` makes the
+        slower ``create`` raise ``CommitConflictError`` — here that means
+        the table now exists, so load it instead of failing startup."""
+        if cls.exists(root):
+            return cls.load(spark, root)
+        try:
+            return cls.create(spark, root, **create_kwargs)
+        except CommitConflictError:
+            return cls.load(spark, root)
+
+    @classmethod
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(os.path.abspath(root), META_DIR, CURRENT_PTR))
 

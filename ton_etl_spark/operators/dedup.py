@@ -81,16 +81,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as strings (empty-safe)."""
+    """k-word shingles as strings.  Docs shorter than k words contribute one
+    whole-text shingle; NULL/empty text yields a NULL array (NOT ``[NULL]``
+    — ``array_join(NULL)`` inside ``F.array`` would produce a 1-element
+    array whose constant hash makes every degenerate doc collide with every
+    other downstream)."""
     ws = words(text)
     n = F.size(ws)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(ws, i, k), " "))
-        ),
-    ).otherwise(F.array(F.array_join(ws, " ")))
+    return (
+        F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(ws, i, k), " "))
+            ),
+        )
+        .when(n > 0, F.array(F.array_join(ws, " ")))
+        .otherwise(F.lit(None).cast("array<string>"))
+    )
 
 
 def minhash_signatures(
@@ -111,13 +119,12 @@ def minhash_signatures(
     element) instead of n_hashes independent transform+array_min passes —
     measured 1.5× at sf0.1, same trick as the single-pass simhash
     rewrite.  Signatures are bit-identical to the multi-pass form (min is
-    commutative) for NON-EMPTY shingle sets; an empty/NULL shingle array
+    commutative) for NON-EMPTY shingle sets; a NULL/empty shingle array —
+    which ``shingles`` now emits for NULL, empty, or all-punctuation text —
     yields ``sig = NULL`` (the multi-pass ``array_min`` NULL, NOT the
-    fold's untouched Long.MAX accumulator — a MAX-sentinel sig would make
-    every shingle-less doc band-collide with every other).  ``shingles``
-    never emits an empty array for non-NULL text, so this only guards
-    direct callers with NULL/degenerate inputs.  All array ops; one narrow
-    pass, no shuffle."""
+    fold's untouched Long.MAX accumulator — a shared sentinel sig would
+    make every shingle-less doc band-collide with every other).  All array
+    ops; one narrow pass, no shuffle."""
     sh = shingles(F.col(text_col), k_shingle).alias("__sh")
     base = F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed))).alias("__h")
     init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * n_hashes)

@@ -119,12 +119,10 @@ def fetch_sideload(
 
 def make_sideload_cache(spark, root: str, key_col: str = "key") -> LakeTable:
     """The DB-backed metadata cache of the reference, as a LakeTable."""
-    if LakeTable.exists(root):
-        return LakeTable.load(spark, root)
     schema = spark.createDataFrame(
         [], f"{key_col} string, payload binary, status string, attempts int"
     ).schema
-    return LakeTable.create(spark, root, schema=schema, key_cols=[key_col], n_buckets=4)
+    return LakeTable.get_or_create(spark, root, schema=schema, key_cols=[key_col], n_buckets=4)
 
 
 def read_sideload_cache(cache: LakeTable, key_col: str = "key") -> DataFrame:
@@ -188,9 +186,13 @@ def fetch_with_cache(
             f"input already has column(s) {sorted(clash)} that the cache "
             f"enrichment would shadow; rename them first"
         )
-    known = read_sideload_cache(cache, key_col)
-    if not cache_failures:
-        known = known.where(F.col("status") == "ok")
+    # ONE resolved-cache scan serves both the miss set and the enrichment
+    # below: the post-append view minus this call's fetched keys equals the
+    # pre-append view minus them (appends only touch fetched keys), so
+    # re-scanning after the append would pay a second full window pass over
+    # the cache for an identical result.
+    resolved = read_sideload_cache(cache, key_col)
+    known = resolved if cache_failures else resolved.where(F.col("status") == "ok")
     missing = df.select(key_col).distinct().join(
         known.select(key_col), on=key_col, how="left_anti"
     )
@@ -214,8 +216,7 @@ def fetch_with_cache(
     cols = [key_col, "payload", "status"]
     fresh_keys = fetched.select(key_col)
     enrich = (
-        read_sideload_cache(cache, key_col)
-        .select(*cols)
+        resolved.select(*cols)
         .join(fresh_keys, on=key_col, how="left_anti")
         .unionByName(fetched.select(*cols))
     )

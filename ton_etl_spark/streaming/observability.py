@@ -60,9 +60,7 @@ METRICS_SCHEMA = T.StructType(
 
 
 def make_metrics_table(spark: SparkSession, root: str) -> LakeTable:
-    if LakeTable.exists(root):
-        return LakeTable.load(spark, root)
-    return LakeTable.create(
+    return LakeTable.get_or_create(
         spark, root, schema=METRICS_SCHEMA, key_cols=["run_id", "batch_id"], n_buckets=2
     )
 
@@ -114,7 +112,7 @@ class MetricsRecorder(StreamingQueryListener):
             str(p["runId"]),
             int(p["batchId"]),
             p.get("timestamp"),
-            _long(p.get("numInputRows", 0)),
+            _long(p.get("numInputRows")),  # absent → NULL so readers can coalesce
             _long(dur.get("triggerExecution")),
             _long(dur.get("addBatch")),
             _long(obs.get("events")),
@@ -138,13 +136,36 @@ class MetricsRecorder(StreamingQueryListener):
     # -------------------------------------------------------- barrier
     def wait_for(self, n_rows: int, timeout: float = 60.0) -> bool:
         """Block until this recorder has written ``n_rows`` rows (listener
-        delivery is asynchronous; awaitTermination does not wait for it)."""
+        delivery is asynchronous; awaitTermination does not wait for it).
+        Errors do not delay the return — a failed append means the row will
+        never arrive, so waiting on it would just burn the timeout."""
         deadline = time.time() + timeout
         while time.time() < deadline:
-            if self.rows_written >= n_rows and not self.errors:
+            if self.rows_written >= n_rows:
                 return True
+            if self.errors:
+                return False
             time.sleep(0.2)
         return self.rows_written >= n_rows
+
+    def drain(self, idle: float = 1.0, timeout: float = 30.0) -> int:
+        """Wait until the listener bus has gone quiet: no new metrics row for
+        ``idle`` seconds (or ``timeout`` elapses).  Unlike ``wait_for`` this
+        needs no expected row count — after ``awaitTermination`` returns,
+        later batches' progress events may still sit in Spark's async
+        listener queue; quiescence is the only observable completion signal.
+        Returns the number of rows written."""
+        deadline = time.time() + timeout
+        last = self.rows_written
+        settled = time.time()
+        while time.time() < deadline:
+            cur = self.rows_written
+            if cur != last:
+                last, settled = cur, time.time()
+            elif time.time() - settled >= idle:
+                break
+            time.sleep(0.1)
+        return self.rows_written
 
 
 def attach_metrics_recorder(
@@ -184,13 +205,16 @@ def batch_duration_percentiles(metrics: DataFrame, window_sec: int = 3600) -> Da
     query the chain metrics use."""
     from ton_etl_spark.streaming.metrics import latency_percentiles
 
-    end = F.unix_timestamp(F.try_to_timestamp(F.col("batch_ts"))).cast("double")
+    # StreamingQueryProgress.timestamp is the TRIGGER START; the batch ends
+    # triggerExecution ms later, so the window a batch lands in is keyed off
+    # start + duration, not the raw timestamp.
+    start = F.unix_timestamp(F.try_to_timestamp(F.col("batch_ts"))).cast("double")
     df = (
-        metrics.withColumn("__end", end)
+        metrics.withColumn("__start", start)
         .withColumn(
-            "__start", F.col("__end") - F.col("trigger_ms").cast("double") / F.lit(1000.0)
+            "__end", F.col("__start") + F.col("trigger_ms").cast("double") / F.lit(1000.0)
         )
-        .where(F.col("__end").isNotNull() & F.col("trigger_ms").isNotNull())
+        .where(F.col("__start").isNotNull() & F.col("trigger_ms").isNotNull())
     )
     return latency_percentiles(
         df, start_col="__start", end_col="__end", group_window_sec=window_sec
