@@ -110,3 +110,27 @@ def test_lineage_covers_log(spark, log_dirs, tmp_path):
     ).collect()[0]
     assert agg["lo"] == 0 and agg["hi"] == N_EVENTS - 1
     assert agg["n"] >= N_EVENTS  # duplicates included
+
+
+def test_read_state_lsn_range_skips_files(spark, log_dirs, tmp_path):
+    """Incremental consumer probe: read_state(lsn_range=(lo, None)) equals
+    the filter truth, and with the default stats_cols=['lsn'] bounds the
+    probe skips manifest files — proven by corrupting every data file whose
+    lsn bounds sit entirely below the probe."""
+    import os as _os
+
+    root, batch_dirs = log_dirs
+    table = replay_log_batched(spark, batch_dirs, str(tmp_path / "seq_lsn"))
+    full = read_state(table)
+    lo = full.agg(F.percentile_approx("lsn", 0.95)).first()[0]
+    want = {r["doc_id"] for r in full.where(F.col("lsn") >= lo).collect()}
+    got = {r["doc_id"] for r in read_state(table, lsn_range=(lo, None)).collect()}
+    assert got == want and len(want) > 0
+    skippable = [f for f in table.current().files
+                 if f.stats and "lsn" in f.stats and f.stats["lsn"][1] < lo]
+    assert skippable, "expected at least one skippable file below the probe"
+    for f in skippable:
+        with open(_os.path.join(table.root, f.path), "wb") as fh:
+            fh.write(b"corrupt")
+    again = {r["doc_id"] for r in read_state(table, lsn_range=(lo, None)).collect()}
+    assert again == want

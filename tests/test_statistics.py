@@ -1,0 +1,125 @@
+"""File-level column statistics + data skipping (Iceberg column-metrics
+role): commits harvest per-file [min, max] bounds from the Parquet footers
+already opened for row counts, store them in the per-bucket manifests, and
+``read(where=...)`` skips files whose bounds cannot match — proven here by
+corrupting every skippable file on disk and reading anyway.  ``sort_cols``
+clusters rows within buckets so the bounds are tight (the write-order /
+clustering role); skipping stays an optimization only — the residual
+filter keeps results exact for files with no stats at all."""
+
+import json
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from ton_etl_spark.lake.table import DataFile, LakeTable
+
+
+def _make(spark, root, n=1000, **kw):
+    schema = spark.createDataFrame([], "k string, lsn long, tag string").schema
+    t = LakeTable.create(spark, root, schema=schema, key_cols=["k"], n_buckets=2, **kw)
+    rng = random.Random(7)
+    rows = [(f"k{i}", i, f"t{i % 10}") for i in range(n)]
+    rng.shuffle(rows)  # arrival order is NOT lsn order
+    t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+    return t
+
+
+def test_stats_recorded_and_range_read_exact(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "s1"), stats_cols=["lsn", "tag"],
+              sort_cols=["lsn"], target_file_rows=100)
+    files = t.current().files
+    assert len(files) > 4  # target_file_rows split the buckets
+    for f in files:
+        lo, hi = f.stats["lsn"]
+        assert 0 <= lo <= hi <= 999
+        slo, shi = f.stats["tag"]
+        assert slo.startswith("t") and shi.startswith("t")
+    got = {r["lsn"] for r in t.read(where={"lsn": (900, 950)}).collect()}
+    assert got == set(range(900, 951))
+    # string-column range too
+    got = {r["tag"] for r in t.read(where={"tag": ("t3", "t4")}).collect()}
+    assert got == {"t3", "t4"}
+
+
+def test_skipped_files_are_never_opened(spark, tmp_path):
+    """The ANN-index trick: corrupt every file whose bounds exclude the
+    probe range — the pruned read must still succeed AND be exact, which is
+    only possible if those files were skipped at manifest level."""
+    t = _make(spark, str(tmp_path / "s2"), stats_cols=["lsn"],
+              sort_cols=["lsn"], target_file_rows=100)
+    lo, hi = 250, 340
+    skippable = [f for f in t.current().files
+                 if f.stats["lsn"][1] < lo or f.stats["lsn"][0] > hi]
+    assert len(skippable) >= 3  # sorting made most files skippable
+    for f in skippable:
+        with open(os.path.join(t.root, f.path), "wb") as fh:
+            fh.write(b"corrupt")
+    got = {r["lsn"] for r in t.read(where={"lsn": (lo, hi)}).collect()}
+    assert got == set(range(lo, hi + 1))
+
+
+def test_sort_cols_cluster_files_disjointly(spark, tmp_path):
+    """Within a bucket, sortWithinPartitions + maxRecordsPerFile must yield
+    non-overlapping lsn ranges — the property that makes skipping effective."""
+    t = _make(spark, str(tmp_path / "s3"), stats_cols=["lsn"],
+              sort_cols=["lsn"], target_file_rows=100)
+    by_bucket: dict[int, list] = {}
+    for f in t.current().files:
+        by_bucket.setdefault(f.bucket, []).append(f.stats["lsn"])
+    for ranges in by_bucket.values():
+        ranges.sort()
+        for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+            assert ahi < blo, f"overlapping file ranges {ranges}"
+
+
+def test_where_is_exact_without_stats(spark, tmp_path):
+    """No stats_cols configured: nothing is skipped, but the residual filter
+    still makes read(where=...) exact — skipping is optimization, never
+    semantics.  Old manifests without a stats field load the same way."""
+    t = _make(spark, str(tmp_path / "s4"), target_file_rows=100)
+    assert all(f.stats is None for f in t.current().files)
+    got = {r["lsn"] for r in t.read(where={"lsn": (10, 20)}).collect()}
+    assert got == set(range(10, 21))
+    # pre-stats manifest entry round-trips with stats=None
+    f = DataFile.from_json({"path": "p", "bucket": 0, "rows": 1})
+    assert f.stats is None and "stats" not in f.to_json()
+
+
+def test_stats_survive_compaction_and_merge(spark, tmp_path):
+    """Compaction rewrites through the same writer, so the rewritten files
+    carry fresh bounds; a MERGE (pre-partitioned path) does too."""
+    from ton_etl_spark.lake.maintenance import rewrite_buckets
+    from ton_etl_spark.lake.merge import merge_lww
+
+    schema = spark.createDataFrame(
+        [], "k string, op string, lsn long, ts_ms long, tag string"
+    ).schema
+    t = LakeTable.create(spark, str(tmp_path / "s5"), schema=schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["lsn"],
+                         sort_cols=["lsn"], target_file_rows=100)
+    rows = [(f"k{i}", "c", i, i, f"t{i % 10}") for i in range(1000)]
+    t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+    # several small appends, then compact
+    for i in range(3):
+        t.append(spark.createDataFrame([(f"x{i}", "c", 2000 + i, 2000 + i, "tx")], schema),
+                 commit_key=f"small-{i}")
+    rewrite_buckets(t, commit_key="compact-1")
+    assert all(f.stats and "lsn" in f.stats for f in t.current().files)
+    got = {r["lsn"] for r in t.read(where={"lsn": (2000, 2010)}).collect()}
+    assert got == {2000, 2001, 2002}
+    # merge path (the streaming hot path) keeps recording stats
+    inc = spark.createDataFrame([("k5", "u", 5000, 5000, "hot")], schema)
+    merge_lww(t, inc, commit_key="m-1")
+    assert all(f.stats and "lsn" in f.stats for f in t.current().files)
+    assert t.read(where={"lsn": (5000, 5000)}).count() == 1
+
+
+def test_manifest_json_carries_stats(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "s6"), stats_cols=["lsn"], target_file_rows=500)
+    snap = t.current()
+    rel = next(iter(snap.manifests.values()))
+    with open(os.path.join(t.root, rel)) as fh:
+        entries = json.load(fh)
+    assert all("stats" in e and "lsn" in e["stats"] for e in entries)

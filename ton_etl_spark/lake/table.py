@@ -141,13 +141,68 @@ class DataFile:
     path: str  # relative to table root
     bucket: int
     rows: int
+    # per-column [min, max] bounds harvested from the Parquet footer at
+    # commit time (Iceberg's file-level column metrics).  None/absent column
+    # => no bounds known => the file can never be skipped on that column.
+    stats: dict[str, list[Any]] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "bucket": self.bucket, "rows": self.rows}
+        d: dict[str, Any] = {"path": self.path, "bucket": self.bucket, "rows": self.rows}
+        if self.stats:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
-        return DataFile(path=d["path"], bucket=int(d["bucket"]), rows=int(d["rows"]))
+        return DataFile(
+            path=d["path"], bucket=int(d["bucket"]), rows=int(d["rows"]),
+            stats=d.get("stats"),
+        )
+
+
+def _stats_encode(v: Any) -> Any:
+    """JSON-encodable, ORDER-PRESERVING encoding for footer bounds and
+    predicate values — both sides of every skip comparison go through this,
+    so the only requirement is that the encoding preserve the column's
+    order.  int/float/bool/str are ordered as-is; datetime/date use
+    ISO-8601 (lexicographic == chronological for a fixed format — pyarrow
+    returns naive UTC for Spark-written timestamps).  Anything else
+    (binary, nested, decimal) returns None => no stats recorded => never
+    skipped."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool bounds are useless; NULL has no order
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _file_may_match(f: DataFile, where: dict[str, tuple[Any, Any]]) -> bool:
+    """Conservative skip test: False only when a file's stored [min, max]
+    bounds PROVE no row can satisfy every range.  Missing stats (old
+    manifests, un-tracked columns, un-encodable predicate values) keep the
+    file — skipping is an optimization, never a filter."""
+    if not f.stats:
+        return True
+    for col, (lo, hi) in where.items():
+        bounds = f.stats.get(col)
+        if not bounds:
+            continue
+        fmin, fmax = bounds
+        plo, phi = _stats_encode(lo), _stats_encode(hi)
+        # mixed encodings (e.g. int bound vs str predicate) would raise on
+        # compare — treat as unknowable, keep the file
+        try:
+            if plo is not None and fmax < plo:
+                return False
+            if phi is not None and fmin > phi:
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 @dataclass
@@ -314,6 +369,8 @@ class LakeTable:
         n_buckets: int = 16,
         properties: dict[str, str] | None = None,
         target_file_rows: int | None = None,
+        stats_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``target_file_rows``: when set, every commit splits each bucket's
         output at this row count (``maxRecordsPerFile``) instead of writing
@@ -322,7 +379,21 @@ class LakeTable:
         straggler task and an executor-memory hazard at 100 TB.  Rows, not
         bytes, because rows are what the writer can bound deterministically;
         size n_buckets × target_file_rows so a file lands in the hundreds
-        of MB for the table's row width."""
+        of MB for the table's row width.
+
+        ``stats_cols``: columns whose per-file [min, max] bounds are
+        harvested from the Parquet footers at commit time and stored in the
+        manifests (Iceberg column metrics).  ``read(where=...)`` skips files
+        whose bounds cannot match — on a 100 TB table an LSN/time range
+        probe then opens O(matching files), not the world.  Footer opens are
+        already paid by the commit's row-count stat, so the bounds are free.
+
+        ``sort_cols``: cluster rows WITHIN each bucket by these columns at
+        every write (``sortWithinPartitions`` — a per-task sort, no added
+        exchange, so the zero-shuffle merge path keeps its plan).  Combined
+        with ``target_file_rows`` the files of a bucket get tight, mostly
+        disjoint ``stats_cols`` ranges, which is what makes skipping
+        effective (the Iceberg write-order / clustering role)."""
         t = cls(spark, root)
         os.makedirs(t._meta, exist_ok=True)
         os.makedirs(os.path.join(t.root, MANIFEST_DIR), exist_ok=True)
@@ -332,6 +403,13 @@ class LakeTable:
             if target_file_rows <= 0:
                 raise ValueError("target_file_rows must be positive")
             props["target_file_rows"] = str(int(target_file_rows))
+        field_names = {f.name for f in schema.fields}
+        for prop, cols in (("stats_cols", stats_cols), ("sort_cols", sort_cols)):
+            if cols:
+                unknown = sorted(set(cols) - field_names)
+                if unknown:
+                    raise ValueError(f"{prop} not in schema: {unknown}")
+                props[prop] = ",".join(cols)
         snap = Snapshot(
             version=0,
             schema_json=json.dumps(schema.jsonValue()),
@@ -434,6 +512,11 @@ class LakeTable:
         v = snap.properties.get("target_file_rows")
         return int(v) if v else None
 
+    @staticmethod
+    def _prop_cols(snap: Snapshot, prop: str) -> list[str]:
+        v = snap.properties.get(prop)
+        return [c for c in v.split(",") if c] if v else []
+
     # ------------------------------------------------------------------ bucketing
     def check_bucket_fn(self, snap: Snapshot) -> None:
         """Fail loudly if the table was written with a different bucket hash:
@@ -458,21 +541,41 @@ class LakeTable:
         self,
         buckets: list[int] | None = None,
         version: int | None = None,
+        where: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Scan the table at a snapshot.  ``buckets`` prunes at file level —
-        only the Parquet files registered for those buckets are opened."""
+        only the Parquet files registered for those buckets are opened.
+
+        ``where`` maps column -> (lo, hi) inclusive range (either bound
+        None for open-ended); ranges on different columns are ANDed.  Files
+        whose manifest [min, max] bounds (``stats_cols``) cannot intersect
+        the range are never opened — manifest-level data skipping, the
+        Iceberg metrics-pruning role.  The range predicates are ALSO applied
+        to the returned DataFrame, so results are exact whether or not a
+        file carries bounds: skipping is an I/O optimization, the residual
+        filter is the truth (and Parquet row-group pushdown still applies
+        inside the files that survive)."""
         snap = self.snapshot(version) if version is not None else self.current()
         if buckets is not None:
             # pruning correctness depends on the bucket hash matching
             self.check_bucket_fn(snap)
         files = snap.files_for(buckets)
+        if where:
+            files = [f for f in files if _file_may_match(f, where)]
         schema = snap.schema
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f.path) for f in files]
         # explicit schema => old files yield NULL for late-added columns
         # (additive evolution), and column pruning/pushdown still apply.
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if where:
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog between two snapshots (Iceberg
@@ -514,6 +617,8 @@ class LakeTable:
         key_cols: list[str],
         pre_partitioned: bool = False,
         target_file_rows: int | None = None,
+        stats_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> list[DataFile]:
         """Write ``df`` as one directory tree partitioned by bucket; return the
         produced files tagged with their bucket.  One output file per bucket
@@ -542,6 +647,13 @@ class LakeTable:
         out = df.withColumn(BUCKET_COL, bucket_of(key_cols, n_buckets))
         if not pre_partitioned:
             out = out.repartition(n_buckets, F.col(BUCKET_COL))
+        if sort_cols:
+            # per-task sort, no exchange: leading BUCKET_COL keeps each
+            # bucket's rows contiguous (the dynamic-partition writer needs
+            # that sort anyway — pre-sorting folds both into one), and the
+            # trailing sort_cols cluster rows so maxRecordsPerFile splits
+            # land with tight, near-disjoint stats ranges
+            out = out.sortWithinPartitions(BUCKET_COL, *sort_cols)
         writer = out.write.mode("overwrite")
         if target_file_rows is not None:
             writer = writer.option("maxRecordsPerFile", int(target_file_rows))
@@ -565,8 +677,37 @@ class LakeTable:
             import pyarrow.parquet as pq
 
             rel, bucket = item
-            rows = pq.ParquetFile(os.path.join(self.root, rel)).metadata.num_rows
-            return DataFile(path=rel, bucket=bucket, rows=rows)
+            md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+            stats: dict[str, list[Any]] | None = None
+            if stats_cols:
+                # fold row-group footer bounds into one [min, max] per column;
+                # a column missing bounds in ANY row group records nothing
+                # (a partial bound could wrongly skip the file)
+                idx = {
+                    md.schema.column(j).name: j for j in range(md.num_columns)
+                }
+                stats = {}
+                for col in stats_cols:
+                    j = idx.get(col)
+                    if j is None:
+                        continue
+                    lo = hi = None
+                    ok = True
+                    for g in range(md.num_row_groups):
+                        s = md.row_group(g).column(j).statistics
+                        if s is None or not s.has_min_max:
+                            ok = False
+                            break
+                        smin, smax = _stats_encode(s.min), _stats_encode(s.max)
+                        if smin is None or smax is None:
+                            ok = False
+                            break
+                        lo = smin if lo is None else min(lo, smin)
+                        hi = smax if hi is None else max(hi, smax)
+                    if ok and lo is not None:
+                        stats[col] = [lo, hi]
+                stats = stats or None
+            return DataFile(path=rel, bucket=bucket, rows=md.num_rows, stats=stats)
 
         with ThreadPoolExecutor(max_workers=16) as pool:
             files = list(pool.map(_stat, todo))
@@ -597,6 +738,8 @@ class LakeTable:
         new_files = self._write_commit_files(
             df, commit_id, snap.n_buckets, snap.key_cols,
             target_file_rows=self._target_file_rows(snap),
+            stats_cols=self._prop_cols(snap, "stats_cols"),
+            sort_cols=self._prop_cols(snap, "sort_cols"),
         )
         by_bucket: dict[int, list[DataFile]] = {}
         for f in new_files:
@@ -643,6 +786,8 @@ class LakeTable:
             df, commit_id, snap.n_buckets, snap.key_cols,
             pre_partitioned=pre_partitioned,
             target_file_rows=self._target_file_rows(snap),
+            stats_cols=self._prop_cols(snap, "stats_cols"),
+            sort_cols=self._prop_cols(snap, "sort_cols"),
         )
         bset = set(buckets)
         stray = sorted({f.bucket for f in new_files} - bset)
