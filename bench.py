@@ -33,6 +33,8 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_near_dups",
     "embedding_topk",
+    "pack_chunks",
+    "dup_clusters",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -452,3 +452,155 @@ def test_token_validation_flags_bad_rows(spark):
     assert flagged == {"a": True, "b": False, "c": False, "d": True}
     kept = {r["doc_id"] for r in with_token_validation(df, strict=True).collect()}
     assert kept == {"a", "d"}
+
+
+def test_pack_chunks_matches_plain_window_and_invariants(spark):
+    """Two-level cumsum == plain per-group window cumsum (exactness is
+    independent of seg_width), every pack except each group's last holds
+    exactly `budget` tokens, segments tile each doc, and zero-token docs
+    occupy no stream positions."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    from ton_etl_spark.operators.packing import pack_chunks, token_stream_offsets
+
+    rows = []
+    rng_words = ["alpha beta gamma delta", "x", "", "one two three four five six seven",
+                 "lorem ipsum dolor", "!!!", "a b c d e f g h i j k l m n o p q r s t"]
+    for i in range(200):
+        rows.append((i, rng_words[i % len(rng_words)], "s" + str(i % 3)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    for seg_width in (1, 7, 4096):
+        off = token_stream_offsets(
+            docs, F.size(F.split(F.col("text"), " ")), seg_width=seg_width
+        )
+        w = Window.partitionBy("source").orderBy("doc_id")
+        plain = (
+            docs.withColumn("__n_tok", F.size(F.split(F.col("text"), " ")).cast("long"))
+            .where(F.col("__n_tok") > 0)
+            .withColumn("__off", F.sum("__n_tok").over(w) - F.col("__n_tok"))
+        )
+        got = {(r["doc_id"]): r["__off"] for r in off.collect()}
+        want = {(r["doc_id"]): r["__off"] for r in plain.collect()}
+        assert got == want, f"seg_width={seg_width}"
+
+    for budget in (1, 5, 64):
+        segs = pack_chunks(docs, budget=budget).collect()
+        # zero-token docs ('' and '!!!' via the word regex) never appear
+        n_tok = {r["doc_id"]: r["n"] for r in docs.select(
+            "doc_id", F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias("n")
+        ).collect()}
+        assert all(n_tok[r["doc_id"]] > 0 for r in segs)
+        # segments tile each doc exactly [0, n_tok)
+        by_doc = defaultdict(list)
+        for r in segs:
+            by_doc[r["doc_id"]].append((r["seg_start"], r["seg_len"]))
+        for doc, parts in by_doc.items():
+            parts.sort()
+            assert parts[0][0] == 0
+            pos = 0
+            for st, ln in parts:
+                assert st == pos and ln > 0
+                pos += ln
+            assert pos == n_tok[doc]
+        # every non-final pack holds exactly `budget` tokens
+        tot = defaultdict(int)
+        for r in segs:
+            tot[(r["source"], r["pack_id"])] += r["seg_len"]
+        for src in {k[0] for k in tot}:
+            packs = sorted(k for k in tot if k[0] == src)
+            assert all(tot[k] == budget for k in packs[:-1])
+            # pack ids are contiguous from 0
+            assert [k[1] for k in packs] == list(range(len(packs)))
+
+
+def _uf_components(edges):
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("shape", ["random", "path", "star", "cliques"])
+def test_connected_components_matches_union_find(spark, shape):
+    """Alternating large-star/small-star must equal a Python union-find on
+    adversarial graph shapes — including a 64-node path (diameter 63, where
+    naive min-propagation would need 63 rounds but log-rounds must do),
+    duplicate and reversed edges, and self-loops."""
+    import random
+
+    from ton_etl_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    if shape == "random":
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    elif shape == "path":
+        edges = [(i, i + 1) for i in range(63)]
+    elif shape == "star":
+        edges = [(50, i) for i in range(40)]
+    else:
+        edges = [(a, b) for base in (0, 100, 200)
+                 for a in range(base, base + 8) for b in range(base, base + 8)]
+    edges += [(5, 5), (7, 7)]                      # self-loops ignored
+    edges += [(b, a) for a, b in edges[:10]]       # reversed duplicates
+    want = _uf_components([(a, b) for a, b in edges if a != b])
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in
+           connected_components(df, max_iter=12).collect()}
+    assert got == want, shape
+    reps = {r["component"]: (r["keep_id"], r["n_members"]) for r in
+            cluster_representatives(connected_components(df)).collect()}
+    for comp, (keep, n) in reps.items():
+        assert keep == comp  # component id IS the min member
+        assert n == sum(1 for v in want.values() if v == comp)
+
+
+def test_connected_components_empty_edges(spark):
+    from ton_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    from ton_etl_spark.operators.contamination import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    probe_text = "the secret benchmark question about spark internals today"
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then " + probe_text + " copied verbatim"),
+            (2, "totally unrelated content about cooking pasta at home"),
+            (3, probe_text),                        # full copy
+            (4, "the secret benchmark"),            # only 1 shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(100, probe_text)], "doc_id long, text string")
+    hits = {(r["corpus_id"], r["probe_id"]): r["n_shared"] for r in
+            ngram_contamination(corpus, probes, min_shared=2).collect()}
+    assert (1, 100) in hits and (3, 100) in hits
+    assert (2, 100) not in hits and (4, 100) not in hits
+    n_probe_grams = 8 - 2  # 8 words -> 6 trigrams
+    assert hits[(3, 100)] == n_probe_grams
+    clean = {r["doc_id"] for r in decontaminate(corpus, probes, min_shared=2).collect()}
+    assert clean == {2, 4}
+    # ubiquity cap: with max_postings=0 every probe gram is dropped -> no hits
+    assert ngram_contamination(corpus, probes, max_postings=0).count() == 0

@@ -1,0 +1,110 @@
+"""Sequence packing — the concat-and-chunk step of a pretraining data
+pipeline: concatenate every document's tokens per corpus source (in a
+deterministic order) into one virtual token stream, then chop the stream
+into fixed-size training sequences ("packs").  A document that straddles a
+pack boundary is split: the operator emits one row per (document, pack)
+SEGMENT with the in-document token offsets, which is exactly the recipe a
+loader needs to assemble training sequences without materializing the
+token stream itself.
+
+No reference analog (ton-etl stops at row-level marts); this is one of the
+training-data operators the task brief adds as first-class.  Everything is
+JVM-side column algebra — no UDF, no collect.
+
+Scale shape (the part that matters at 100 TB): the naive plan is a window
+``SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)`` — ONE REDUCER
+PER SOURCE, a guaranteed straggler when a corpus has few large sources.
+Instead the running offset is computed as a two-level cumsum, all
+declarative:
+
+1. rows get a coarse ``seg = doc_id // seg_width`` (doc order is preserved
+   across segment boundaries because seg is a prefix of the doc_id order);
+2. the in-segment cumsum windows over (source, seg) — parallelism is
+   n_sources x n_segments, bounded rows per partition;
+3. per-segment totals (one tiny row per segment) window over source —
+   the only per-source serial step sees n_segments rows, not n_docs;
+4. the doc's global offset = segment-base + in-segment prefix.
+
+The chunk explode is a narrow ``sequence(first_pack, last_pack)`` — a doc
+spans at most ``ceil(n_tok / budget) + 1`` packs, so the fan-out is
+bounded by payload size, never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ton_etl_spark.functions.text import words
+
+
+def token_stream_offsets(
+    docs: DataFrame,
+    n_tok: Column,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    seg_width: int = 4096,
+) -> DataFrame:
+    """Each doc's exclusive running-token offset within its group's stream
+    (deterministic ``order_col`` order), via the two-level cumsum above.
+    Adds columns ``__n_tok`` and ``__off``; drops zero/NULL-token docs
+    (they occupy no stream positions)."""
+    d = docs.withColumn("__n_tok", n_tok.cast("long")).where(F.col("__n_tok") > 0)
+    d = d.withColumn("__seg", (F.col(order_col) / F.lit(seg_width)).cast("long"))
+    in_seg = Window.partitionBy(group_col, "__seg").orderBy(order_col)
+    d = d.withColumn(
+        "__pre", F.sum("__n_tok").over(in_seg) - F.col("__n_tok")
+    )
+    seg_totals = d.groupBy(group_col, "__seg").agg(F.sum("__n_tok").alias("__seg_tok"))
+    seg_order = Window.partitionBy(group_col).orderBy("__seg")
+    seg_base = seg_totals.withColumn(
+        "__base", F.sum("__seg_tok").over(seg_order) - F.col("__seg_tok")
+    ).select(group_col, "__seg", "__base")
+    return (
+        d.join(seg_base, on=[group_col, "__seg"], how="inner")
+        .withColumn("__off", F.col("__base") + F.col("__pre"))
+        .drop("__seg", "__pre", "__base")
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int,
+    n_tok: Column | None = None,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    id_cols: list[str] | None = None,
+    seg_width: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk packing: (id_cols..., group_col, pack_id,
+    seg_start, seg_len) — one row per (doc, pack) segment, where
+    ``seg_start``/``seg_len`` are token offsets WITHIN the document and
+    every pack holds exactly ``budget`` tokens (except each group's last).
+
+    ``n_tok`` defaults to the whitespace/alnum word count of ``text`` —
+    swap in a real tokenizer count column when one exists."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_tok is None:
+        n_tok = F.size(words(F.col("text")))
+    if id_cols is None:
+        id_cols = [order_col]
+    d = token_stream_offsets(docs, n_tok, group_col, order_col, seg_width)
+    first = (F.col("__off") / budget).cast("long")
+    last = ((F.col("__off") + F.col("__n_tok") - 1) / budget).cast("long")
+    p = F.col("pack_id")
+    start = F.greatest(F.lit(0), p * budget - F.col("__off"))
+    end = F.least(F.col("__n_tok"), (p + 1) * budget - F.col("__off"))
+    return (
+        d.select(
+            *id_cols, group_col, "__off", "__n_tok",
+            F.explode(F.sequence(first, last)).alias("pack_id"),
+        )
+        .select(
+            *id_cols,
+            group_col,
+            "pack_id",
+            start.cast("long").alias("seg_start"),
+            (end - start).cast("long").alias("seg_len"),
+        )
+    )

@@ -738,10 +738,17 @@ def q_embedding_near_dups(spark, sf: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _emb_near_dups_sql() -> str:
-    """DuckDB mirror of embedding_near_dups: same plane constants (float
-    repr round-trips IEEE754 exactly), same bucket construction, same
-    double-math cosine."""
+_EMB_COS_SQL = (
+    "list_dot_product(va.e, vb.e) / "
+    "(sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))"
+)
+
+
+def _emb_pairs_ctes() -> str:
+    """Shared CTE prefix (v, b, pairs) reproducing embedding_near_dups'
+    candidate generation in DuckDB: same plane constants (float repr
+    round-trips IEEE754 exactly), same bucket construction.  Used by both
+    the near-dup oracle and the dup-cluster oracle."""
     from ton_etl_spark.operators.similarity import _hyperplanes
 
     def bucket_expr(seed: int) -> str:
@@ -756,20 +763,23 @@ def _emb_near_dups_sql() -> str:
         f"SELECT vec_id, {t} AS tbl, {bucket_expr(_EMB_SEED + 7919 * t)} AS bucket FROM v"
         for t in range(_EMB_TABLES)
     )
-    cos = (
-        "list_dot_product(va.e, vb.e) / "
-        "(sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))"
-    )
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 b AS ({per_table}),
 pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
   FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-)
-SELECT id_a, id_b, ROUND({cos}, 6) AS cosine
+)"""
+
+
+def _emb_near_dups_sql() -> str:
+    """DuckDB mirror of embedding_near_dups: shared candidate CTEs plus the
+    same double-math cosine verify."""
+    return f"""
+WITH {_emb_pairs_ctes()}
+SELECT id_a, id_b, ROUND({_EMB_COS_SQL}, 6) AS cosine
 FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
-WHERE {cos} >= {_EMB_MINCOS}
+WHERE {_EMB_COS_SQL} >= {_EMB_MINCOS}
 """
 
 
@@ -1421,6 +1431,127 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
 """
 
 
+# --------------------------------------------------------------------------
+# 35. Sequence packing (concat-and-chunk) — training-data op: per corpus
+#     source, concatenate doc tokens in doc_id order and chop into
+#     512-token training sequences; one row per (doc, pack) segment with
+#     in-document offsets.  The Spark side computes the running offsets as
+#     a two-level cumsum (no per-source single-reducer window; see
+#     operators/packing.py); the oracle uses the plain window — identical
+#     results, different scale behavior.
+def q_pack_chunks(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.packing import pack_chunks
+
+    d = load_table(spark, sf, "documents")
+    return pack_chunks(d, budget=512)
+
+
+SQL_PACK_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tok AS BIGINT) AS off
+  FROM d WHERE n_tok > 0
+), e AS (
+  SELECT doc_id, source, n_tok, off,
+         unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS pack_id
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(0, pack_id * 512 - off) AS BIGINT) AS seg_start,
+       CAST(LEAST(n_tok, (pack_id + 1) * 512 - off)
+            - GREATEST(0, pack_id * 512 - off) AS BIGINT) AS seg_len
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# 36. Benchmark decontamination — training-data op: corpus docs sharing
+#     word 3-grams with a held-out probe set (here: every 20th doc plays
+#     the benchmark).  Inverted-index join with the probe side broadcast
+#     (operators/contamination.py) — the corpus never shuffles on the gram.
+def q_contamination_hits(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.contamination import ngram_contamination
+
+    d = load_table(spark, sf, "documents")
+    probes = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corpus, probes, min_shared=2)
+
+
+SQL_CONTAMINATION = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE NULL END AS sh
+  FROM w
+), c AS (
+  SELECT doc_id AS corpus_id, unnest(sh) AS g FROM s WHERE doc_id % 20 != 0
+), p AS (
+  SELECT doc_id AS probe_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0
+)
+SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+       CAST(probe_id AS BIGINT) AS probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM c JOIN p USING (g)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 37. Near-dup clustering — training-data op: connected components over the
+#     embedding near-dup pair graph (operators/graph.py, alternating
+#     large-star/small-star — O(log n) rounds, no driver-side graph).  The
+#     oracle reproduces the same pairs (SQL_EMB_NEAR_DUPS machinery) and
+#     closes them with a recursive CTE computing min-reachable-label.
+def q_dup_clusters(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = embedding_near_dups(
+        emb, dim=_EMB_DIM, min_cosine=_EMB_MINCOS,
+        n_planes=_EMB_PLANES, n_tables=_EMB_TABLES, seed=_EMB_SEED,
+    ).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+def _dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_emb_pairs_ctes()},
+hits AS (
+  SELECT id_a, id_b
+  FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+  WHERE {_EMB_COS_SQL} >= {_EMB_MINCOS}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM hits
+  UNION
+  SELECT id_b, id_a FROM hits
+),
+reach(n, l) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n
+)
+SELECT CAST(n AS BIGINT) AS id, CAST(MIN(l) AS BIGINT) AS component
+FROM reach GROUP BY n
+"""
+
+
+SQL_DUP_CLUSTERS = _dup_clusters_sql()
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1461,6 +1592,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debezium_money_rollup": q_debezium_money_rollup,
     "trace_enrich_join": q_trace_enrich_join,
     "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
+    "pack_chunks": q_pack_chunks,
+    "contamination_hits": q_contamination_hits,
+    "dup_clusters": q_dup_clusters,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1514,6 +1648,9 @@ ORACLES: dict[str, str] = {
     "debezium_money_rollup": SQL_DEBEZIUM_MONEY,
     "trace_enrich_join": SQL_TRACE_ENRICH,
     "ngram_jaccard_allpairs": SQL_NGRAM_ALLPAIRS,
+    "pack_chunks": SQL_PACK_CHUNKS,
+    "contamination_hits": SQL_CONTAMINATION,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_lsh_topk": SQL_ANN_LSH,
 }
