@@ -604,3 +604,55 @@ def test_ngram_contamination_and_decontaminate(spark):
     assert clean == {2, 4}
     # ubiquity cap: with max_postings=0 every probe gram is dropped -> no hits
     assert ngram_contamination(corpus, probes, max_postings=0).count() == 0
+
+
+def test_sample_mixture_deterministic_and_rate_accurate(spark):
+    """The subset must be identical across runs and partitionings (the
+    whole point vs DataFrame.sample), rates must hold to LLN tolerance,
+    salt changes the subset, rate 1.0/0.0 are exact."""
+    from ton_etl_spark.operators.sampling import sample_mixture
+
+    rows = [(i, f"s{i % 4}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.1, "s3": 0.0}
+    kept1 = {r["doc_id"] for r in sample_mixture(df, rates, salt="a:").collect()}
+    kept2 = {r["doc_id"] for r in
+             sample_mixture(df.repartition(17), rates, salt="a:").collect()}
+    assert kept1 == kept2  # partitioning-independent
+    by_src = {s: sum(1 for i in kept1 if i % 4 == int(s[1])) for s in rates}
+    assert by_src["s0"] == 2000 and by_src["s3"] == 0
+    assert abs(by_src["s1"] - 1000) < 100 and abs(by_src["s2"] - 200) < 60
+    kept3 = {r["doc_id"] for r in sample_mixture(df, rates, salt="b:").collect()}
+    assert kept3 != kept1  # salt reshuffles the draw
+    # absent group falls to default_rate
+    assert sample_mixture(df, {"zzz": 1.0}).count() == 0
+    with pytest.raises(ValueError):
+        sample_mixture(df, {"s0": 1.5}).count()
+
+
+def test_embedding_near_dups_bucket_cap(spark):
+    """A mass point (hundreds of identical vectors) must not go quadratic:
+    the cap drops its buckets while a genuinely-near pair elsewhere
+    survives (its buckets stay small)."""
+    import math
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [math.cos(0.1), math.sin(0.1)] + [0.0] * (dim - 2)
+    opposite = [-1.0] + [0.0] * (dim - 1)
+    rows = [(i, base) for i in range(300)]           # the mass point
+    rows += [(1000, opposite), (1001, opposite)]     # small-bucket pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dups(
+        emb, dim=dim, min_cosine=0.9, n_planes=6, n_tables=2,
+        max_bucket_size=50,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1000, 1001)}
+    # uncapped, the mass point would emit C(300,2) pairs — sanity-check on
+    # a small slice that the cap is what removed them
+    some = embedding_near_dups(
+        emb.where(F.col("vec_id") < 5), dim=dim, min_cosine=0.9,
+        n_planes=6, n_tables=2,
+    ).count()
+    assert some == 10  # C(5,2) — identical vectors all pair up uncapped

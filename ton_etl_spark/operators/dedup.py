@@ -539,6 +539,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dups: multi-table random-hyperplane LSH (sign sketch)
     → exact cosine only on candidates sharing ≥1 table bucket.
@@ -553,6 +554,15 @@ def embedding_near_dups(
     recall to ~0.99.  Scale shape mirrors ``minhash_lsh_pairs``: bucket
     entries carry ONLY (id, table, bucket) through the self-join shuffle;
     the dim-sized vectors join back for the sparse survivors only.
+
+    ``max_bucket_size`` is the same degenerate-bucket guard as minhash's:
+    a web-scale embedding corpus has pathological mass points (all-zero
+    vectors from failed encodes, template pages sharing one embedding)
+    whose bucket would go quadratic in the self-join; buckets above the
+    cap are dropped — members of a mass point are better routed to exact
+    dedup on the vector hash.  The count+semi-join shares the self-join's
+    (tbl, bucket) partitioning, so the guard adds no extra exchange.
+    Default off: the pinned oracle queries reproduce the uncapped sketch.
     """
     from ton_etl_spark.operators.similarity import _hyperplane_bucket, _cosine
 
@@ -572,6 +582,14 @@ def embedding_near_dups(
             )
         ).alias("tb"),
     ).select(F.col(id_col), F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        small = (
+            entries.groupBy("tbl", "bucket")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("tbl", "bucket")
+        )
+        entries = entries.join(small, ["tbl", "bucket"], "left_semi")
     a, b = entries.alias("a"), entries.alias("b")
     pairs = (
         a.join(

@@ -1552,6 +1552,51 @@ FROM reach GROUP BY n
 SQL_DUP_CLUSTERS = _dup_clusters_sql()
 
 
+# --------------------------------------------------------------------------
+# 38. Deterministic mixture sampling — training-data op: per-source keep
+#     rates applied via an md5-hash threshold, so the subset is a pure
+#     function of (salt, doc_id) and any engine reproduces it exactly
+#     (operators/sampling.py — DataFrame.sample is partition-order
+#     dependent and therefore useless for reproducible corpus builds).
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_SALT = "mix-v1:"
+
+
+def q_mixture_sample(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.sampling import sample_mixture
+
+    d = load_table(spark, sf, "documents")
+    kept = sample_mixture(
+        d, _MIX_RATES, salt=_MIX_SALT, default_rate=0.125
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("ids_sum"),
+    )
+
+
+def _mixture_sql() -> str:
+    from ton_etl_spark.operators.sampling import rate_threshold
+
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN '{rate_threshold(r)}'"
+        for g, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+WITH kept AS (
+  SELECT doc_id, source FROM documents
+  WHERE substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+        < CASE {cases} ELSE '{rate_threshold(0.125)}' END
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(SUM(doc_id) AS BIGINT) AS ids_sum
+FROM kept GROUP BY source
+"""
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1595,6 +1640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,
     "contamination_hits": q_contamination_hits,
     "dup_clusters": q_dup_clusters,
+    "mixture_sample": q_mixture_sample,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1651,6 +1697,7 @@ ORACLES: dict[str, str] = {
     "pack_chunks": SQL_PACK_CHUNKS,
     "contamination_hits": SQL_CONTAMINATION,
     "dup_clusters": SQL_DUP_CLUSTERS,
+    "mixture_sample": _mixture_sql(),
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_lsh_topk": SQL_ANN_LSH,
 }
