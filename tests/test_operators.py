@@ -656,3 +656,25 @@ def test_embedding_near_dups_bucket_cap(spark):
         n_planes=6, n_tables=2,
     ).count()
     assert some == 10  # C(5,2) — identical vectors all pair up uncapped
+
+
+def test_repetition_ratio_values(spark):
+    from ton_etl_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),       # 6 trigrams, 3 distinct -> 0.5
+            (2, "one two three four"),    # all distinct -> 0.0
+            (3, "x y"),                   # shorter than n -> 0.0
+            (4, None),                    # NULL contract
+            (5, "spam spam spam spam spam spam"),  # 4 trigrams, 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert got[1] == 0.5
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] is None
+    assert abs(got[5] - 0.75) < 1e-9

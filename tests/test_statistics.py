@@ -123,3 +123,32 @@ def test_manifest_json_carries_stats(spark, tmp_path):
     with open(os.path.join(t.root, rel)) as fh:
         entries = json.load(fh)
     assert all("stats" in e and "lsn" in e["stats"] for e in entries)
+
+
+def test_timestamp_stats_skip_and_exactness(spark, tmp_path):
+    """Datetime bounds ride the ISO-8601 encoding (lexicographic ==
+    chronological): a time-range read prunes files and stays exact."""
+    import datetime as dt
+
+    schema = spark.createDataFrame([], "k string, ts timestamp").schema
+    t = LakeTable.create(spark, str(tmp_path / "ts"), schema=schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["ts"],
+                         sort_cols=["ts"], target_file_rows=50)
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(f"k{i}", base + dt.timedelta(minutes=i)) for i in range(400)]
+    t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+    files = t.current().files
+    assert all(f.stats and "ts" in f.stats for f in files)
+    lo = base + dt.timedelta(minutes=350)
+    want = {r["k"] for r in t.read().where(F.col("ts") >= F.lit(lo)).collect()}
+    got = {r["k"] for r in t.read(where={"ts": (lo, None)}).collect()}
+    assert got == want and len(want) == 50
+    # files entirely below the probe are skippable — corrupt and re-read
+    # (stored bounds are canonical NAIVE-UTC ISO strings)
+    lo_key = lo.replace(tzinfo=None).isoformat()
+    skippable = [f for f in files if f.stats["ts"][1] < lo_key]
+    assert skippable
+    for f in skippable:
+        with open(os.path.join(t.root, f.path), "wb") as fh:
+            fh.write(b"x")
+    assert {r["k"] for r in t.read(where={"ts": (lo, None)}).collect()} == want

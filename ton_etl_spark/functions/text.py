@@ -84,6 +84,27 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document — the Gopher-style intra-document repetition signal
+    (template/boilerplate/SEO-spam pages score high; natural prose scores
+    near 0).  Computed as 1 - distinct/total over the NON-distinct n-gram
+    list.  Documents with fewer than n words have no n-grams and score
+    0.0; NULL text scores NULL (same contract as quality_score).  All
+    array ops, JVM-side, no shuffle."""
+    ws = words(text)
+    total = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    ratio = F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(ratio)
+
+
 def fingerprint(text: Column) -> Column:
     """Document content fingerprint (md5 of normalized words) — the exact-dup
     key (reference analog: sha256 content-hash filenames,

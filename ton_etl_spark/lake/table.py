@@ -175,7 +175,15 @@ def _stats_encode(v: Any) -> Any:
         return None  # bool bounds are useless; NULL has no order
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        # canonicalize to NAIVE UTC: a tz-aware predicate against a naive
+        # stored bound (or vice versa) would compare the '+00:00' suffix
+        # lexicographically and mis-order exact-boundary values — which on
+        # the skip side means silently dropping a matching file
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return None
 

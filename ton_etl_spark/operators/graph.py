@@ -85,9 +85,10 @@ def connected_components(
         edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
     ).localCheckpoint()
     if not e.head(1):
-        return edges.sparkSession.createDataFrame(
-            [], "id long, component long"
-        )
+        # typed like the input ids, not hardcoded long
+        return edges.select(
+            F.col(src).alias("id"), F.col(dst).alias("component")
+        ).limit(0)
     prev = _checksum(e)
     for _ in range(max_iter):
         e = _canon(_small_star(_large_star(e))).localCheckpoint()

@@ -50,7 +50,9 @@ def token_stream_offsets(
     Adds columns ``__n_tok`` and ``__off``; drops zero/NULL-token docs
     (they occupy no stream positions)."""
     d = docs.withColumn("__n_tok", n_tok.cast("long")).where(F.col("__n_tok") > 0)
-    d = d.withColumn("__seg", (F.col(order_col) / F.lit(seg_width)).cast("long"))
+    # floor, not cast (truncate-toward-zero): negative order values must
+    # still map to monotone segment ids
+    d = d.withColumn("__seg", F.floor(F.col(order_col) / F.lit(seg_width)).cast("long"))
     in_seg = Window.partitionBy(group_col, "__seg").orderBy(order_col)
     d = d.withColumn(
         "__pre", F.sum("__n_tok").over(in_seg) - F.col("__n_tok")

@@ -1597,6 +1597,35 @@ FROM kept GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# 39. Intra-document repetition — training-data quality op (Gopher-style):
+#     fraction of word 3-grams that repeat within the doc; boilerplate/SEO
+#     spam scores high, prose near 0.  Pure array algebra, no shuffle.
+def q_doc_repetition(spark, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TXT.repetition_ratio(F.col("text"), 3), 6).alias("rep_ratio"),
+    )
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, GREATEST(len(ws) - 2, 0) AS total,
+         list_transform(generate_series(1, GREATEST(GREATEST(len(ws) - 2, 0), 1)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS grams
+  FROM w
+)
+SELECT doc_id,
+       ROUND(CASE WHEN total > 0
+             THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total
+             ELSE 0.0 END, 6) AS rep_ratio
+FROM g
+"""
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1641,6 +1670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_hits": q_contamination_hits,
     "dup_clusters": q_dup_clusters,
     "mixture_sample": q_mixture_sample,
+    "doc_repetition": q_doc_repetition,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1698,6 +1728,7 @@ ORACLES: dict[str, str] = {
     "contamination_hits": SQL_CONTAMINATION,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "mixture_sample": _mixture_sql(),
+    "doc_repetition": SQL_REPETITION,
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_lsh_topk": SQL_ANN_LSH,
 }

@@ -45,6 +45,11 @@ def get_spark(
         # writers in this environment (zstd/lz4 JNI showed multi-second
         # stalls at high writer counts)
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # modern timestamp physical type: INT96 (the legacy default) writes
+        # NO footer min/max statistics, which silently disables timestamp
+        # file-skipping (lake/table.py stats_cols); micros also round-trips
+        # smaller and is what every non-Spark reader expects
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # lake tables are read via explicit per-file path lists; keep the
         # listing on the driver instead of spawning a 10k-task job
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
