@@ -1626,6 +1626,90 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# 40. End-to-end corpus curation — the composed training-data pipeline in
+#     one query: quality + repetition gates → exact dedup (keep min id per
+#     content fingerprint) → deterministic mixture sampling → per-source
+#     rollup.  Every stage is an operator proven above; the value of this
+#     query is that the COMPOSITION is oracle-checked end-to-end.
+_CURATE_SALT = "curate-v1:"
+
+
+def q_curated_corpus(spark, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ton_etl_spark.operators.sampling import sample_mixture
+
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    gated = d.where(
+        (TXT.quality_score(t) >= 0.5)
+        & (TXT.repetition_ratio(t, 3) <= 0.2)
+        & (TXT.word_count(t) >= 10)
+    )
+    w = W.partitionBy(TXT.fingerprint(t)).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sampled = sample_mixture(deduped, {}, salt=_CURATE_SALT, default_rate=0.5)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.word_count(t)).alias("n_words"),
+        F.sum("doc_id").alias("ids_sum"),
+    )
+
+
+SQL_CURATED = f"""
+WITH feats AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), scored AS (
+  SELECT doc_id, source, text, ws,
+         len(ws) AS n_words,
+         -- quality_score mirror (functions/text.py): 0.4*len + 0.2*awl +
+         -- 0.2*stopword + 0.2*punct
+         0.4 * LEAST(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.2 * (CASE WHEN len(ws) > 0 AND
+                       CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+                       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+         + 0.2 * LEAST(5.0 * (CASE WHEN len(ws) > 0
+                  THEN CAST(len(list_filter(ws, x -> x IN ({_SW}))) AS DOUBLE) / len(ws)
+                  ELSE 0.0 END), 1.0)
+         + 0.2 * (1.0 - LEAST(5.0 * (CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END), 1.0)) AS quality,
+         CASE WHEN len(ws) >= 3
+              THEN 1.0 - CAST(len(list_distinct(
+                     list_transform(generate_series(1, len(ws) - 2),
+                                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                   )) AS DOUBLE) / (len(ws) - 2)
+              ELSE 0.0 END AS rep_ratio
+  FROM feats
+), gated AS (
+  SELECT doc_id, source, n_words,
+         md5(array_to_string(ws, ' ')) AS fp
+  FROM scored
+  WHERE quality >= 0.5 AND rep_ratio <= 0.2 AND n_words >= 10
+), deduped AS (
+  SELECT doc_id, source, n_words,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM gated
+), sampled AS (
+  SELECT doc_id, source, n_words FROM deduped
+  WHERE rn = 1
+    AND substr(md5('{_CURATE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(doc_id) AS BIGINT) AS ids_sum
+FROM sampled GROUP BY source
+"""
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1671,6 +1755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "mixture_sample": q_mixture_sample,
     "doc_repetition": q_doc_repetition,
+    "curated_corpus": q_curated_corpus,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1729,6 +1814,7 @@ ORACLES: dict[str, str] = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "mixture_sample": _mixture_sql(),
     "doc_repetition": SQL_REPETITION,
+    "curated_corpus": SQL_CURATED,
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_lsh_topk": SQL_ANN_LSH,
 }
