@@ -103,9 +103,12 @@ def test_metrics_recorder_drains_progress_and_survives_restart(spark, tmp_path):
 
 
 def test_wait_for_and_drain_do_not_burn_timeout(spark, tmp_path):
-    """wait_for returns promptly once the rows are there (errors short-circuit
-    to False instead of delaying), and drain() needs no expected count — it
-    returns at quiescence, including the zero-row case."""
+    """drain() needs no expected count — it returns at quiescence,
+    including the zero-row case — and wait_for returns promptly once the
+    rows are there, with recorded errors neither blocking a satisfied wait
+    nor aborting an unsatisfied one (one recorder serves every query on
+    the session, so stream A's old error must not fail a wait for stream
+    B's rows)."""
     import time
 
     rec = attach_metrics_recorder(spark, str(tmp_path / "m0"))
@@ -113,13 +116,12 @@ def test_wait_for_and_drain_do_not_burn_timeout(spark, tmp_path):
         t0 = time.time()
         assert rec.drain(idle=0.3, timeout=30.0) == 0  # nothing ever fired
         assert time.time() - t0 < 5.0  # quiesced, did not burn the timeout
-        rec.errors.append(RuntimeError("append failed"))
-        t0 = time.time()
-        assert rec.wait_for(1, timeout=30.0) is False  # row will never come
-        assert time.time() - t0 < 5.0
-        rec.errors.clear()
+        rec.errors.append(RuntimeError("stream A append failed"))
         rec.rows_written = 3
-        assert rec.wait_for(3, timeout=30.0) is True
+        t0 = time.time()
+        assert rec.wait_for(3, timeout=30.0) is True  # error does not gate
+        assert time.time() - t0 < 5.0
+        assert rec.wait_for(4, timeout=0.5) is False  # timeout, not abort
     finally:
         detach_metrics_recorder(spark, rec)
 

@@ -678,3 +678,35 @@ def test_repetition_ratio_values(spark):
     assert got[3] == 0.0
     assert got[4] is None
     assert abs(got[5] - 0.75) < 1e-9
+
+
+def test_connected_components_self_loop_only_nodes(spark):
+    """A node whose only edges are self-loops is a singleton component —
+    not silently absent from the output."""
+    from ton_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
+    only_loops = spark.createDataFrame([(3, 3), (9, 9)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(only_loops).collect()}
+    assert got == {3: 3, 9: 9}
+
+
+def test_pack_chunks_duplicate_order_values_still_tile(spark):
+    """Duplicate (group, order) rows must get SEQUENTIAL stream offsets
+    (ROWS frame), not peer-inclusive RANGE sums that would make them claim
+    overlapping positions and break the pack-budget invariant."""
+    from collections import defaultdict
+
+    from ton_etl_spark.operators.packing import pack_chunks
+
+    rows = [(1, "a b c d e", "s"), (1, "a b c d e", "s"), (2, "f g h i j", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    segs = pack_chunks(docs, budget=4).collect()
+    tot = defaultdict(int)
+    for r in segs:
+        tot[r["pack_id"]] += r["seg_len"]
+    packs = sorted(tot)
+    assert sum(tot.values()) == 15          # every token placed exactly once
+    assert all(tot[p] == 4 for p in packs[:-1]) and tot[packs[-1]] == 3

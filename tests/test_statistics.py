@@ -152,3 +152,28 @@ def test_timestamp_stats_skip_and_exactness(spark, tmp_path):
         with open(os.path.join(t.root, f.path), "wb") as fh:
             fh.write(b"x")
     assert {r["k"] for r in t.read(where={"ts": (lo, None)}).collect()} == want
+
+
+def test_timestamp_skip_correct_in_non_utc_session(spark, tmp_path):
+    """A naive datetime bound means SESSION-LOCAL time to the residual
+    filter; the skip comparison must agree with that, not compare
+    wall-clock strings against the stored UTC bounds (which would silently
+    skip matching files in any non-UTC session)."""
+    import datetime as dt
+
+    schema = spark.createDataFrame([], "k string, ts timestamp").schema
+    t = LakeTable.create(spark, str(tmp_path / "tz"), schema=schema,
+                         key_cols=["k"], n_buckets=1, stats_cols=["ts"],
+                         sort_cols=["ts"], target_file_rows=50)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        base = dt.datetime(2026, 1, 1, 12, 0)  # naive -> Tokyo local
+        rows = [(f"k{i}", base + dt.timedelta(minutes=i)) for i in range(200)]
+        t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+        lo = base + dt.timedelta(minutes=150)  # naive Tokyo bound
+        want = {r["k"] for r in t.read().where(F.col("ts") >= F.lit(lo)).collect()}
+        got = {r["k"] for r in t.read(where={"ts": (lo, None)}).collect()}
+        assert got == want and len(want) == 50
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

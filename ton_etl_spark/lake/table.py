@@ -525,6 +525,30 @@ class LakeTable:
         v = snap.properties.get(prop)
         return [c for c in v.split(",") if c] if v else []
 
+    def _session_tz_bounds(
+        self, where: dict[str, tuple[Any, Any]]
+    ) -> dict[str, tuple[Any, Any]]:
+        """Naive datetime bounds are session-local (that is how the Spark
+        residual filter interprets them); make that explicit so
+        ``_stats_encode`` canonicalizes them to the UTC the stored bounds
+        use.  Non-datetime values pass through untouched."""
+        import datetime as _dt
+        from zoneinfo import ZoneInfo
+
+        tz = None
+
+        def conv(v):
+            nonlocal tz
+            if isinstance(v, _dt.datetime) and v.tzinfo is None:
+                if tz is None:
+                    tz = ZoneInfo(
+                        self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+                    )
+                return v.replace(tzinfo=tz)
+            return v
+
+        return {c: (conv(lo), conv(hi)) for c, (lo, hi) in where.items()}
+
     # ------------------------------------------------------------------ bucketing
     def check_bucket_fn(self, snap: Snapshot) -> None:
         """Fail loudly if the table was written with a different bucket hash:
@@ -569,7 +593,13 @@ class LakeTable:
             self.check_bucket_fn(snap)
         files = snap.files_for(buckets)
         if where:
-            files = [f for f in files if _file_may_match(f, where)]
+            # A NAIVE datetime bound means session-local time to the
+            # residual filter below, but the stored bounds are UTC — attach
+            # the session tz before encoding, or a non-UTC session would
+            # compare wall-clock strings against UTC bounds and silently
+            # skip matching files.
+            skip_where = self._session_tz_bounds(where)
+            files = [f for f in files if _file_may_match(f, skip_where)]
         schema = snap.schema
         if not files:
             return self.spark.createDataFrame([], schema)

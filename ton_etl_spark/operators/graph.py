@@ -78,17 +78,21 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``, where
     ``component`` is the smallest node id in the node's connected
-    component (root rows ``id == component`` included).  Raises if the
+    component (root rows ``id == component`` included; a node whose only
+    edges are self-loops is its own singleton component).  Raises if the
     alternation has not converged after ``max_iter`` rounds (far beyond
     the O(log n) bound for any realistic graph)."""
-    e = _canon(
-        edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
-    ).localCheckpoint()
+    raw = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    all_nodes = (
+        raw.select(F.col("__a").alias("id"))
+        .unionByName(raw.select(F.col("__b").alias("id")))
+        .where(F.col("id").isNotNull())
+        .distinct()
+    )
+    e = _canon(raw).localCheckpoint()
     if not e.head(1):
-        # typed like the input ids, not hardcoded long
-        return edges.select(
-            F.col(src).alias("id"), F.col(dst).alias("component")
-        ).limit(0)
+        # every node is a singleton (self-loop-only inputs)
+        return all_nodes.withColumn("component", F.col("id"))
     prev = _checksum(e)
     for _ in range(max_iter):
         e = _canon(_small_star(_large_star(e))).localCheckpoint()
@@ -99,12 +103,17 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     # fixpoint is a forest of stars (big, root); components = star edges
-    # plus each root itself
+    # plus each root itself, plus singletons whose only edges were
+    # self-loops (dropped by _canon but still 'appearing in edges')
     nodes = e.select(F.col("__a").alias("id"), F.col("__b").alias("component"))
     roots = e.select(F.col("__b").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
-    return nodes.unionByName(roots).distinct()
+    connected = nodes.unionByName(roots).distinct()
+    singles = all_nodes.join(
+        connected.select("id"), on="id", how="left_anti"
+    ).withColumn("component", F.col("id"))
+    return connected.unionByName(singles)
 
 
 def cluster_representatives(

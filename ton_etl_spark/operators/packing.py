@@ -53,12 +53,24 @@ def token_stream_offsets(
     # floor, not cast (truncate-toward-zero): negative order values must
     # still map to monotone segment ids
     d = d.withColumn("__seg", F.floor(F.col(order_col) / F.lit(seg_width)).cast("long"))
-    in_seg = Window.partitionBy(group_col, "__seg").orderBy(order_col)
+    # ROWS frame, not the default RANGE: RANGE is peer-inclusive, so two
+    # rows sharing (group, order) would each absorb BOTH token counts and
+    # claim overlapping stream positions (and diverge from the SQL oracle's
+    # explicit ROWS BETWEEN frame)
+    in_seg = (
+        Window.partitionBy(group_col, "__seg")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = d.withColumn(
         "__pre", F.sum("__n_tok").over(in_seg) - F.col("__n_tok")
     )
     seg_totals = d.groupBy(group_col, "__seg").agg(F.sum("__n_tok").alias("__seg_tok"))
-    seg_order = Window.partitionBy(group_col).orderBy("__seg")
+    seg_order = (
+        Window.partitionBy(group_col)
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     seg_base = seg_totals.withColumn(
         "__base", F.sum("__seg_tok").over(seg_order) - F.col("__seg_tok")
     ).select(group_col, "__seg", "__base")

@@ -1419,7 +1419,8 @@ WITH w AS (
          CASE WHEN len(ws) >= 3
               THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
-              ELSE [array_to_string(ws, ' ')] END AS sh
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE NULL END AS sh
   FROM w
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1613,13 +1614,14 @@ SQL_REPETITION = """
 WITH w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
 ), g AS (
-  SELECT doc_id, GREATEST(len(ws) - 2, 0) AS total,
+  SELECT doc_id, ws, GREATEST(len(ws) - 2, 0) AS total,
          list_transform(generate_series(1, GREATEST(GREATEST(len(ws) - 2, 0), 1)),
                         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS grams
   FROM w
 )
 SELECT doc_id,
-       ROUND(CASE WHEN total > 0
+       ROUND(CASE WHEN ws IS NULL THEN NULL
+             WHEN total > 0
              THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total
              ELSE 0.0 END, 6) AS rep_ratio
 FROM g

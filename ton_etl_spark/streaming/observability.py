@@ -137,30 +137,33 @@ class MetricsRecorder(StreamingQueryListener):
     def wait_for(self, n_rows: int, timeout: float = 60.0) -> bool:
         """Block until this recorder has written ``n_rows`` rows (listener
         delivery is asynchronous; awaitTermination does not wait for it).
-        Errors do not delay the return — a failed append means the row will
-        never arrive, so waiting on it would just burn the timeout."""
+        Errors never gate a satisfied wait, and never short-circuit an
+        unsatisfied one either: one recorder serves every query on the
+        session, so an old error from stream A must not make a wait for
+        stream B's rows give up while they can still arrive."""
         deadline = time.time() + timeout
         while time.time() < deadline:
             if self.rows_written >= n_rows:
                 return True
-            if self.errors:
-                return False
             time.sleep(0.2)
         return self.rows_written >= n_rows
 
-    def drain(self, idle: float = 1.0, timeout: float = 30.0) -> int:
+    def drain(self, idle: float = 2.0, timeout: float = 30.0) -> int:
         """Wait until the listener bus has gone quiet: no new metrics row for
         ``idle`` seconds (or ``timeout`` elapses).  Unlike ``wait_for`` this
         needs no expected row count — after ``awaitTermination`` returns,
         later batches' progress events may still sit in Spark's async
         listener queue; quiescence is the only observable completion signal.
-        Returns the number of rows written."""
+        An append in flight (the recorder lock is held) defers the idle
+        verdict: a single metrics write is a full Spark job and can
+        outlast the idle window on a loaded driver.  Returns the number of
+        rows written."""
         deadline = time.time() + timeout
         last = self.rows_written
         settled = time.time()
         while time.time() < deadline:
             cur = self.rows_written
-            if cur != last:
+            if cur != last or self._lock.locked():
                 last, settled = cur, time.time()
             elif time.time() - settled >= idle:
                 break
