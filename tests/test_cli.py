@@ -73,3 +73,22 @@ def test_cli_stream_and_multi_stream(spark, tmp_path, capsys):
     assert ms["tables"] == ["seq_a"]
     assert main(["oracle-check", "--table", str(tmp_path / "t2"), "--log-root", log_root]) == 0
     capsys.readouterr()
+
+
+def test_cli_describe(spark, tmp_path, capsys):
+    log_root = str(tmp_path / "dlog")
+    write_cdc_log(generate_cdc_log(spark, 1500, seed=77), log_root, n_batches=2, dup_pct=0, seed=77)
+    table = str(tmp_path / "dtbl")
+    assert main(["replay", "--log-root", log_root, "--table", table]) == 0
+    capsys.readouterr()
+
+    assert main(["describe", "--table", table, "--bounds"]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["cmd"] == "describe" and d["version"] >= 2
+    assert d["n_buckets"] == 16 and d["key_cols"] == ["doc_id"]
+    assert d["n_files"] >= 1 and d["rows_total"] > 0
+    assert d["stats_columns"] == ["lsn"]       # sequences-table default
+    assert d["stats_coverage"] == 1.0
+    lo, hi = d["bounds"]["lsn"]
+    assert 0 <= lo <= hi
+    assert "epoch" in d["commit_watermarks"]

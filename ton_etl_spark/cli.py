@@ -12,6 +12,8 @@ entry points; `python -m ton_etl_spark <cmd>` provides them:
   maintain      compaction / tombstone GC / snapshot expiry
   oracle-check  recompute the one-pass oracle and diff it against the
                 table state (the operational replay-equality check)
+  describe      table metadata: version, layout, file counts, stats
+                coverage and optional per-column [min, max] bounds
 
 Every command builds its session via ``session.get_spark`` (honors
 ``SPARK_MASTER`` env; local[*] default) — under spark-submit the master
@@ -136,6 +138,46 @@ def _cmd_maintain(args) -> int:
     return 0
 
 
+def _cmd_describe(args) -> int:
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    snap = t.current()
+    files = snap.files
+    per_bucket: dict[int, int] = {}
+    for f in files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    stats_cols = sorted({c for f in files if f.stats for c in f.stats})
+    out = {
+        "cmd": "describe",
+        "root": t.root,
+        "version": snap.version,
+        "n_buckets": snap.n_buckets,
+        "key_cols": snap.key_cols,
+        "schema_fields": [f.name for f in snap.schema.fields],
+        "properties": snap.properties,
+        "n_files": len(files),
+        "rows_total": sum(f.rows for f in files),
+        "files_per_bucket": {str(b): n for b, n in sorted(per_bucket.items())},
+        "stats_columns": stats_cols,
+        "stats_coverage": (
+            round(sum(1 for f in files if f.stats) / len(files), 4) if files else None
+        ),
+        "commit_watermarks": snap.commit_watermarks,
+    }
+    if args.bounds and stats_cols:
+        out["bounds"] = {
+            c: [
+                min(f.stats[c][0] for f in files if f.stats and c in f.stats),
+                max(f.stats[c][1] for f in files if f.stats and c in f.stats),
+            ]
+            for c in stats_cols
+        }
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_oracle_check(args) -> int:
     from ton_etl_spark.cdc.apply import final_state_oracle, read_full_log, read_state
     from ton_etl_spark.lake.table import LakeTable
@@ -199,6 +241,12 @@ def build_parser() -> argparse.ArgumentParser:
     oc.add_argument("--table", required=True)
     oc.add_argument("--log-root", required=True)
     oc.set_defaults(fn=_cmd_oracle_check)
+
+    de = sub.add_parser("describe", help="table metadata: version, layout, file/stats coverage")
+    de.add_argument("--table", required=True)
+    de.add_argument("--bounds", action="store_true",
+                    help="include global [min, max] per stats column")
+    de.set_defaults(fn=_cmd_describe)
     return p
 
 
