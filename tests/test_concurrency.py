@@ -179,3 +179,44 @@ def test_get_or_create_loser_loads_instead_of_crashing(spark, tmp_path, monkeypa
     got = LakeTable.get_or_create(spark, root, schema=schema, key_cols=["k"], n_buckets=2)
     assert {r["k"] for r in got.read().collect()} == {"a"}  # winner's data intact
     assert got.current_version() == t.current_version()
+
+
+def test_concurrent_appends_rebase_metadata_only(spark, tmp_path):
+    """Appends are order-independent, so a CAS loser rebases METADATA only:
+    no external retry loop needed, every writer's rows land, and — the
+    point — each append's data files are written exactly once (one commit
+    directory per writer; a retry that re-ran Spark would mint extra
+    commit dirs)."""
+    import os as _os
+
+    from ton_etl_spark.lake.table import DATA_DIR, LakeTable
+
+    schema = spark.createDataFrame([], "k string, v long").schema
+    t = LakeTable.create(spark, str(tmp_path / "reb"), schema=schema,
+                         key_cols=["k"], n_buckets=2)
+    n_writers, errors = 6, []
+
+    def _write(i: int) -> None:
+        try:
+            # no retry loop: append itself must absorb the conflicts
+            assert t.append(
+                spark.createDataFrame([(f"w{i}", i)], schema),
+                commit_key=f"reb-{i}",
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=_write, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.current_version() == n_writers
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {
+        f"w{i}": i for i in range(n_writers)
+    }
+    commit_dirs = [d for d in _os.listdir(_os.path.join(t.root, DATA_DIR))]
+    assert len(commit_dirs) == n_writers  # data written once per append
+    # duplicate-key replay after the races is still a no-op
+    assert t.append(spark.createDataFrame([("dup", 0)], schema), commit_key="reb-3") is False

@@ -762,10 +762,22 @@ class LakeTable:
         os.replace(tmp, path)
         return rel
 
-    def append(self, df: DataFrame, commit_key: str | None = None) -> bool:
+    def append(
+        self, df: DataFrame, commit_key: str | None = None, max_rebases: int = 8
+    ) -> bool:
         """Append rows (no key dedup).  Returns False if commit_key already
         applied.  Metadata cost: one new manifest per TOUCHED bucket; the
-        rest of the table re-points to its existing manifests."""
+        rest of the table re-points to its existing manifests.
+
+        Concurrency: an append's DATA FILES are valid against any base
+        version (appends are order-independent), so losing the CAS to a
+        concurrent writer triggers a METADATA-ONLY rebase — re-read the new
+        current snapshot, rebuild the touched manifests, re-publish — up to
+        ``max_rebases`` times.  No Spark re-execution, no file rewrite: the
+        expensive half of the commit runs exactly once (the Iceberg
+        fast-append retry).  A MERGE/overwrite conflict still raises —
+        its winners were computed against stale data and must be
+        re-derived."""
         snap = self.current()
         if commit_key is not None and snap.has_commit_key(commit_key):
             return False
@@ -782,24 +794,38 @@ class LakeTable:
         by_bucket: dict[int, list[DataFile]] = {}
         for f in new_files:
             by_bucket.setdefault(f.bucket, []).append(f)
-        manifests = dict(snap.manifests)
-        for b, nf in by_bucket.items():
-            old = snap.files_for([b]) if b in manifests else []
-            manifests[b] = self._write_manifest(b, old + nf, commit_id)
-        wm, recent = snap.advanced_keys(commit_key)
-        new_snap = Snapshot(
-            version=snap.version + 1,
-            schema_json=json.dumps(schema.jsonValue()),
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            manifests=manifests,
-            commit_watermarks=wm,
-            recent_commit_keys=recent,
-            properties=snap.properties,
-        )
-        new_snap._root = self.root
-        self._publish(new_snap)
-        return True
+        for attempt in range(max_rebases + 1):
+            if attempt > 0:
+                snap = self.current()  # rebase on the NEW current
+                if commit_key is not None and snap.has_commit_key(commit_key):
+                    # another writer applied this very key while we raced
+                    return False
+                schema = _merge_schemas(snap.schema, schema)
+            manifests = dict(snap.manifests)
+            for b, nf in by_bucket.items():
+                old = snap.files_for([b]) if b in manifests else []
+                manifests[b] = self._write_manifest(
+                    b, old + nf, f"{commit_id}-r{attempt}" if attempt else commit_id
+                )
+            wm, recent = snap.advanced_keys(commit_key)
+            new_snap = Snapshot(
+                version=snap.version + 1,
+                schema_json=json.dumps(schema.jsonValue()),
+                n_buckets=snap.n_buckets,
+                key_cols=snap.key_cols,
+                manifests=manifests,
+                commit_watermarks=wm,
+                recent_commit_keys=recent,
+                properties=snap.properties,
+            )
+            new_snap._root = self.root
+            try:
+                self._publish(new_snap)
+                return True
+            except CommitConflictError:
+                if attempt == max_rebases:
+                    raise
+        raise AssertionError("unreachable")
 
     def overwrite_buckets(
         self,
