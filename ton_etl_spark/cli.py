@@ -139,15 +139,15 @@ def _cmd_maintain(args) -> int:
 
 
 def _cmd_describe(args) -> int:
+    from collections import Counter
+
     from ton_etl_spark.lake.table import LakeTable
 
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
     snap = t.current()
     files = snap.files
-    per_bucket: dict[int, int] = {}
-    for f in files:
-        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    per_bucket = Counter(f.bucket for f in files)
     stats_cols = sorted({c for f in files if f.stats for c in f.stats})
     out = {
         "cmd": "describe",

@@ -188,19 +188,20 @@ def _stats_encode(v: Any) -> Any:
     return None
 
 
-def _file_may_match(f: DataFile, where: dict[str, tuple[Any, Any]]) -> bool:
+def _file_may_match(f: DataFile, enc_where: dict[str, tuple[Any, Any]]) -> bool:
     """Conservative skip test: False only when a file's stored [min, max]
     bounds PROVE no row can satisfy every range.  Missing stats (old
     manifests, un-tracked columns, un-encodable predicate values) keep the
-    file — skipping is an optimization, never a filter."""
+    file — skipping is an optimization, never a filter.  ``enc_where``
+    values are PRE-ENCODED via ``_stats_encode`` (done once per read, not
+    once per file — a snapshot can list 10^5 files)."""
     if not f.stats:
         return True
-    for col, (lo, hi) in where.items():
+    for col, (plo, phi) in enc_where.items():
         bounds = f.stats.get(col)
         if not bounds:
             continue
         fmin, fmax = bounds
-        plo, phi = _stats_encode(lo), _stats_encode(hi)
         # mixed encodings (e.g. int bound vs str predicate) would raise on
         # compare — treat as unknowable, keep the file
         try:
@@ -597,9 +598,12 @@ class LakeTable:
             # residual filter below, but the stored bounds are UTC — attach
             # the session tz before encoding, or a non-UTC session would
             # compare wall-clock strings against UTC bounds and silently
-            # skip matching files.
-            skip_where = self._session_tz_bounds(where)
-            files = [f for f in files if _file_may_match(f, skip_where)]
+            # skip matching files.  Encode once here, not per file.
+            enc = {
+                c: (_stats_encode(lo), _stats_encode(hi))
+                for c, (lo, hi) in self._session_tz_bounds(where).items()
+            }
+            files = [f for f in files if _file_may_match(f, enc)]
         schema = snap.schema
         if not files:
             return self.spark.createDataFrame([], schema)

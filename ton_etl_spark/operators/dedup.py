@@ -80,6 +80,17 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def drop_oversized_groups(df: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
+    """Degenerate-bucket guard shared by the LSH families: drop every group
+    larger than ``cap`` (mass points — identical short docs, failed-encode
+    embeddings — would go quadratic in the downstream self-join; their
+    members are better routed to exact dedup).  The count+semi-join shares
+    the self-join's partitioning on ``group_cols``, so Catalyst reuses the
+    exchange rather than adding one."""
+    small = df.groupBy(*group_cols).count().where(F.col("count") <= cap).select(*group_cols)
+    return df.join(small, group_cols, "left_semi")
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles as strings.  Docs shorter than k words contribute one
     whole-text shingle; NULL/empty text yields a NULL array (NOT ``[NULL]``
@@ -229,13 +240,7 @@ def minhash_lsh_pairs(
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
     if max_bucket_size is not None:
-        small = (
-            band_entries.groupBy("band", "bhash")
-            .count()
-            .where(F.col("count") <= max_bucket_size)
-            .select("band", "bhash")
-        )
-        band_entries = band_entries.join(small, ["band", "bhash"], "left_semi")
+        band_entries = drop_oversized_groups(band_entries, ["band", "bhash"], max_bucket_size)
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -376,13 +381,7 @@ def simhash_near_dups(
         ).alias("ck"),
     ).select(F.col(id_col), "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
     if max_bucket_size is not None:
-        small = (
-            chunks.groupBy("chunk", "ckey")
-            .count()
-            .where(F.col("count") <= max_bucket_size)
-            .select("chunk", "ckey")
-        )
-        chunks = chunks.join(small, ["chunk", "ckey"], "left_semi")
+        chunks = drop_oversized_groups(chunks, ["chunk", "ckey"], max_bucket_size)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -508,13 +507,7 @@ def winnow_overlap_pairs(
     sketches = _persist_scoped(sketches)
     postings = sketches.select(F.col(id_col), F.explode("fps").alias("fp"))
     if max_posting_size is not None:
-        small = (
-            postings.groupBy("fp")
-            .count()
-            .where(F.col("count") <= max_posting_size)
-            .select("fp")
-        )
-        postings = postings.join(small, "fp", "left_semi")
+        postings = drop_oversized_groups(postings, ["fp"], max_posting_size)
     a, b = postings.alias("a"), postings.alias("b")
     return (
         a.join(
@@ -583,13 +576,7 @@ def embedding_near_dups(
         ).alias("tb"),
     ).select(F.col(id_col), F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     if max_bucket_size is not None:
-        small = (
-            entries.groupBy("tbl", "bucket")
-            .count()
-            .where(F.col("count") <= max_bucket_size)
-            .select("tbl", "bucket")
-        )
-        entries = entries.join(small, ["tbl", "bucket"], "left_semi")
+        entries = drop_oversized_groups(entries, ["tbl", "bucket"], max_bucket_size)
     a, b = entries.alias("a"), entries.alias("b")
     pairs = (
         a.join(

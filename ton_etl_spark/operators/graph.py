@@ -39,7 +39,9 @@ def _large_star(edges: DataFrame) -> DataFrame:
     adj = edges.unionByName(
         edges.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     )
-    m = adj.groupBy("__a").agg(F.least(F.min("__b"), F.first("__a")).alias("__m"))
+    m = adj.groupBy("__a").agg(F.min("__b").alias("__mn")).select(
+        "__a", F.least(F.col("__mn"), F.col("__a")).alias("__m")
+    )
     return (
         adj.join(m, on="__a")
         .where(F.col("__b") > F.col("__a"))

@@ -55,8 +55,7 @@ def sample_mixture(
     """Keep each row with its group's rate, deterministically in
     (salt, id).  Groups absent from ``rates`` get ``default_rate``
     (default: dropped — an explicit mixture is a whitelist)."""
-    thr = F.when(F.lit(False), F.lit(""))
+    thr = F.lit(rate_threshold(default_rate))
     for g, r in sorted(rates.items()):
-        thr = thr.when(F.col(group_col) == F.lit(g), F.lit(rate_threshold(r)))
-    thr = thr.otherwise(F.lit(rate_threshold(default_rate)))
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(rate_threshold(r))).otherwise(thr)
     return df.where(sample_hash(F.col(id_col), salt) < thr)
