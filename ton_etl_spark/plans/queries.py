@@ -1712,6 +1712,37 @@ FROM sampled GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# 41. BPE pair statistics — tokens-pipeline op: corpus-weighted adjacent
+#     symbol-pair counts over the distinct-word table (the per-round
+#     counting step of the distributed BPE trainer, operators/bpe.py; the
+#     iterative trainer itself is pytest-verified against a Python twin).
+def q_bpe_pair_counts(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.bpe import _initial_symbols, pair_counts, word_counts
+
+    d = load_table(spark, sf, "documents")
+    vocab = word_counts(d).select(
+        _initial_symbols(F.col("word")).alias("symbols"), F.col("count")
+    )
+    return pair_counts(vocab)
+
+
+SQL_BPE_PAIRS = """
+WITH wc AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents)
+  GROUP BY 1
+), syms AS (
+  SELECT cnt, list_append(regexp_extract_all(word, '.'), '</w>') AS s FROM wc
+), pairs AS (
+  SELECT cnt, s[i] AS a, s[i + 1] AS b
+  FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+)
+SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs GROUP BY a, b
+"""
+
+
 # ==========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1758,6 +1789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "doc_repetition": q_doc_repetition,
     "curated_corpus": q_curated_corpus,
+    "bpe_pair_counts": q_bpe_pair_counts,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1817,6 +1849,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample": _mixture_sql(),
     "doc_repetition": SQL_REPETITION,
     "curated_corpus": SQL_CURATED,
+    "bpe_pair_counts": SQL_BPE_PAIRS,
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_lsh_topk": SQL_ANN_LSH,
 }
