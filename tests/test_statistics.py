@@ -177,3 +177,27 @@ def test_timestamp_skip_correct_in_non_utc_session(spark, tmp_path):
         assert got == want and len(want) == 50
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_offset_style_session_tz_does_not_crash_skipping(spark, tmp_path):
+    """Spark accepts offset-style timezone ids ('+09:00', 'GMT+8') that
+    ZoneInfo rejects; a naive datetime bound must still read correctly —
+    fixed offsets are parsed, unknown ids just disable skipping."""
+    import datetime as dt
+
+    schema = spark.createDataFrame([], "k string, ts timestamp").schema
+    t = LakeTable.create(spark, str(tmp_path / "off"), schema=schema,
+                         key_cols=["k"], n_buckets=1, stats_cols=["ts"],
+                         sort_cols=["ts"], target_file_rows=50)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "+09:00")
+        base = dt.datetime(2026, 3, 1, 12, 0)  # naive -> +09:00 local
+        rows = [(f"k{i}", base + dt.timedelta(minutes=i)) for i in range(120)]
+        t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+        lo = base + dt.timedelta(minutes=100)
+        want = {r["k"] for r in t.read().where(F.col("ts") >= F.lit(lo)).collect()}
+        got = {r["k"] for r in t.read(where={"ts": (lo, None)}).collect()}
+        assert got == want and len(want) == 20
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -532,19 +532,41 @@ class LakeTable:
         """Naive datetime bounds are session-local (that is how the Spark
         residual filter interprets them); make that explicit so
         ``_stats_encode`` canonicalizes them to the UTC the stored bounds
-        use.  Non-datetime values pass through untouched."""
+        use.  Non-datetime values pass through untouched.  Spark accepts
+        offset-style timezone ids ('+09:00', 'GMT+8') that ZoneInfo does
+        not — those are parsed as fixed offsets; anything unrecognizable
+        disables skipping for that bound (``None`` => unbounded => every
+        file kept; the residual filter stays correct)."""
         import datetime as _dt
-        from zoneinfo import ZoneInfo
+        import re as _re
 
-        tz = None
+        tz: _dt.tzinfo | None | bool = None  # False => unresolvable
+
+        def _resolve_tz() -> _dt.tzinfo | bool:
+            name = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            try:
+                from zoneinfo import ZoneInfo
+
+                return ZoneInfo(name)
+            except Exception:
+                m = _re.fullmatch(
+                    r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", name
+                )
+                if not m:
+                    return False
+                sign = 1 if m.group(1) == "+" else -1
+                delta = _dt.timedelta(
+                    hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+                )
+                return _dt.timezone(sign * delta)
 
         def conv(v):
             nonlocal tz
             if isinstance(v, _dt.datetime) and v.tzinfo is None:
                 if tz is None:
-                    tz = ZoneInfo(
-                        self.spark.conf.get("spark.sql.session.timeZone", "UTC")
-                    )
+                    tz = _resolve_tz()
+                if tz is False:
+                    return None  # unknown session tz: never skip on this bound
                 return v.replace(tzinfo=tz)
             return v
 

@@ -21,7 +21,8 @@ Encoding new text with the learned merges is loop-until-fixpoint per word
 — genuinely not expressible as a fixed-depth column expression — so
 ``bpe_encode`` is an Arrow-batched pandas UDF with the merge ranks
 broadcast, the sanctioned UDF shape (vectorized batches, tiny broadcast
-state), with a word-level LRU memo since Zipf makes most tokens repeats.
+state), with a worker-lifetime word memo since Zipf makes most tokens
+repeats.
 """
 
 from __future__ import annotations
@@ -143,17 +144,23 @@ def bpe_encode(
     single text column; the merge table rides the closure (a few thousand
     entries — broadcast-sized).  A per-executor word memo exploits Zipf:
     most words in a batch are repeats."""
+    import re
+
     from ton_etl_spark.functions.text import WORD_RE
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    word_re = re.compile(WORD_RE)
+    # captured by the UDF closure: each Python worker deserializes the
+    # closure ONCE and reuses it across Arrow batches, so this dict lives
+    # for the worker's lifetime — frequent words (Zipf) encode once per
+    # worker, not once per batch.  Bounded: cleared at the cap rather than
+    # LRU-evicted (eviction bookkeeping costs more than re-encoding the
+    # rare tail that would overflow it).
+    memo: dict[str, list[str]] = {}
+    _MEMO_CAP = 1 << 20
 
     @F.pandas_udf("array<string>")
     def _encode(texts: pd.Series) -> pd.Series:
-        import re
-
-        word_re = re.compile(WORD_RE)
-        memo: dict[str, list[str]] = {}
-
         def enc(text):
             if text is None:
                 return None
@@ -161,6 +168,8 @@ def bpe_encode(
             for w in word_re.findall(text.lower()):
                 got = memo.get(w)
                 if got is None:
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
                     got = memo[w] = _encode_word(w, ranks)
                 out.extend(got)
             return out

@@ -84,7 +84,12 @@ def connected_components(
     edges are self-loops is its own singleton component).  Raises if the
     alternation has not converged after ``max_iter`` rounds (far beyond
     the O(log n) bound for any realistic graph)."""
-    raw = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    # checkpoint the RAW edges once: both the canon seed and the singleton
+    # backfill below consume them, and the input is often an expensive plan
+    # (an LSH pipeline) that must not execute twice
+    raw = edges.select(
+        F.col(src).alias("__a"), F.col(dst).alias("__b")
+    ).localCheckpoint()
     all_nodes = (
         raw.select(F.col("__a").alias("id"))
         .unionByName(raw.select(F.col("__b").alias("id")))

@@ -121,17 +121,16 @@ class MetricsRecorder(StreamingQueryListener):
         )
         key = f"qp-{row[1][:8]}={row[2]}"  # (run, batch): replays dedupe
         df = self.spark.createDataFrame([row], METRICS_SCHEMA)
-        # the lock serializes this process's recorders; the retry handles a
-        # recorder in ANOTHER process sharing the table (CAS loser re-reads)
+        # the lock serializes this process's recorders; cross-process CAS
+        # losses are absorbed inside append() itself as metadata-only
+        # rebases (lake/table.py max_rebases) — no outer retry, which
+        # would re-run the whole Spark write per attempt
         with self._lock:
-            for _ in range(8):
-                try:
-                    if self.table.append(df, commit_key=key):
-                        self.rows_written += 1
-                    return
-                except CommitConflictError:
-                    continue
-        self.errors.append(RuntimeError(f"metrics commit starved for {key}"))
+            try:
+                if self.table.append(df, commit_key=key):
+                    self.rows_written += 1
+            except CommitConflictError:
+                self.errors.append(RuntimeError(f"metrics commit starved for {key}"))
 
     # -------------------------------------------------------- barrier
     def wait_for(self, n_rows: int, timeout: float = 60.0) -> bool:
