@@ -710,3 +710,44 @@ def test_pack_chunks_duplicate_order_values_still_tile(spark):
     packs = sorted(tot)
     assert sum(tot.values()) == 15          # every token placed exactly once
     assert all(tot[p] == 4 for p in packs[:-1]) and tot[packs[-1]] == 3
+
+
+def test_minhash_index_probe_matches_scratch_recompute(spark, tmp_path):
+    """Incremental dedup: probing a persisted minhash index with a new
+    batch must find exactly the cross (new x indexed) pairs that a full
+    minhash_lsh_pairs over the union finds — without re-signing the
+    corpus.  Params ride the index sidecar, so the probe cannot diverge."""
+    from ton_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(i, f"{base} corpus variant {i}") for i in range(30)]
+        + [(100, "completely unrelated text about catalyst optimizer rules")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1000, base + " corpus variant 7"),          # near-dup of doc 7
+            (1001, "totally novel content about arrow and pandas batches"),
+            (1002, ""),                                  # degenerate: no sig
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(corpus, path)
+    got = {
+        (r["new_id"], r["index_id"]): r["jaccard_est"]
+        for r in probe_minhash_index(spark, path, new, min_jaccard_est=0.5).collect()
+    }
+    # ground truth: full recompute over the union, keep only cross pairs
+    both = corpus.unionByName(new)
+    scratch = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["jaccard_est"]
+        for r in minhash_lsh_pairs(both, min_jaccard_est=0.5).collect()
+        if (r["id_a"] >= 1000) != (r["id_b"] >= 1000)  # cross pairs only
+    }
+    assert got == scratch and (1000, 7) in got
+    assert all(nid != 1002 for nid, _ in got)  # sig-less doc never probes

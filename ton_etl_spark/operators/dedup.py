@@ -156,6 +156,41 @@ def minhash_signatures(
     )
 
 
+def band_entries_of(
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Slim (id, band, bhash) LSH entries from a signature table — the
+    join currency of every minhash path (self-join, persisted index,
+    incremental probe).  NULL sigs (shingle-less docs) are excluded: their
+    band hashes would all be equal and bucket-collide."""
+    rows_per_band = n_hashes // bands
+    return sigs.where(F.col("sig").isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + 1 + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+
+def _jaccard_estimate(sig_a: Column, sig_b: Column, n_hashes: int) -> Column:
+    """Signature agreement rate — the minhash Jaccard estimator."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m))
+    return agree.cast("double") / F.lit(float(n_hashes))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -201,7 +236,6 @@ def minhash_lsh_pairs(
     old undocumented ``pairs._minhash_sigs`` attribute handle was REMOVED
     in favor of this tuple return — update any caller that used it.
     """
-    rows_per_band = n_hashes // bands
     if min_words is None:
         min_words = k_shingle
     if min_words > 0:
@@ -217,27 +251,7 @@ def minhash_lsh_pairs(
     # band entries carry ONLY (id, band, bhash) — the 256-byte sig arrays
     # stay out of the self-join shuffle; candidate pairs join back to the
     # slim sigs table afterwards (near-dup candidates are sparse).
-    # NULL sigs (shingle-less docs, reachable only with min_words=0) are
-    # excluded: their band hashes would all be equal and bucket-collide.
-    band_entries = sigs.where(F.col("sig").isNotNull()).select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at(F.col("sig"), b * rows_per_band + 1 + r)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    band_entries = band_entries_of(sigs, id_col, n_hashes, bands)
 
     if max_bucket_size is not None:
         band_entries = drop_oversized_groups(band_entries, ["band", "bhash"], max_bucket_size)
@@ -260,14 +274,10 @@ def minhash_lsh_pairs(
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     verified = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
+    est = _jaccard_estimate(F.col("sig_a"), F.col("sig_b"), n_hashes)
+    out = verified.select("id_a", "id_b", est.alias("jaccard_est")).where(
+        F.col("jaccard_est") >= min_jaccard_est
     )
-    est = (agree.cast("double") / F.lit(float(n_hashes))).alias("jaccard_est")
-    out = verified.select("id_a", "id_b", est).where(F.col("jaccard_est") >= min_jaccard_est)
     if return_sigs:
         return out, sigs
     return out
@@ -601,3 +611,113 @@ def embedding_near_dups(
         "id_a", "id_b", _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
     )
     return cand.where(F.col("cosine") >= min_cosine)
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a persisted minhash band index.  At 100 TB the corpus
+# does not get re-signed per arriving batch — signatures and band entries
+# are materialized ONCE (same pattern as similarity.write_lsh_index /
+# write_ivf_index for ANN), and each new batch probes them: the new side is
+# small, so Spark broadcasts it and the stored index streams through the
+# join without being shuffled or re-sketched.
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    seed: int = 42,
+    min_words: int | None = None,
+) -> None:
+    """Materialize the corpus's minhash index under ``path``: band entries
+    (parquet, partitioned by band), signatures (for the Jaccard-estimate
+    verify), and the sketch params as sidecar metadata so probes can never
+    diverge from the build."""
+    import json as _json
+    import os as _os
+
+    if min_words is None:
+        min_words = k_shingle
+    if min_words > 0:
+        docs = docs.where(F.size(words(F.col(text_col))) >= min_words)
+    docs = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
+    sigs = _persist_scoped(
+        minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed)
+    )
+    sigs.where(F.col("sig").isNotNull()).write.mode("overwrite").parquet(
+        _os.path.join(path, "sigs")
+    )
+    band_entries_of(sigs, id_col, n_hashes, bands).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(_os.path.join(path, "entries"))
+    meta = {
+        "id_col": id_col, "text_col": text_col, "n_hashes": n_hashes,
+        "bands": bands, "k_shingle": k_shingle, "seed": seed,
+        "min_words": min_words,
+    }
+    with open(_os.path.join(path, "_minhash_meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    min_jaccard_est: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs between ``new_docs`` and the INDEXED corpus:
+    (new_id, index_id, jaccard_est).  The new batch is signed with the
+    index's own sketch params (read from the sidecar — a caller cannot
+    mis-probe), its slim band entries are broadcast, and the stored
+    entries stream through the join: no shuffle of the index, no corpus
+    re-sketch.  New-vs-new pairs within the batch are the caller's
+    ``minhash_lsh_pairs`` on the batch itself."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_minhash_meta.json")) as fh:
+        m = _json.load(fh)
+    id_col, text_col = m["id_col"], m["text_col"]
+    docs = new_docs
+    if m["min_words"] > 0:
+        docs = docs.where(F.size(words(F.col(text_col))) >= m["min_words"])
+    new_sigs = _persist_scoped(
+        minhash_signatures(
+            docs.select(F.col(id_col), F.col(text_col)),
+            id_col, text_col, m["n_hashes"], m["k_shingle"], m["seed"],
+        )
+    )
+    new_entries = band_entries_of(new_sigs, id_col, m["n_hashes"], m["bands"])
+    stored_entries = spark.read.parquet(_os.path.join(path, "entries"))
+    if max_bucket_size is not None:
+        stored_entries = drop_oversized_groups(
+            stored_entries, ["band", "bhash"], max_bucket_size
+        )
+    cand = (
+        stored_entries.alias("ix")
+        .join(
+            F.broadcast(new_entries.alias("nw")),
+            (F.col("ix.band") == F.col("nw.band"))
+            & (F.col("ix.bhash") == F.col("nw.bhash"))
+            & (F.col(f"ix.{id_col}") != F.col(f"nw.{id_col}")),
+        )
+        .select(
+            F.col(f"nw.{id_col}").alias("new_id"),
+            F.col(f"ix.{id_col}").alias("index_id"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    stored_sigs = spark.read.parquet(_os.path.join(path, "sigs")).select(
+        F.col(id_col).alias("index_id"), F.col("sig").alias("sig_ix")
+    )
+    new_side = new_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_new"))
+    est = _jaccard_estimate(F.col("sig_new"), F.col("sig_ix"), m["n_hashes"])
+    return (
+        cand.join(F.broadcast(new_side), "new_id")
+        .join(stored_sigs, "index_id")
+        .select("new_id", "index_id", est.alias("jaccard_est"))
+        .where(F.col("jaccard_est") >= min_jaccard_est)
+    )
