@@ -751,3 +751,49 @@ def test_minhash_index_probe_matches_scratch_recompute(spark, tmp_path):
     }
     assert got == scratch and (1000, 7) in got
     assert all(nid != 1002 for nid, _ in got)  # sig-less doc never probes
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),  # (source, n_tok)
+        min_size=1, max_size=80,
+    ),
+    budget=st.sampled_from([1, 3, 17, 100]),
+    seg_width=st.sampled_from([1, 5, 4096]),
+)
+def test_pack_chunks_property_invariants(spark, data, budget, seg_width):
+    """For ANY doc-size distribution, budget, and cumsum segmentation:
+    segments tile each doc exactly, every non-final pack per group holds
+    exactly `budget` tokens, pack ids are dense from 0, and zero-token
+    docs vanish."""
+    from collections import defaultdict
+
+    from ton_etl_spark.operators.packing import pack_chunks
+
+    rows = [(i, " ".join(f"w{j}" for j in range(n)), f"s{s}")
+            for i, (s, n) in enumerate(data)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    segs = pack_chunks(docs, budget=budget, seg_width=seg_width).collect()
+    n_tok = {i: n for i, (s, n) in enumerate(data)}
+    by_doc = defaultdict(list)
+    tot = defaultdict(int)
+    for r in segs:
+        by_doc[r["doc_id"]].append((r["seg_start"], r["seg_len"]))
+        tot[(r["source"], r["pack_id"])] += r["seg_len"]
+    assert set(by_doc) == {i for i, n in n_tok.items() if n > 0}
+    for doc, parts in by_doc.items():
+        parts.sort()
+        pos = 0
+        for stt, ln in parts:
+            assert stt == pos and ln > 0
+            pos += ln
+        assert pos == n_tok[doc]
+    for src in {k[0] for k in tot}:
+        packs = sorted(k for k in tot if k[0] == src)
+        assert [k[1] for k in packs] == list(range(len(packs)))
+        assert all(tot[k] == budget for k in packs[:-1])

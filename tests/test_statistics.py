@@ -201,3 +201,38 @@ def test_offset_style_session_tz_does_not_crash_skipping(spark, tmp_path):
         assert got == want and len(want) == 20
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lsns=st.lists(st.integers(min_value=-1000, max_value=10_000),
+                  min_size=1, max_size=120),
+    lo=st.one_of(st.none(), st.integers(min_value=-1500, max_value=11_000)),
+    hi=st.one_of(st.none(), st.integers(min_value=-1500, max_value=11_000)),
+    file_rows=st.sampled_from([7, 20, 1000]),
+)
+def test_where_read_equals_filter_truth_property(spark, tmp_path_factory,
+                                                 lsns, lo, hi, file_rows):
+    """For ANY data layout and ANY (lo, hi) range — inverted, open-ended,
+    disjoint from the data, negative — read(where=...) must equal the
+    plain filter over a full read.  Skipping must never change results."""
+    tmp = tmp_path_factory.mktemp("whprop")
+    schema = spark.createDataFrame([], "k string, lsn long").schema
+    t = LakeTable.create(spark, str(tmp / "t"), schema=schema, key_cols=["k"],
+                         n_buckets=2, stats_cols=["lsn"], sort_cols=["lsn"],
+                         target_file_rows=file_rows)
+    rows = [(f"k{i}", v) for i, v in enumerate(lsns)]
+    t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+    full = t.read()
+    truth = full
+    if lo is not None:
+        truth = truth.where(F.col("lsn") >= lo)
+    if hi is not None:
+        truth = truth.where(F.col("lsn") <= hi)
+    want = {(r["k"], r["lsn"]) for r in truth.collect()}
+    got = {(r["k"], r["lsn"]) for r in t.read(where={"lsn": (lo, hi)}).collect()}
+    assert got == want
