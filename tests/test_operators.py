@@ -797,3 +797,41 @@ def test_pack_chunks_property_invariants(spark, data, budget, seg_width):
         packs = sorted(k for k in tot if k[0] == src)
         assert [k[1] for k in packs] == list(range(len(packs)))
         assert all(tot[k] == budget for k in packs[:-1])
+
+
+def test_lsh_near_dup_probe_matches_scratch_recompute(spark, tmp_path):
+    """Embedding twin of the minhash index probe: probing a persisted LSH
+    index finds exactly the cross (new x indexed) near-dup pairs that
+    embedding_near_dups over the union finds, with identical cosines."""
+    import math
+
+    from ton_etl_spark.operators.dedup import probe_lsh_near_dups
+    from ton_etl_spark.operators.similarity import write_lsh_index
+
+    dim, rng_vecs = 16, []
+    import random
+
+    rng = random.Random(5)
+    for i in range(40):
+        rng_vecs.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # a new vector nearly parallel to corpus vec 3
+    base = rng_vecs[3][1]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    corpus = spark.createDataFrame(rng_vecs, "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(1000, near), (1001, [rng.gauss(0, 1) for _ in range(dim)])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "lshidx")
+    write_lsh_index(corpus, path, dim=dim, n_planes=4, seed=42, n_tables=4)
+    got = {(r["new_id"], r["index_id"]): round(r["cosine"], 9) for r in
+           probe_lsh_near_dups(spark, path, new, min_cosine=0.9).collect()}
+    both = corpus.unionByName(new)
+    scratch = {}
+    for r in embedding_near_dups(both, dim=dim, min_cosine=0.9, n_planes=4,
+                                 n_tables=4, seed=42).collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a >= 1000) != (b >= 1000):
+            scratch[(max(a, b), min(a, b))] = round(r["cosine"], 9)
+    assert got == scratch and (1000, 3) in got
+    assert math.isclose(got[(1000, 3)], 1.0, abs_tol=1e-3)

@@ -721,3 +721,55 @@ def probe_minhash_index(
         .select("new_id", "index_id", est.alias("jaccard_est"))
         .where(F.col("jaccard_est") >= min_jaccard_est)
     )
+
+
+def probe_lsh_near_dups(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dups between ``new_emb`` and a corpus indexed with
+    ``similarity.write_lsh_index``: (new_id, index_id, cosine) — the
+    embedding-modality twin of ``probe_minhash_index``.  The new batch is
+    sketched with the INDEX's sidecar params (same hyperplane construction
+    as ``embedding_near_dups``: seed + 7919·t per table), its slim
+    (id, tbl, bucket, vec) rows are broadcast, and the stored index
+    streams through the join — no index shuffle, no corpus re-sketch.
+    Exact double-math cosine verifies candidates inline (the index rows
+    already carry their vectors)."""
+    from ton_etl_spark.operators.similarity import (
+        _cosine,
+        read_lsh_index,
+        with_lsh_buckets,
+    )
+
+    idx, m = read_lsh_index(spark, path)
+    tbl_col, bucket_col = m["tbl_col"], m["bucket_col"]
+    new_b = with_lsh_buckets(
+        new_emb.select(F.col(id_col), F.col(vec_col)),
+        m["dim"], m["n_planes"], m["seed"], m["n_tables"], vec_col,
+        tbl_col, bucket_col,
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).cast("array<double>").alias("__vnew"),
+        F.col(tbl_col), F.col(bucket_col),
+    )
+    cand = (
+        idx.select(
+            F.col(id_col).alias("index_id"),
+            F.col(m["vec_col"]).cast("array<double>").alias("__vix"),
+            F.col(tbl_col), F.col(bucket_col),
+        )
+        .join(F.broadcast(new_b), [tbl_col, bucket_col])
+        .where(F.col("index_id") != F.col("new_id"))
+        .select(
+            "new_id", "index_id",
+            _cosine(F.col("__vnew"), F.col("__vix")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    return cand
