@@ -643,15 +643,19 @@ def write_minhash_index(
     if min_words > 0:
         docs = docs.where(F.size(words(F.col(text_col))) >= min_words)
     docs = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
-    sigs = _persist_scoped(
-        minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed)
-    )
-    sigs.where(F.col("sig").isNotNull()).write.mode("overwrite").parquet(
-        _os.path.join(path, "sigs")
-    )
-    band_entries_of(sigs, id_col, n_hashes, bands).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(_os.path.join(path, "entries"))
+    # plain persist + unpersist, NOT the bounded registry: both consumers
+    # are the eager writes below, so the cache has no reason to outlive
+    # this function (and must not evict a live lazy sigs computation)
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed).persist()
+    try:
+        sigs.where(F.col("sig").isNotNull()).write.mode("overwrite").parquet(
+            _os.path.join(path, "sigs")
+        )
+        band_entries_of(sigs, id_col, n_hashes, bands).write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(_os.path.join(path, "entries"))
+    finally:
+        sigs.unpersist()
     meta = {
         "id_col": id_col, "text_col": text_col, "n_hashes": n_hashes,
         "bands": bands, "k_shingle": k_shingle, "seed": seed,
@@ -715,9 +719,12 @@ def probe_minhash_index(
     )
     new_side = new_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_new"))
     est = _jaccard_estimate(F.col("sig_new"), F.col("sig_ix"), m["n_hashes"])
+    # broadcast the SPARSE side (candidates + new sigs) so the stored sig
+    # table streams — shuffling (or driver-collecting) the corpus's wide
+    # sig arrays per probe is exactly what the persisted index avoids
+    sparse = F.broadcast(cand.join(F.broadcast(new_side), "new_id"))
     return (
-        cand.join(F.broadcast(new_side), "new_id")
-        .join(stored_sigs, "index_id")
+        stored_sigs.join(sparse, "index_id")
         .select("new_id", "index_id", est.alias("jaccard_est"))
         .where(F.col("jaccard_est") >= min_jaccard_est)
     )
@@ -748,6 +755,15 @@ def probe_lsh_near_dups(
 
     idx, m = read_lsh_index(spark, path)
     tbl_col, bucket_col = m["tbl_col"], m["bucket_col"]
+    # fail loudly on a dim mismatch (model swap): zip_with would null-pad,
+    # every bucket would be NULL, and the probe would silently find nothing
+    # — the exact hazard embedding_near_dups requires `dim` to prevent
+    bad = new_emb.where(F.size(F.col(vec_col)) != m["dim"]).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"probe vectors do not match the index dim={m['dim']} "
+            f"(found a row with a different {vec_col} length)"
+        )
     new_b = with_lsh_buckets(
         new_emb.select(F.col(id_col), F.col(vec_col)),
         m["dim"], m["n_planes"], m["seed"], m["n_tables"], vec_col,
@@ -757,19 +773,24 @@ def probe_lsh_near_dups(
         F.col(vec_col).cast("array<double>").alias("__vnew"),
         F.col(tbl_col), F.col(bucket_col),
     )
+    ix_id = m.get("id_col", id_col)  # sidecar wins; pre-id_col sidecars fall back
+    # dedup (pair, table) collisions BEFORE the O(dim) cosine — a true
+    # near-dup collides in most of the L tables by construction, and the
+    # vectors are functionally dependent on the ids so the surviving row
+    # is identical whichever table it came from
     cand = (
         idx.select(
-            F.col(id_col).alias("index_id"),
+            F.col(ix_id).alias("index_id"),
             F.col(m["vec_col"]).cast("array<double>").alias("__vix"),
             F.col(tbl_col), F.col(bucket_col),
         )
         .join(F.broadcast(new_b), [tbl_col, bucket_col])
         .where(F.col("index_id") != F.col("new_id"))
+        .dropDuplicates(["new_id", "index_id"])
         .select(
             "new_id", "index_id",
             _cosine(F.col("__vnew"), F.col("__vix")).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)
-        .dropDuplicates(["new_id", "index_id"])
     )
     return cand

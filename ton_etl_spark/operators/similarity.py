@@ -351,6 +351,7 @@ def write_lsh_index(
     vec_col: str = "embedding",
     tbl_col: str = "lsh_tbl",
     bucket_col: str = "lsh_bucket",
+    id_col: str = "vec_id",
 ) -> None:
     """Materialize the LSH index: sketch once, write parquet partitioned by
     (table, bucket) with the sketch params as sidecar metadata, so probes
@@ -367,6 +368,9 @@ def write_lsh_index(
         "vec_col": vec_col,
         "tbl_col": tbl_col,
         "bucket_col": bucket_col,
+        # recorded so index consumers (probe_lsh_near_dups) never have to
+        # guess the build-time id column out of band
+        "id_col": id_col,
     }
     with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
         json.dump(meta, fh)
