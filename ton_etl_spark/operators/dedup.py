@@ -634,7 +634,10 @@ def write_minhash_index(
     """Materialize the corpus's minhash index under ``path``: band entries
     (parquet, partitioned by band), signatures (for the Jaccard-estimate
     verify), and the sketch params as sidecar metadata so probes can never
-    diverge from the build."""
+    diverge from the build.  The sidecar is written LAST and probes
+    require it, so a crash mid-build leaves an index that fails loudly
+    rather than probing partial data; re-running the build overwrites
+    cleanly (write-then-publish, the LakeTable commit discipline)."""
     import json as _json
     import os as _os
 

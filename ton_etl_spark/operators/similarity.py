@@ -356,7 +356,8 @@ def write_lsh_index(
     """Materialize the LSH index: sketch once, write parquet partitioned by
     (table, bucket) with the sketch params as sidecar metadata, so probes
     are partition pruning — the per-query full-corpus sketch recompute
-    disappears."""
+    disappears.  The sidecar is written last (probes require it), so a
+    crash mid-build fails loudly instead of serving partial data."""
     with_lsh_buckets(
         emb, dim, n_planes, seed, n_tables, vec_col, tbl_col, bucket_col
     ).write.mode("overwrite").partitionBy(tbl_col, bucket_col).parquet(path)
