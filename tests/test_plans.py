@@ -198,3 +198,21 @@ def test_merge_does_not_mutate_session_conf(spark, tmp_path):
     for f in table.current().files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
     assert per_bucket and all(n == 1 for n in per_bucket.values())
+
+
+def test_where_read_residual_filter_is_pushed_down(spark, tmp_path):
+    """read(where=...) must deliver its residual range predicate to the
+    parquet scan as pushed filters — manifest skipping prunes FILES, and
+    the pushed filter prunes ROW GROUPS inside the survivors; losing
+    either layer silently costs I/O at scale."""
+    from ton_etl_spark.lake.table import LakeTable
+
+    schema = spark.createDataFrame([], "k string, lsn long").schema
+    t = LakeTable.create(spark, str(tmp_path / "pd"), schema=schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["lsn"],
+                         sort_cols=["lsn"], target_file_rows=100)
+    rows = [(f"k{i}", i) for i in range(500)]
+    t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+    txt = _optimized_scan_line(t.read(where={"lsn": (100, 200)}))
+    assert "GreaterThanOrEqual(lsn,100)" in txt, txt
+    assert "LessThanOrEqual(lsn,200)" in txt, txt
