@@ -181,6 +181,32 @@ def test_get_or_create_loser_loads_instead_of_crashing(spark, tmp_path, monkeypa
     assert got.current_version() == t.current_version()
 
 
+def test_get_or_create_warns_on_divergent_kwargs(spark, tmp_path, caplog):
+    """ADVICE r4: when the table already exists, get_or_create ignores the
+    create_kwargs — silently.  A caller asking for different n_buckets /
+    stats_cols than the stored snapshot must at least get a log warning,
+    or file skipping stays inactive with nobody noticing."""
+    import logging
+
+    from ton_etl_spark.lake.table import LakeTable
+
+    schema = spark.createDataFrame([], "k string, lsn long").schema
+    root = str(tmp_path / "gocw")
+    LakeTable.create(spark, root, schema=schema, key_cols=["k"], n_buckets=2)
+    with caplog.at_level(logging.WARNING, logger="ton_etl_spark.lake.table"):
+        LakeTable.get_or_create(
+            spark, root, schema=schema, key_cols=["k"], n_buckets=8,
+            stats_cols=["lsn"], sort_cols=["lsn"], target_file_rows=1000,
+        )
+    msgs = [r.message for r in caplog.records if "IGNORED" in r.message]
+    assert msgs and "n_buckets" in msgs[0] and "stats_cols" in msgs[0]
+    # matching kwargs stay silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="ton_etl_spark.lake.table"):
+        LakeTable.get_or_create(spark, root, schema=schema, key_cols=["k"], n_buckets=2)
+    assert not [r for r in caplog.records if "IGNORED" in r.message]
+
+
 def test_concurrent_appends_rebase_metadata_only(spark, tmp_path):
     """Appends are order-independent, so a CAS loser rebases METADATA only:
     no external retry loop needed, every writer's rows land, and — the

@@ -835,3 +835,79 @@ def test_lsh_near_dup_probe_matches_scratch_recompute(spark, tmp_path):
             scratch[(max(a, b), min(a, b))] = round(r["cosine"], 9)
     assert got == scratch and (1000, 3) in got
     assert math.isclose(got[(1000, 3)], 1.0, abs_tol=1e-3)
+
+
+def test_minhash_index_rebuild_crash_fails_loudly(spark, tmp_path, monkeypatch):
+    """ADVICE r4: a crash during a REBUILD of an existing index must not
+    leave the OLD sidecar validating half-rewritten data — the writer
+    retracts the sidecar before touching data files, so probes fail
+    loudly for the rebuild window, and a completed rebuild restores them."""
+    import pytest as _pytest
+
+    from ton_etl_spark.operators import dedup as dmod
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over the lazy dog")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000, "the quick brown fox number 3 jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mhidx")
+    dmod.write_minhash_index(corpus, path)
+    assert dmod.probe_minhash_index(spark, path, new).count() >= 1
+
+    real = dmod.band_entries_of
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash between sigs and entries writes")
+
+    monkeypatch.setattr(dmod, "band_entries_of", boom)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        dmod.write_minhash_index(corpus, path)
+    # the stale sidecar is gone: probing the broken index fails loudly
+    # instead of silently dropping candidates
+    with _pytest.raises(FileNotFoundError):
+        dmod.probe_minhash_index(spark, path, new)
+
+    monkeypatch.setattr(dmod, "band_entries_of", real)
+    dmod.write_minhash_index(corpus, path)
+    assert dmod.probe_minhash_index(spark, path, new).count() >= 1
+
+
+def test_lsh_index_rebuild_crash_fails_loudly(spark, tmp_path, monkeypatch):
+    """Embedding twin of the minhash rebuild-crash contract."""
+    import random
+
+    import pytest as _pytest
+
+    from ton_etl_spark.operators import similarity as smod
+
+    rng = random.Random(7)
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "lshidx")
+    smod.write_lsh_index(corpus, path, dim=dim, n_planes=4, seed=42, n_tables=2)
+    _, meta = smod.read_lsh_index(spark, path)
+    assert meta["dim"] == dim
+
+    real = smod.with_lsh_buckets
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during index data rewrite")
+
+    monkeypatch.setattr(smod, "with_lsh_buckets", boom)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        smod.write_lsh_index(corpus, path, dim=dim, n_planes=4, seed=42, n_tables=2)
+    with _pytest.raises(FileNotFoundError):
+        smod.read_lsh_index(spark, path)
+
+    monkeypatch.setattr(smod, "with_lsh_buckets", real)
+    smod.write_lsh_index(corpus, path, dim=dim, n_planes=4, seed=42, n_tables=2)
+    _, meta = smod.read_lsh_index(spark, path)
+    assert meta["dim"] == dim

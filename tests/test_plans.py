@@ -200,6 +200,19 @@ def test_merge_does_not_mutate_session_conf(spark, tmp_path):
     assert per_bucket and all(n == 1 for n in per_bucket.values())
 
 
+def test_merge_reuses_child_session_across_epochs(spark, tmp_path):
+    """The conf-pinned child session is cached per (context, n_buckets):
+    a long-running stream must not pile up one new session per epoch."""
+    from ton_etl_spark.lake import merge as mmod
+
+    table = make_sequences_table(spark, str(tmp_path / "reuse"), n_buckets=8)
+    mmod.merge_lww(table, generate_cdc_log(spark, 2_000, seed=31), commit_key="epoch=0")
+    first = mmod._CHILD_SESSIONS[(id(spark.sparkContext), 8)]
+    mmod.merge_lww(table, generate_cdc_log(spark, 2_000, seed=32), commit_key="epoch=1")
+    assert mmod._CHILD_SESSIONS[(id(spark.sparkContext), 8)] is first
+    assert first.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
 def test_where_read_residual_filter_is_pushed_down(spark, tmp_path):
     """read(where=...) must deliver its residual range predicate to the
     parquet scan as pushed filters — manifest skipping prunes FILES, and

@@ -77,6 +77,20 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
+def test_oracle_backed_queries_precede_rows_only():
+    """The correctness driver records at most ~50 registry entries in
+    insertion order (round 4 silently dropped the last five, including
+    three oracle-backed ANN queries).  Guard the ordering invariant:
+    every oracle-backed query sits in the first 50 slots, before any
+    rows-only entry."""
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    oracle_pos = [names.index(k) for k in oracles]
+    rows_only_pos = [i for i, n in enumerate(names) if n not in oracles]
+    assert max(oracle_pos) < 50
+    assert not rows_only_pos or max(oracle_pos) < min(rows_only_pos)
+
+
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 

@@ -167,13 +167,20 @@ def _cmd_describe(args) -> int:
         "commit_watermarks": snap.commit_watermarks,
     }
     if args.bounds and stats_cols:
-        out["bounds"] = {
-            c: [
-                min(f.stats[c][0] for f in files if f.stats and c in f.stats),
-                max(f.stats[c][1] for f in files if f.stats and c in f.stats),
-            ]
-            for c in stats_cols
-        }
+        bounds = {}
+        for c in stats_cols:
+            try:
+                bounds[c] = [
+                    min(f.stats[c][0] for f in files if f.stats and c in f.stats),
+                    max(f.stats[c][1] for f in files if f.stats and c in f.stats),
+                ]
+            except TypeError:
+                # schema evolution can leave mixed-type bounds for one
+                # column across commits (e.g. int in old files, str in
+                # new); the read path tolerates them, so describe reports
+                # null rather than crashing
+                bounds[c] = None
+        out["bounds"] = bounds
     print(json.dumps(out))
     return 0
 

@@ -62,6 +62,26 @@ from ton_etl_spark.lake.table import LakeTable, bucket_of, _merge_schemas, _conf
 
 DEFAULT_SALT = 16
 
+# One conf-pinned child session per (SparkContext, n_buckets), reused across
+# merges: a multi-day stream used to create a session per epoch per table.
+# Sessions are lightweight (shared context, private SQLConf) but not free,
+# and the registry stays tiny because n_buckets takes few distinct values.
+_CHILD_SESSIONS: dict = {}
+
+
+def _child_session(spark, n_buckets: int):
+    """The cached child session whose ``shuffle.partitions`` is pinned to
+    ``n_buckets``.  Keyed by context identity so a stopped-and-recreated
+    SparkContext never serves a stale child (the ``is not`` check catches
+    id() reuse)."""
+    key = (id(spark.sparkContext), n_buckets)
+    child = _CHILD_SESSIONS.get(key)
+    if child is None or child.sparkContext is not spark.sparkContext:
+        child = spark.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", str(n_buckets))
+        _CHILD_SESSIONS[key] = child
+    return child
+
 
 def _ord_expr(prefix: str = "") -> F.Column:
     """The LWW total order: (lsn, ts_ms, op_priority), struct-comparable."""
@@ -165,13 +185,13 @@ def merge_lww(
     # session would race with concurrent queries, and an explicit
     # repartition(n, keys) before the groupBy would move the exchange BELOW
     # the partial aggregation (raw rows shuffle; hot-key fan-in unbounded).
-    # Instead the plan is re-bound into a throwaway CHILD session (shared
-    # SparkContext, private SQLConf) via a uniquely-named global temp view:
-    # the child's conf applies only to this plan, the partial_max_by stays
-    # below the single exchange, and no other session is perturbed.
+    # Instead the plan is re-bound into a conf-pinned CHILD session (shared
+    # SparkContext, private SQLConf — cached per (context, n_buckets)) via a
+    # uniquely-named global temp view: the child's conf applies only to this
+    # plan, the partial_max_by stays below the single exchange, and no other
+    # session is perturbed.
     spark = batch.sparkSession
-    child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", str(snap.n_buckets))
+    child = _child_session(spark, snap.n_buckets)
     view = f"__merge_{uuid.uuid4().hex}"
     allrows.createOrReplaceGlobalTempView(view)
     try:

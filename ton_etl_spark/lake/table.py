@@ -435,13 +435,57 @@ class LakeTable:
         """Race-safe exists-or-create: when two processes boot against the
         same fresh root simultaneously, the CAS in ``_publish`` makes the
         slower ``create`` raise ``CommitConflictError`` — here that means
-        the table now exists, so load it instead of failing startup."""
+        the table now exists, so load it instead of failing startup.
+
+        When the table already exists the ``create_kwargs`` are NOT applied
+        (the stored snapshot wins — creation-time layout is immutable here;
+        see ``maintenance.rebucket`` for bucket-count evolution), but any
+        divergence between what the caller asked for and what the table
+        actually is gets logged: a pre-existing table silently ignoring a
+        caller's new ``stats_cols``/``n_buckets`` defaults is how file
+        skipping ends up inactive with nobody noticing."""
         if cls.exists(root):
-            return cls.load(spark, root)
+            t = cls.load(spark, root)
+            t._warn_create_kwargs_divergence(create_kwargs)
+            return t
         try:
             return cls.create(spark, root, **create_kwargs)
         except CommitConflictError:
-            return cls.load(spark, root)
+            t = cls.load(spark, root)
+            t._warn_create_kwargs_divergence(create_kwargs)
+            return t
+
+    def _warn_create_kwargs_divergence(self, kw: dict) -> None:
+        snap = self.current()
+        props = snap.properties
+        want: dict[str, Any] = {}
+        have: dict[str, Any] = {}
+        if "n_buckets" in kw and kw["n_buckets"] != snap.n_buckets:
+            want["n_buckets"], have["n_buckets"] = kw["n_buckets"], snap.n_buckets
+        if "key_cols" in kw and list(kw["key_cols"]) != snap.key_cols:
+            want["key_cols"], have["key_cols"] = list(kw["key_cols"]), snap.key_cols
+        if "schema" in kw:
+            asked = {f.name for f in kw["schema"].fields}
+            stored = {f.name for f in snap.schema.fields}
+            if asked - stored:  # additive evolution makes extra stored cols fine
+                want["schema_fields"] = sorted(asked)
+                have["schema_fields"] = sorted(stored)
+        for prop in ("stats_cols", "sort_cols"):
+            if kw.get(prop):
+                asked_s = ",".join(kw[prop])
+                if props.get(prop, "") != asked_s:
+                    want[prop], have[prop] = asked_s, props.get(prop)
+        if kw.get("target_file_rows") is not None:
+            asked_r = str(int(kw["target_file_rows"]))
+            if props.get("target_file_rows") != asked_r:
+                want["target_file_rows"] = asked_r
+                have["target_file_rows"] = props.get("target_file_rows")
+        if want:
+            _LOG.warning(
+                "get_or_create(%s): table exists; requested settings differ from "
+                "the stored snapshot and were IGNORED: requested=%s stored=%s",
+                self.root, want, have,
+            )
 
     @classmethod
     def exists(cls, root: str) -> bool:

@@ -636,11 +636,19 @@ def write_minhash_index(
     verify), and the sketch params as sidecar metadata so probes can never
     diverge from the build.  The sidecar is written LAST and probes
     require it, so a crash mid-build leaves an index that fails loudly
-    rather than probing partial data; re-running the build overwrites
-    cleanly (write-then-publish, the LakeTable commit discipline)."""
-    import json as _json
+    rather than probing partial data.  On a REBUILD over an existing index
+    the old sidecar is retracted FIRST: a crash between the sigs and
+    entries overwrites must make probes fail loudly, not let a stale
+    sidecar validate mismatched halves (write-then-publish, the LakeTable
+    commit discipline)."""
     import os as _os
 
+    from ton_etl_spark.operators.similarity import (
+        invalidate_sidecar,
+        publish_sidecar,
+    )
+
+    invalidate_sidecar(path, "_minhash_meta.json")
     if min_words is None:
         min_words = k_shingle
     if min_words > 0:
@@ -664,8 +672,7 @@ def write_minhash_index(
         "bands": bands, "k_shingle": k_shingle, "seed": seed,
         "min_words": min_words,
     }
-    with open(_os.path.join(path, "_minhash_meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    publish_sidecar(path, "_minhash_meta.json", meta)
 
 
 def probe_minhash_index(

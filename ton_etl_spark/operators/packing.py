@@ -104,8 +104,10 @@ def pack_chunks(
     if id_cols is None:
         id_cols = [order_col]
     d = token_stream_offsets(docs, n_tok, group_col, order_col, seg_width)
-    first = (F.col("__off") / budget).cast("long")
-    last = ((F.col("__off") + F.col("__n_tok") - 1) / budget).cast("long")
+    # integer division: `/` is double math, which would round cumulative
+    # offsets past 2^53 and mis-assign pack boundaries at extreme scale
+    first = F.expr(f"__off div {int(budget)}")
+    last = F.expr(f"(__off + __n_tok - 1) div {int(budget)}")
     p = F.col("pack_id")
     start = F.greatest(F.lit(0), p * budget - F.col("__off"))
     end = F.least(F.col("__n_tok"), (p + 1) * budget - F.col("__off"))

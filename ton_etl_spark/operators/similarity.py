@@ -192,6 +192,30 @@ def ivf_probe_cells(
     return [c for _, c in sorted(qd)[:nprobe]]
 
 
+def invalidate_sidecar(path: str, name: str) -> None:
+    """Remove an existing sidecar BEFORE overwriting index data files.
+
+    The sidecar is the index's validity marker (sidecar-last contract), so
+    a REBUILD over an existing index must first retract it: otherwise a
+    crash between the data overwrites leaves the old sidecar validating a
+    half-rewritten index and probes silently drop candidates.  With the
+    sidecar gone, probes fail loudly for the duration of the rebuild
+    window, which is the honest behavior."""
+    p = os.path.join(path, name)
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def publish_sidecar(path: str, name: str, meta: dict) -> None:
+    """Write the sidecar LAST and atomically (tmp file + ``os.replace``):
+    a crash mid-write must not leave a truncated-but-parseable sidecar."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, name))
+
+
 def write_ivf_index(
     emb: DataFrame,
     path: str,
@@ -204,13 +228,14 @@ def write_ivf_index(
     metadata (`_ivf_meta.json` — in a real lake this lives in table
     properties; the layout is what matters: one directory per cell, so a
     probe's ``cell IN (...)`` filter becomes partition pruning and the scan
-    reads only the probed cells' files)."""
+    reads only the probed cells' files).  Sidecar-last, retracted first on
+    rebuild: see ``invalidate_sidecar``."""
+    invalidate_sidecar(path, "_ivf_meta.json")
     with_ivf_cells(emb, centroids, vec_col, cell_col).write.mode(
         "overwrite"
     ).partitionBy(cell_col).parquet(path)
     meta = {"centroids": centroids, "vec_col": vec_col, "cell_col": cell_col}
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    publish_sidecar(path, "_ivf_meta.json", meta)
 
 
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, dict]:
@@ -357,7 +382,10 @@ def write_lsh_index(
     (table, bucket) with the sketch params as sidecar metadata, so probes
     are partition pruning — the per-query full-corpus sketch recompute
     disappears.  The sidecar is written last (probes require it), so a
-    crash mid-build fails loudly instead of serving partial data."""
+    crash mid-build fails loudly instead of serving partial data; on a
+    REBUILD the old sidecar is retracted before the data overwrite so a
+    crash can never leave it validating half-rewritten buckets."""
+    invalidate_sidecar(path, "_lsh_meta.json")
     with_lsh_buckets(
         emb, dim, n_planes, seed, n_tables, vec_col, tbl_col, bucket_col
     ).write.mode("overwrite").partitionBy(tbl_col, bucket_col).parquet(path)
@@ -373,8 +401,7 @@ def write_lsh_index(
         # guess the build-time id column out of band
         "id_col": id_col,
     }
-    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    publish_sidecar(path, "_lsh_meta.json", meta)
 
 
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:

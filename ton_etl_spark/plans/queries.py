@@ -1744,6 +1744,10 @@ SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs GROUP BY a, b
 
 
 # ==========================================================================
+# Registry order is load-bearing: the correctness driver records at most ~50
+# rows in registry-insertion order, so every oracle-backed query MUST precede
+# the rows-only (sketch/hash-seeded) entries or it silently loses its hard
+# correctness signal (this dropped the ANN/embedding oracles in round 4).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "cdc_lww_snapshot": q_cdc_lww_snapshot,
@@ -1790,17 +1794,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "curated_corpus": q_curated_corpus,
     "bpe_pair_counts": q_bpe_pair_counts,
-    # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
-    "approx_distinct_users": q_approx_distinct_users,
-    "minhash_near_dups": q_minhash_near_dups,
-    "ngram_jaccard_dups": q_ngram_jaccard_dups,
-    "simhash_near_dups": q_simhash_near_dups,
-    "winnow_overlap_docs": q_winnow_overlap_docs,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "media_features": q_media_features,
-    "media_frames": q_media_frames,
+    # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
+    # media_features/media_frames (stub decode kernels) are pytest-only
+    # (tests/test_operators.py::test_multimodal_*) to keep registry slots
+    # for oracle-backed queries under the driver's row cap.
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "winnow_overlap_docs": q_winnow_overlap_docs,
+    "approx_distinct_users": q_approx_distinct_users,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
 }
 
 ORACLES: dict[str, str] = {
