@@ -404,3 +404,93 @@ def test_target_file_rows_splits_hot_buckets(spark, tmp_path):
     files2 = t.current().files
     assert all(f.rows <= 100 for f in files2), sorted(f.rows for f in files2)
     assert sum(f.rows for f in files2) >= len(want)
+
+
+def test_rebucket_mid_stream_preserves_replay_equality(spark, tmp_path):
+    """Double n_buckets between ingest epochs: the next merges pick up the
+    new count from the snapshot, replay equality holds, tombstones and
+    time travel survive, and the new layout is one file per new bucket."""
+    from ton_etl_spark.cdc.apply import final_state_oracle
+    from ton_etl_spark.cdc.generator import generate_cdc_log
+    from ton_etl_spark.lake.maintenance import rebucket
+
+    log = generate_cdc_log(spark, 6_000, seed=51)
+    t = make_sequences_table(spark, str(tmp_path / "rb"), n_buckets=4)
+    batches = log.randomSplit([1.0] * 4, seed=51)
+    for e in (0, 1):
+        apply_cdc_batch(t, batches[e], epoch=e)
+    v_before = t.current_version()
+    raw_before = t.read().count()  # incl. tombstones
+
+    res = rebucket(t, 8, commit_key="rebucket=1")
+    assert res["applied"] and res["n_buckets"] == 8
+    assert t.current().n_buckets == 8
+    assert t.read().count() == raw_before  # tombstones NOT dropped
+    # idempotent on commit key
+    assert rebucket(t, 8, commit_key="rebucket=1")["applied"] is False
+    # no-op when the count already matches
+    assert rebucket(t, 8)["applied"] is False
+
+    for e in (2, 3):
+        apply_cdc_batch(t, batches[e], epoch=e)
+    want = [r.asDict() for r in final_state_oracle(log).orderBy("doc_id").collect()]
+    got = [r.asDict() for r in read_state(t).orderBy("doc_id").collect()]
+    assert got == want
+
+    # post-merge layout: one file per touched NEW bucket, buckets < 8
+    per_bucket = {}
+    for f in t.current().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert per_bucket and max(per_bucket) < 8 and all(n == 1 for n in per_bucket.values())
+    # time travel to the pre-rebucket snapshot still prunes with the OLD count
+    old = t.snapshot(v_before)
+    assert old.n_buckets == 4
+    assert t.read(version=v_before).count() == raw_before
+
+
+def test_rebucket_loses_cas_to_concurrent_writer(spark, tmp_path):
+    """A rebucket planned against a stale base must NOT clobber a
+    concurrently-committed epoch: the CAS publish raises and the table
+    keeps the winner's state (re-derive, never rebase — its rows are
+    stale)."""
+    import pytest as _pytest
+
+    from ton_etl_spark.lake import maintenance as mmod
+    from ton_etl_spark.lake.table import CommitConflictError
+
+    t = make_sequences_table(spark, str(tmp_path / "race"), n_buckets=4)
+    apply_cdc_batch(
+        t,
+        spark.createDataFrame([("a", "c", 1, 1, [1], 1, "web")], CDC_EVENT_SCHEMA),
+        epoch=0,
+    )
+
+    real_write = t._write_commit_files
+
+    def write_and_race(*a, **k):
+        # one-shot: restore FIRST so the racing epoch's own commit (and any
+        # later write) goes through the real path, not back into this hook
+        t._write_commit_files = real_write
+        files = real_write(*a, **k)
+        # a concurrent epoch commits AFTER the rebucket read its base
+        # snapshot and wrote its data files, BEFORE its CAS publish
+        apply_cdc_batch(
+            t,
+            spark.createDataFrame([("b", "c", 2, 2, [2], 1, "web")], CDC_EVENT_SCHEMA),
+            epoch=1,
+        )
+        return files
+
+    t._write_commit_files = write_and_race
+    try:
+        with _pytest.raises(CommitConflictError):
+            mmod.rebucket(t, 8)
+    finally:
+        t._write_commit_files = real_write
+    # winner intact, layout unchanged, rebucket left no trace in metadata
+    assert t.current().n_buckets == 4
+    assert sorted(r["doc_id"] for r in read_state(t).collect()) == ["a", "b"]
+    # a clean retry from the new state succeeds
+    assert mmod.rebucket(t, 8)["applied"]
+    assert t.current().n_buckets == 8
+    assert sorted(r["doc_id"] for r in read_state(t).collect()) == ["a", "b"]

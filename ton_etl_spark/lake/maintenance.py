@@ -15,11 +15,12 @@ pure driver-side metadata work plus file deletes.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import functions as F
 
 from ton_etl_spark.cdc.schema import LSN_COL, OP_COL
-from ton_etl_spark.lake.table import DATA_DIR, MANIFEST_DIR, LakeTable
+from ton_etl_spark.lake.table import DATA_DIR, MANIFEST_DIR, LakeTable, Snapshot
 
 
 def rewrite_buckets(
@@ -99,6 +100,81 @@ def rolling_maintenance(
             table, tombstone_horizon_lsn, buckets=buckets, commit_key=key
         )
     return rewrite_buckets(table, buckets=buckets, commit_key=key)
+
+
+def rebucket(
+    table: LakeTable,
+    new_n_buckets: int,
+    commit_key: str | None = None,
+) -> dict:
+    """Bucket-count evolution: rewrite the whole table under a new bucket
+    count and swap it in with ONE CAS snapshot publish.
+
+    A table that grows 100× is otherwise stuck with its creation-time
+    ``n_buckets`` (one bucket ≈ a few GB by design), which silently
+    degrades merge parallelism and file sizing — the Iceberg analog is
+    rewriting data under an evolved partition spec.  Mechanics:
+
+    - ALL rows are read at the planning snapshot — including delete
+      tombstones: dropping them here would re-open the stale-redelivery
+      resurrection window that ``gc_tombstones`` manages deliberately.
+    - One job, one shuffle (repartition on the NEW bucket expression —
+      ``bucket_of(key, new_n)`` is the same ``murmur3_v1`` family, so
+      ``check_bucket_fn`` keeps passing; the snapshot's per-version
+      ``n_buckets`` is what readers and merges consult, so time-travel
+      reads of old versions keep pruning with the OLD count).
+    - The swap is a single ``_publish``: concurrently-committed epochs win
+      the CAS and this raises ``CommitConflictError`` — a rebucket planned
+      against a stale base holds stale rows and MUST be re-derived, never
+      rebased (same contract as merge/overwrite, unlike append).  Run it
+      between epochs of the ingest loop, or let the loop's next merge pick
+      up the new count automatically from the snapshot.
+
+    At 100 TB this is a full copy-on-write — schedule it like any spec
+    rewrite (dedicated job, off-peak); the commit itself is metadata-light
+    (one manifest per new bucket) and readers never see a mixed layout.
+    Idempotent on ``commit_key``."""
+    snap = table.current()
+    if commit_key is not None and snap.has_commit_key(commit_key):
+        return {"applied": False, "n_buckets": snap.n_buckets}
+    table.check_bucket_fn(snap)
+    if new_n_buckets <= 0:
+        raise ValueError("new_n_buckets must be positive")
+    if new_n_buckets == snap.n_buckets:
+        return {"applied": False, "n_buckets": snap.n_buckets}
+    df = table.read(version=snap.version)  # raw rows, tombstones included
+    commit_id = f"c{snap.version + 1}-rb{uuid.uuid4().hex[:8]}"
+    new_files = table._write_commit_files(
+        df, commit_id, new_n_buckets, snap.key_cols,
+        target_file_rows=table._target_file_rows(snap),
+        stats_cols=table._prop_cols(snap, "stats_cols"),
+        sort_cols=table._prop_cols(snap, "sort_cols"),
+    )
+    by_bucket: dict[int, list] = {}
+    for f in new_files:
+        by_bucket.setdefault(f.bucket, []).append(f)
+    manifests = {
+        b: table._write_manifest(b, fs, commit_id) for b, fs in by_bucket.items()
+    }
+    wm, recent = snap.advanced_keys(commit_key)
+    new_snap = Snapshot(
+        version=snap.version + 1,
+        schema_json=snap.schema_json,
+        n_buckets=new_n_buckets,
+        key_cols=snap.key_cols,
+        manifests=manifests,
+        commit_watermarks=wm,
+        recent_commit_keys=recent,
+        properties=snap.properties,
+    )
+    new_snap._root = table.root
+    table._publish(new_snap)  # CommitConflictError => loser re-derives
+    return {
+        "applied": True,
+        "n_buckets": new_n_buckets,
+        "files": len(new_files),
+        "rows": sum(f.rows for f in new_files),
+    }
 
 
 def expire_snapshots(
