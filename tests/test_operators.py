@@ -911,3 +911,92 @@ def test_lsh_index_rebuild_crash_fails_loudly(spark, tmp_path, monkeypatch):
     smod.write_lsh_index(corpus, path, dim=dim, n_planes=4, seed=42, n_tables=2)
     _, meta = smod.read_lsh_index(spark, path)
     assert meta["dim"] == dim
+
+
+def test_minhash_index_append_matches_fresh_rebuild(spark, tmp_path, monkeypatch):
+    """Incremental index maintenance: after N appends, probing the grown
+    index returns EXACTLY what a fresh full build over the whole corpus
+    returns — and a crash between the sigs and entries appends leaves the
+    index failing loudly (sidecar retracted), recoverable by rebuild."""
+    import pytest as _pytest
+
+    from ton_etl_spark.operators import dedup as dmod
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    day0 = [(i, f"{base} corpus variant {i}") for i in range(12)]
+    day1 = [(100 + i, f"{base} corpus variant {i} extended") for i in range(6)]
+    day2 = [(200, "completely unrelated text about catalyst optimizer rules"),
+            (201, f"{base} corpus variant 3"),
+            (202, "")]  # degenerate: no sig
+    schema = "doc_id long, text string"
+    probe = spark.createDataFrame(
+        [(1000, base + " corpus variant 3"), (1001, "novel arrow pandas text")],
+        schema,
+    )
+
+    grown = str(tmp_path / "grown")
+    dmod.write_minhash_index(spark.createDataFrame(day0, schema), grown)
+    r1 = dmod.append_to_minhash_index(spark.createDataFrame(day1, schema), grown)
+    r2 = dmod.append_to_minhash_index(spark.createDataFrame(day2, schema), grown)
+    assert r1["appends"] == 1 and r2["appends"] == 2
+    assert r2["appended"] == 2  # the empty doc signs to NULL and is dropped
+
+    fresh = str(tmp_path / "fresh")
+    dmod.write_minhash_index(
+        spark.createDataFrame(day0 + day1 + day2, schema), fresh
+    )
+    got = {(r["new_id"], r["index_id"]): round(r["jaccard_est"], 9) for r in
+           dmod.probe_minhash_index(spark, grown, probe, min_jaccard_est=0.4).collect()}
+    want = {(r["new_id"], r["index_id"]): round(r["jaccard_est"], 9) for r in
+            dmod.probe_minhash_index(spark, fresh, probe, min_jaccard_est=0.4).collect()}
+    assert got == want and any(ix == 201 for _, ix in got)  # appended doc probed
+
+    # crash between the two appended files: sidecar gone, probe fails loudly
+    monkeypatch.setattr(dmod, "band_entries_of",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")))
+    with _pytest.raises(RuntimeError, match="boom"):
+        dmod.append_to_minhash_index(spark.createDataFrame(day1, schema), grown)
+    with _pytest.raises(FileNotFoundError):
+        dmod.probe_minhash_index(spark, grown, probe)
+
+
+def test_lsh_index_append_matches_fresh_rebuild(spark, tmp_path):
+    """Embedding twin: probe after appends == probe after fresh build,
+    dim mismatches rejected up front, appends counted in the sidecar."""
+    import random
+
+    import pytest as _pytest
+
+    from ton_etl_spark.operators import similarity as smod
+    from ton_etl_spark.operators.dedup import probe_lsh_near_dups
+
+    rng = random.Random(11)
+    dim = 12
+    day0 = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(25)]
+    day1 = [(100 + i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(10)]
+    # new vector nearly parallel to an APPENDED corpus vector
+    near = [x + rng.gauss(0, 0.01) for x in day1[4][1]]
+    schema = "vec_id long, embedding array<float>"
+    probe = spark.createDataFrame(
+        [(1000, near), (1001, [rng.gauss(0, 1) for _ in range(dim)])], schema
+    )
+
+    grown = str(tmp_path / "grown")
+    smod.write_lsh_index(spark.createDataFrame(day0, schema), grown,
+                         dim=dim, n_planes=4, seed=42, n_tables=4)
+    res = smod.append_to_lsh_index(spark.createDataFrame(day1, schema), grown)
+    assert res == {"appended": 10, "appends": 1}
+
+    fresh = str(tmp_path / "fresh")
+    smod.write_lsh_index(spark.createDataFrame(day0 + day1, schema), fresh,
+                         dim=dim, n_planes=4, seed=42, n_tables=4)
+    got = {(r["new_id"], r["index_id"]): round(r["cosine"], 9) for r in
+           probe_lsh_near_dups(spark, grown, probe, min_cosine=0.9).collect()}
+    want = {(r["new_id"], r["index_id"]): round(r["cosine"], 9) for r in
+            probe_lsh_near_dups(spark, fresh, probe, min_cosine=0.9).collect()}
+    assert got == want and (1000, 104) in got
+
+    with _pytest.raises(ValueError, match="dim"):
+        smod.append_to_lsh_index(
+            spark.createDataFrame([(300, [1.0] * (dim + 1))], schema), grown
+        )

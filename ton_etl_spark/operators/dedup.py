@@ -675,6 +675,56 @@ def write_minhash_index(
     publish_sidecar(path, "_minhash_meta.json", meta)
 
 
+def append_to_minhash_index(new_docs: DataFrame, path: str) -> dict:
+    """Grow an existing minhash index by one ingested batch — the
+    daily-ingest path that makes the index INCREMENTAL instead of
+    build-once: the batch is signed with the index's own sidecar params
+    (exactly like a probe, so the index can never hold mixed sketches) and
+    its sigs + band entries are APPENDED as new parquet files; the corpus
+    is never re-read or re-sketched.
+
+    Crash contract (sidecar-last, versioned): the sidecar is retracted
+    before the data appends and re-published last with ``appends`` bumped,
+    so a crash between the sigs and entries appends leaves an index that
+    fails loudly on probe instead of silently over- or under-matching;
+    recovery is a fresh ``write_minhash_index`` over the full corpus.
+    Caller contract: append each document once — appending a doc_id twice
+    leaves duplicate entries (probes still dedup pairs, but the sig join
+    returns duplicate rows for that id).
+
+    Returns {"appended": n_signed_rows, "appends": total_append_count}."""
+    import json as _json
+    import os as _os
+
+    from ton_etl_spark.operators.similarity import (
+        invalidate_sidecar,
+        publish_sidecar,
+    )
+
+    with open(_os.path.join(path, "_minhash_meta.json")) as fh:
+        m = _json.load(fh)
+    docs = new_docs
+    if m["min_words"] > 0:
+        docs = docs.where(F.size(words(F.col(m["text_col"]))) >= m["min_words"])
+    docs = docs.select(F.col(m["id_col"]), F.col(m["text_col"]))
+    invalidate_sidecar(path, "_minhash_meta.json")
+    sigs = minhash_signatures(
+        docs, m["id_col"], m["text_col"], m["n_hashes"], m["k_shingle"], m["seed"]
+    ).persist()
+    try:
+        live = sigs.where(F.col("sig").isNotNull())
+        n = live.count()
+        live.write.mode("append").parquet(_os.path.join(path, "sigs"))
+        band_entries_of(sigs, m["id_col"], m["n_hashes"], m["bands"]).write.mode(
+            "append"
+        ).partitionBy("band").parquet(_os.path.join(path, "entries"))
+    finally:
+        sigs.unpersist()
+    m["appends"] = int(m.get("appends", 0)) + 1
+    publish_sidecar(path, "_minhash_meta.json", m)
+    return {"appended": n, "appends": m["appends"]}
+
+
 def probe_minhash_index(
     spark,
     path: str,

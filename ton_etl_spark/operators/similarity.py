@@ -404,6 +404,42 @@ def write_lsh_index(
     publish_sidecar(path, "_lsh_meta.json", meta)
 
 
+def append_to_lsh_index(new_emb: DataFrame, path: str) -> dict:
+    """Grow an existing hyperplane-LSH index by one ingested batch — the
+    embedding twin of ``dedup.append_to_minhash_index``: the batch is
+    sketched with the index's own sidecar params and appended as new
+    parquet files under the same (table, bucket) partitioning; the corpus
+    is never re-read or re-sketched.  Vector dims are validated against
+    the sidecar up front (a model swap would null-bucket everything).
+
+    Crash contract (sidecar-last, versioned): retract sidecar → append →
+    re-publish with ``appends`` bumped; a crash mid-append leaves probes
+    failing loudly, and recovery is a fresh ``write_lsh_index``.
+
+    Returns {"appended": n_rows, "appends": total_append_count}."""
+    with open(os.path.join(path, "_lsh_meta.json")) as fh:
+        m = json.load(fh)
+    vec_col = m["vec_col"]
+    bad = new_emb.where(F.size(F.col(vec_col)) != m["dim"]).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"append vectors do not match the index dim={m['dim']} "
+            f"(found a row with a different {vec_col} length)"
+        )
+    invalidate_sidecar(path, "_lsh_meta.json")
+    sketched = with_lsh_buckets(
+        new_emb, m["dim"], m["n_planes"], m["seed"], m["n_tables"],
+        vec_col, m["tbl_col"], m["bucket_col"],
+    )
+    n = new_emb.count()
+    sketched.write.mode("append").partitionBy(
+        m["tbl_col"], m["bucket_col"]
+    ).parquet(path)
+    m["appends"] = int(m.get("appends", 0)) + 1
+    publish_sidecar(path, "_lsh_meta.json", m)
+    return {"appended": n, "appends": m["appends"]}
+
+
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Open a materialized LSH index → (DataFrame with stored (tbl, bucket)
     columns, sketch params)."""
