@@ -35,6 +35,7 @@ HEADLINE = [
     "embedding_topk",
     "pack_chunks",
     "dup_clusters",
+    "dup_clusters_capped",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

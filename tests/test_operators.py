@@ -1000,3 +1000,23 @@ def test_lsh_index_append_matches_fresh_rebuild(spark, tmp_path):
         smod.append_to_lsh_index(
             spark.createDataFrame([(300, [1.0] * (dim + 1))], schema), grown
         )
+
+
+def test_dup_clusters_capped_refines_uncapped(spark, sf_dir):
+    """The capped production twin of dup_clusters: the bucket cap only
+    DROPS candidate pairs, so the capped clustering must be a refinement
+    of the uncapped one — every capped cluster lies wholly inside one
+    uncapped cluster, and no new ids appear."""
+    from ton_etl_spark.plans.queries import QUERIES
+
+    capped = {r["id"]: r["component"] for r in
+              QUERIES["dup_clusters_capped"](spark, sf_dir).collect()}
+    full = {r["id"]: r["component"] for r in
+            QUERIES["dup_clusters"](spark, sf_dir).collect()}
+    assert capped and set(capped) <= set(full)
+    # refinement: ids sharing a capped component share the full component
+    by_comp = {}
+    for i, c in capped.items():
+        by_comp.setdefault(c, []).append(i)
+    for ids in by_comp.values():
+        assert len({full[i] for i in ids}) == 1

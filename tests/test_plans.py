@@ -229,3 +229,42 @@ def test_where_read_residual_filter_is_pushed_down(spark, tmp_path):
     txt = _optimized_scan_line(t.read(where={"lsn": (100, 200)}))
     assert "GreaterThanOrEqual(lsn,100)" in txt, txt
     assert "LessThanOrEqual(lsn,200)" in txt, txt
+
+
+def test_ivf_centroid_init_is_top_n_not_full_sort(spark, sf_dir):
+    """ivf_centroids' hash-pick init must plan as TakeOrderedAndProject
+    (per-partition top-N, driver merges n_cells rows) — a global Sort
+    before the limit would shuffle the whole corpus to take 8 rows."""
+    from ton_etl_spark.operators.similarity import _init_pick
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    plan = _executed_plan(_init_pick(emb, 8, "vec_id", "embedding", 42))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_index_probe_broadcasts_new_side_only(spark, sf_dir, tmp_path):
+    """probe_minhash_index's scale contract: the NEW batch (entries and
+    candidate sigs) is broadcast, the STORED index streams — the plan must
+    use broadcast joins only, with no shuffle exchange over the stored
+    entries/sigs scans."""
+    from ton_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = str(tmp_path / "mh")
+    write_minhash_index(docs.select("doc_id", "text"), path)
+    new = docs.select("doc_id", "text").limit(3).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    plan = _executed_plan(probe_minhash_index(spark, path, new))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # the ONLY shuffle allowed is the candidate-pair dedup on the slim
+    # (new_id, index_id) keys; the stored entries/sigs (wide arrays) must
+    # never hash-partition
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "new_id" in line and "sig" not in line and "bhash" not in line, line

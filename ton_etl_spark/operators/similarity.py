@@ -91,6 +91,21 @@ def cosine_topk_bruteforce(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _init_pick(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str, seed: int
+) -> DataFrame:
+    """k-means init: the ``n_cells`` corpus vectors with the smallest
+    deterministic hash — an ``orderBy().limit()`` that Spark plans as
+    TakeOrderedAndProject (per-partition top-N + driver merge of n_cells
+    rows), NEVER a full sort (plan-locked in tests/test_plans.py)."""
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__r")
+        .limit(n_cells)
+    )
+
+
 def ivf_centroids(
     emb: DataFrame,
     n_cells: int,
@@ -108,13 +123,7 @@ def ivf_centroids(
     posexplode + groupBy.  Centroids are collected to the driver — that IS
     the IVF contract: the cell table is small index metadata (n_cells × dim
     floats), everything per-vector stays distributed."""
-    taken = (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__r")
-        .limit(n_cells)
-        .collect()
-    )
+    taken = _init_pick(emb, n_cells, id_col, vec_col, seed).collect()
     cents = [[float(x) for x in r[vec_col]] for r in taken]
     for _ in range(n_iters):
         assigned = emb.select(

@@ -1527,6 +1527,28 @@ def q_dup_clusters(spark, sf: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# the production operating point: cap degenerate LSH buckets (mass-point
+# embeddings collapse whole corpora into one bucket; the cap drops those
+# buckets from pair generation, trading bounded recall loss for a bounded
+# self-join).  The UNCAPPED q_dup_clusters stays as the oracle-checked
+# query (DuckDB must reproduce the sketch exactly); this twin is what a
+# 100-TB run would actually execute, benchmarked in bench.py and
+# pytest-verified as a refinement of the uncapped clustering.
+_EMB_BUCKET_CAP = 32
+
+
+def q_dup_clusters_capped(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = embedding_near_dups(
+        emb, dim=_EMB_DIM, min_cosine=_EMB_MINCOS,
+        n_planes=_EMB_PLANES, n_tables=_EMB_TABLES, seed=_EMB_SEED,
+        max_bucket_size=_EMB_BUCKET_CAP,
+    ).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 def _dup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_emb_pairs_ctes()},
@@ -1806,6 +1828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap_docs": q_winnow_overlap_docs,
     "approx_distinct_users": q_approx_distinct_users,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "dup_clusters_capped": q_dup_clusters_capped,
 }
 
 ORACLES: dict[str, str] = {
