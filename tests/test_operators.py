@@ -1002,6 +1002,41 @@ def test_lsh_index_append_matches_fresh_rebuild(spark, tmp_path):
         )
 
 
+def test_empty_index_probes_to_zero_rows(spark, tmp_path):
+    """An index built over ZERO documents (the curation stream's first
+    batch, a fresh table's bootstrap) is a valid index whose every probe
+    answers "no candidates" — the partitioned layout writes no parquet
+    files for it, so this exercises the sidecar/explicit-schema read path
+    in both modalities.  Appends must then grow it normally."""
+    from ton_etl_spark.operators import dedup as dmod
+    from ton_etl_spark.operators import similarity as smod
+
+    schema = "doc_id long, text string"
+    empty_docs = spark.createDataFrame([], schema)
+    mh = str(tmp_path / "mh")
+    dmod.write_minhash_index(empty_docs, mh)
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")], schema
+    )
+    assert dmod.probe_minhash_index(spark, mh, probe, min_jaccard_est=0.0).count() == 0
+    dmod.append_to_minhash_index(probe, mh)
+    assert dmod.probe_minhash_index(
+        spark, mh, probe.withColumn("doc_id", F.lit(2).cast("long"))
+    ).count() == 1
+
+    dim = 6
+    eschema = "vec_id long, embedding array<float>"
+    lsh = str(tmp_path / "lsh")
+    smod.write_lsh_index(spark.createDataFrame([], eschema), lsh, dim=dim, n_tables=2)
+    vec = [(1000, [1.0, 0.5, -0.25, 0.125, 2.0, -1.0])]
+    new = spark.createDataFrame(vec, eschema)
+    assert dmod.probe_lsh_near_dups(spark, lsh, new, min_cosine=0.0).count() == 0
+    smod.append_to_lsh_index(new, lsh)
+    renamed = spark.createDataFrame([(2000, vec[0][1])], eschema)
+    got = dmod.probe_lsh_near_dups(spark, lsh, renamed, min_cosine=0.99).collect()
+    assert [(r["new_id"], r["index_id"]) for r in got] == [(2000, 1000)]
+
+
 def test_dup_clusters_capped_refines_uncapped(spark, sf_dir):
     """The capped production twin of dup_clusters: the bucket cap only
     DROPS candidate pairs, so the capped clustering must be a refinement

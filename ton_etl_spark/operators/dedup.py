@@ -630,6 +630,7 @@ def write_minhash_index(
     k_shingle: int = 3,
     seed: int = 42,
     min_words: int | None = None,
+    meta_updates: dict | None = None,
 ) -> None:
     """Materialize the corpus's minhash index under ``path``: band entries
     (parquet, partitioned by band), signatures (for the Jaccard-estimate
@@ -672,10 +673,16 @@ def write_minhash_index(
         "bands": bands, "k_shingle": k_shingle, "seed": seed,
         "min_words": min_words,
     }
+    # extra caller metadata (e.g. the curation stream's epoch cursor) rides
+    # the SAME atomic publish — two sequential sidecar writes would leave a
+    # crash window where the data is new but the cursor is stale
+    meta.update(meta_updates or {})
     publish_sidecar(path, "_minhash_meta.json", meta)
 
 
-def append_to_minhash_index(new_docs: DataFrame, path: str) -> dict:
+def append_to_minhash_index(
+    new_docs: DataFrame, path: str, meta_updates: dict | None = None
+) -> dict:
     """Grow an existing minhash index by one ingested batch — the
     daily-ingest path that makes the index INCREMENTAL instead of
     build-once: the batch is signed with the index's own sidecar params
@@ -721,6 +728,7 @@ def append_to_minhash_index(new_docs: DataFrame, path: str) -> dict:
     finally:
         sigs.unpersist()
     m["appends"] = int(m.get("appends", 0)) + 1
+    m.update(meta_updates or {})  # same atomic publish as the build path
     publish_sidecar(path, "_minhash_meta.json", m)
     return {"appended": n, "appends": m["appends"]}
 
@@ -755,7 +763,15 @@ def probe_minhash_index(
         )
     )
     new_entries = band_entries_of(new_sigs, id_col, m["n_hashes"], m["bands"])
-    stored_entries = spark.read.parquet(_os.path.join(path, "entries"))
+    # explicit schemas (the probe side is sketched with the index's own
+    # params, so its shape IS the stored shape): a legitimately EMPTY index
+    # — e.g. the curation stream's very first batch probing a corpus of
+    # zero documents — has no parquet files under the partitioned entries
+    # dir, and schema inference would fail where "no candidates" is the
+    # correct answer
+    stored_entries = spark.read.schema(new_entries.schema).parquet(
+        _os.path.join(path, "entries")
+    )
     if max_bucket_size is not None:
         stored_entries = drop_oversized_groups(
             stored_entries, ["band", "bhash"], max_bucket_size
@@ -774,7 +790,9 @@ def probe_minhash_index(
         )
         .dropDuplicates(["new_id", "index_id"])
     )
-    stored_sigs = spark.read.parquet(_os.path.join(path, "sigs")).select(
+    stored_sigs = spark.read.schema(new_sigs.schema).parquet(
+        _os.path.join(path, "sigs")
+    ).select(
         F.col(id_col).alias("index_id"), F.col("sig").alias("sig_ix")
     )
     new_side = new_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_new"))

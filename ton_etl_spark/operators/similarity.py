@@ -395,10 +395,15 @@ def write_lsh_index(
     REBUILD the old sidecar is retracted before the data overwrite so a
     crash can never leave it validating half-rewritten buckets."""
     invalidate_sidecar(path, "_lsh_meta.json")
-    with_lsh_buckets(
+    sketched = with_lsh_buckets(
         emb, dim, n_planes, seed, n_tables, vec_col, tbl_col, bucket_col
-    ).write.mode("overwrite").partitionBy(tbl_col, bucket_col).parquet(path)
+    )
+    sketched.write.mode("overwrite").partitionBy(tbl_col, bucket_col).parquet(path)
     meta = {
+        # full row schema: a legitimately EMPTY corpus writes no files under
+        # the partitioned layout, so readers need the schema out-of-band to
+        # answer "no candidates" instead of failing inference
+        "schema_json": sketched.schema.json(),
         "dim": dim,
         "n_planes": n_planes,
         "seed": seed,
@@ -454,7 +459,12 @@ def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
     columns, sketch params)."""
     with open(os.path.join(path, "_lsh_meta.json")) as fh:
         meta = json.load(fh)
-    return spark.read.parquet(path), meta
+    reader = spark.read
+    if "schema_json" in meta:  # pre-schema sidecars fall back to inference
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(meta["schema_json"])))
+    return reader.parquet(path), meta
 
 
 def lsh_ann_topk(
