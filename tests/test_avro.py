@@ -1,0 +1,194 @@
+"""Avro interchange: the reference lake's on-disk format (OCF files under
+hive-style ``adding_date=`` partitions, ``datalake/main.py:136-186``) must
+round-trip through the jar-less pure-Python path, and Avro-framed CDC
+values must flow through the UNCHANGED JSON envelope pipeline."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ton_etl_spark.cdc.envelope import parse_cdc_envelope, to_kafka_frames
+from ton_etl_spark.cdc.generator import generate_cdc_log
+from ton_etl_spark.sources.avro import (
+    avro_values_to_json,
+    encode_avro_values,
+    encode_datum,
+    parse_schema,
+    read_avro,
+    read_ocf_bytes,
+    spark_to_avro_schema,
+    write_avro,
+    write_ocf_bytes,
+)
+
+REF_SCHEMA = {
+    "type": "record",
+    "name": "messages",
+    "fields": [
+        {"name": "msg_hash", "type": ["null", "string"], "default": None},
+        {"name": "value", "type": ["null", "long"], "default": None},
+        {"name": "body_boc", "type": ["null", "bytes"], "default": None},
+        {"name": "created_at", "type": ["null", "long"], "default": None},
+        {"name": "direction", "type": ["null", {"type": "enum", "name": "dir", "symbols": ["in", "out"]}], "default": None},
+    ],
+}
+
+
+def _ref_rows(n):
+    return [
+        {
+            "msg_hash": f"h{i:04d}",
+            "value": i * 1000 if i % 7 else None,
+            "body_boc": bytes([i % 256, (i * 3) % 256]) if i % 5 else None,
+            "created_at": 1700000000 + i,
+            "direction": "in" if i % 2 else "out",
+        }
+        for i in range(n)
+    ]
+
+
+def test_golden_datum_bytes():
+    """Pin the binary encoding to the published spec examples so a
+    self-consistent-but-wrong codec cannot round-trip its way past CI."""
+    lsc = parse_schema("long")
+    for v, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+                    (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01")]:
+        out = bytearray()
+        encode_datum(lsc, v, out)
+        assert bytes(out) == want, (v, bytes(out))
+    out = bytearray()
+    encode_datum(parse_schema("string"), "foo", out)
+    assert bytes(out) == b"\x06foo"
+    out = bytearray()
+    encode_datum(parse_schema(["null", "string"]), None, out)
+    assert bytes(out) == b"\x00"
+
+
+def test_ocf_corrupt_sync_fails_loudly():
+    data = bytearray(write_ocf_bytes(REF_SCHEMA, _ref_rows(10), codec="null"))
+    data[-3] ^= 0xFF  # flip a byte inside the trailing sync marker
+    with pytest.raises(ValueError, match="sync"):
+        read_ocf_bytes(bytes(data))
+
+
+def test_reference_layout_reads_distributed(spark, tmp_path):
+    """Files laid out exactly as the reference flushes them (one OCF per
+    flush under adding_date=...) decode via the distributed binaryFile +
+    mapInPandas path, per-file lineage preserved."""
+    root = str(tmp_path / "lake" / "messages")
+    rows = _ref_rows(137)
+    for day, (lo, hi) in {"20260101": (0, 60), "20260102": (60, 137)}.items():
+        d = os.path.join(root, f"adding_date={day}")
+        os.makedirs(d)
+        with open(os.path.join(d, "deadbeef.avro"), "wb") as fh:
+            fh.write(write_ocf_bytes(REF_SCHEMA, rows[lo:hi]))
+
+    df = read_avro(spark, root, use_datasource=False)
+    got = sorted(
+        (r["msg_hash"], r["value"], r["body_boc"], r["direction"]) for r in df.collect()
+    )
+    want = sorted((r["msg_hash"], r["value"], r["body_boc"], r["direction"]) for r in rows)
+    assert got == want
+    # lineage column maps each row to the file (and thus hive partition) it
+    # came from — the jar-less stand-in for partition-column recovery
+    days = df.select(
+        F.regexp_extract("_source_file", r"adding_date=(\d+)", 1).alias("d")
+    ).groupBy("d").count().collect()
+    assert {r["d"]: r["count"] for r in days} == {"20260101": 60, "20260102": 77}
+
+
+def test_write_read_round_trip_spark_types(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 2.0], {"k": 10}, b"\x00\x01", True, 1.5),
+            (2, None, [], {}, None, None, None),
+        ],
+        "id long, s string, arr array<double>, m map<string,long>, "
+        "b binary, flag boolean, f double",
+    )
+    path = str(tmp_path / "out")
+    n = write_avro(df, path, use_datasource=False)
+    assert n == 2
+    back = read_avro(spark, path, use_datasource=False).drop("_source_file")
+    a = sorted(back.collect(), key=lambda r: r["id"])
+    b = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_avro_envelope_equals_json_envelope(spark):
+    """Avro-framed (Confluent wire) CDC values through avro_values_to_json →
+    parse_cdc_envelope must yield EXACTLY the rows the JSON framing yields,
+    including binary payload fields surviving the base64 bridge."""
+    events = generate_cdc_log(spark, 400, seed=11)
+    json_frames = to_kafka_frames(events)
+    env_schema = {
+        "type": "record",
+        "name": "envelope",
+        "fields": [
+            *[
+                {"name": f.name, "type": ["null", _avro_of(f.dataType)], "default": None}
+                for f in events.schema.fields
+                if f.name not in ("op", "lsn", "ts_ms")
+            ],
+            {"name": "__op", "type": ["null", "string"], "default": None},
+            {"name": "__table", "type": ["null", "string"], "default": None},
+            {"name": "__lsn", "type": ["null", "long"], "default": None},
+            {"name": "__source_ts_ms", "type": ["null", "long"], "default": None},
+        ],
+    }
+    avro_frames = encode_avro_values(json_frames, env_schema, confluent_wire=True)
+    bridged = avro_values_to_json(avro_frames, env_schema, confluent_wire=True)
+
+    want = parse_cdc_envelope(json_frames, events.schema).orderBy("lsn").collect()
+    got = parse_cdc_envelope(bridged, events.schema).orderBy("lsn").collect()
+    assert len(got) == len(want) > 0
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    # garbage value -> corrupt-record drop, not a crash
+    junk = spark.createDataFrame(
+        [(b"\x00\x00\x00\x00\x01\xff\xff",), (None,)], "value binary"
+    )
+    assert parse_cdc_envelope(
+        avro_values_to_json(junk, env_schema, confluent_wire=True), events.schema
+    ).count() == 0
+
+
+def _avro_of(dt):
+    return spark_to_avro_schema(dt)
+
+
+def test_lake_migration_from_avro(spark, tmp_path):
+    """The migration path a reference user actually runs: their Avro lake →
+    read_avro → LWW merge into a LakeTable, state == per-key max-lsn rows."""
+    from ton_etl_spark.lake.merge import merge_lww
+    from ton_etl_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "avro_lake")
+    os.makedirs(root)
+    schema = {
+        "type": "record",
+        "name": "seqs",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"], "default": None},
+            {"name": "text", "type": ["null", "string"], "default": None},
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "lsn", "type": ["null", "long"], "default": None},
+            {"name": "ts_ms", "type": ["null", "long"], "default": None},
+        ],
+    }
+    rows = [
+        {"doc_id": i % 50, "text": f"v{i}", "op": "c", "lsn": i, "ts_ms": 1000 + i}
+        for i in range(200)
+    ]
+    with open(os.path.join(root, "a.avro"), "wb") as fh:
+        fh.write(write_ocf_bytes(schema, rows))
+
+    df = read_avro(spark, root, use_datasource=False).drop("_source_file")
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"), schema=df.schema, key_cols=["doc_id"], n_buckets=4
+    )
+    merge_lww(t, df, commit_key="avro-import")
+    got = {r["doc_id"]: r["text"] for r in t.read().collect()}
+    assert got == {i: f"v{150 + i}" for i in range(50)}
