@@ -53,7 +53,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each node u over its SMALLER neighbors N (edges arrive as
-    (big=u, small)): connect every v in N ∪ {u} to m = min(N)."""
+    (big=u, small)): connect every v in N ∪ {u} to m = min(N).
+
+    Output is already in canonical (big, small) orientation: every emitted
+    edge points at __m = min(N(u)), which is strictly smaller than the
+    first component (__m <= every v in N < u, and the __a != __b filter
+    removes the v == __m equality), and ``distinct`` has been applied — so
+    wrapping the result in ``_canon`` again would only re-derive the same
+    rows through one more full exchange."""
     m = edges.groupBy("__a").agg(F.min("__b").alias("__m"))
     with_m = edges.join(m, on="__a")
     out = with_m.select(F.col("__b").alias("__a"), F.col("__m").alias("__b")).unionByName(
@@ -102,7 +109,9 @@ def connected_components(
         return all_nodes.withColumn("component", F.col("id"))
     prev = _checksum(e)
     for _ in range(max_iter):
-        e = _canon(_small_star(_large_star(e))).localCheckpoint()
+        # _small_star output is canonical + distinct (see its docstring):
+        # no _canon pass per round, one exchange fewer
+        e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
             break
