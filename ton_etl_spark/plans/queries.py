@@ -1767,6 +1767,55 @@ SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs GROUP BY a, b
 
 # ==========================================================================
 # Registry order is load-bearing: the correctness driver records at most ~50
+# --------------------------------------------------------------------------
+# Avro interchange round-trip — the reference lake's on-disk format
+# (datalake/main.py:136-186 flushes Avro OCF files; a migrating user's data
+# arrives that way).  The query writes documents through the jar-less
+# pure-Python OCF encoder, reads them back through the distributed
+# binaryFile+mapInPandas decoder, and aggregates; the ORACLE aggregates the
+# parquet directly — so any byte the codec drops, re-orders, or mangles
+# (string fidelity via md5, numeric fidelity via sums) breaks the driver's
+# value-hash gate.
+def q_avro_roundtrip_docs(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.sources.avro import read_avro, write_avro
+
+    docs = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="avro_rt_")
+    try:
+        write_avro(docs.repartition(4), tmp, use_datasource=False)
+        # localCheckpoint materializes the decode so the temp files can be
+        # removed before the (lazy) result is consumed
+        back = (
+            read_avro(spark, tmp, use_datasource=False)
+            .drop("_source_file")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.countDistinct(F.md5(F.col("text"))).cast("long").alias("distinct_texts"),
+        F.min(F.md5(F.col("text"))).alias("min_text_md5"),
+    )
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)             AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT)              AS sum_ids,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+       MIN(md5(text))                            AS min_text_md5
+FROM documents
+GROUP BY lang, source
+"""
+
+
 # rows in registry-insertion order, so every oracle-backed query MUST precede
 # the rows-only (sketch/hash-seeded) entries or it silently loses its hard
 # correctness signal (this dropped the ANN/embedding oracles in round 4).
@@ -1819,6 +1868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "avro_roundtrip_docs": q_avro_roundtrip_docs,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -1880,4 +1930,5 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": SQL_BPE_PAIRS,
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_lsh_topk": SQL_ANN_LSH,
+    "avro_roundtrip_docs": SQL_AVRO_ROUNDTRIP,
 }
