@@ -364,6 +364,107 @@ def start_cdc_multi_table_stream(
     )
 
 
+def start_cdc_catalog_stream(
+    spark: SparkSession,
+    frames_glob: str,
+    catalog_provider,
+    tables_dir: str,
+    checkpoint_dir: str,
+    lineage_dir: str | None = None,
+    key_cols: list[str] | None = None,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 2,
+    maintenance_every: int | None = None,
+    maintenance_groups: int = 4,
+    tombstone_retain_lsn: int | None = None,
+):
+    """Multi-table envelope stream whose ROUTING MAP IS THE CATALOG: before
+    every micro-batch the stream polls ``catalog_provider()`` — a callable
+    returning ``{table_name: information_schema.columns rows}`` — and
+    converges each sink onto it via ``lake.catalog.sync_table_from_catalog``
+    (create when absent, additive evolution when the catalog grew, loud
+    failure on a type change).  The streaming end of the reference's
+    catalog-driven auto-create: ``datalake/datalake_daily_sync.py:268-296``
+    provisions targets from the Glue catalog on a schedule;
+    ``datalake/metadata_snapshot.py:44-79`` get-or-creates from the live
+    Postgres catalog.  Here the "schedule" is every micro-batch — the poll
+    is O(columns) driver-side metadata work, so a new source table starts
+    flowing within one trigger of appearing in the catalog.
+
+    Sinks live at ``<tables_dir>/<table_name>`` (lineage, when enabled, at
+    ``<lineage_dir>/<table_name>``).  Each slice decodes against its sink's
+    STORED schema — a superset of the catalog under the additive-only
+    contract — so a column the catalog dropped keeps decoding (new row
+    images null it, which is the correct complete-image semantics), and a
+    column the catalog just added decodes from this very batch onward.
+
+    Events for tables not (yet) in the catalog are dropped before any heavy
+    parse, exactly as the reference ignores topics absent from its routing
+    map; history from before a table entered the catalog is backfilled with
+    the offline replay path (``cdc.apply.replay_log_batched``), not the
+    stream.  Exactly-once is per sink via each table's own commit manifest,
+    as in ``start_cdc_multi_table_stream`` — a catalog that GROWS between a
+    crash and the restart simply sees the replayed micro-batch apply to the
+    new table and no-op on the old ones."""
+    from ton_etl_spark.cdc.envelope import (
+        KAFKA_FRAME_SCHEMA,
+        ROUTE_COL,
+        parse_cdc_envelope,
+    )
+    from ton_etl_spark.cdc.schema import KEY_COLS
+    from ton_etl_spark.lake.catalog import sync_table_from_catalog
+
+    key_cols = list(key_cols or KEY_COLS)
+
+    frames = (
+        spark.readStream.schema(KAFKA_FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frames_glob)
+    )
+    # stream side extracts ONLY the routing field; no table filter here —
+    # the table set is dynamic, so membership is decided per micro-batch
+    routed = frames.withColumn(
+        ROUTE_COL, F.get_json_object(F.col("value").cast("string"), "$.__table")
+    ).where(F.col(ROUTE_COL).isNotNull())
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        catalog = catalog_provider()
+        batch_df.persist()
+        try:
+            for name in sorted(catalog):
+                root = os.path.join(tables_dir, name)
+                t, _report = sync_table_from_catalog(
+                    spark, root, catalog[name], key_cols=key_cols,
+                    envelope=True, n_buckets=n_buckets,
+                )
+                lin = (
+                    make_lineage_table(spark, os.path.join(lineage_dir, name))
+                    if lineage_dir
+                    else None
+                )
+                sl = parse_cdc_envelope(
+                    batch_df.where(F.col(ROUTE_COL) == name),
+                    payload_schema=t.current().schema,
+                ).persist()
+                try:
+                    apply_cdc_batch(t, sl, epoch=batch_id, lineage=lin)
+                    _run_rolling_maintenance(
+                        t, lin, sl, batch_id,
+                        maintenance_every, maintenance_groups, tombstone_retain_lsn,
+                    )
+                finally:
+                    sl.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        routed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_completion(
     spark: SparkSession,
     log_glob: str,

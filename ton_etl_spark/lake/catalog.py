@@ -139,6 +139,26 @@ def catalog_to_avro_schema(
     return {"namespace": namespace, "type": "record", "name": table_name, "fields": fields}
 
 
+def catalog_to_cdc_payload_schema(
+    columns: Iterable[Mapping[str, Any]], ignore_fields: Iterable[str] = ()
+) -> T.StructType:
+    """Catalog rows -> the sink schema a catalog-described table uses under
+    the CDC merge path: the catalog's payload columns plus the engine
+    envelope (op/lsn/ts_ms), which the wire format carries in the
+    ``__``-meta fields (``cdc.envelope.envelope_schema``).  Envelope names
+    already present in the catalog keep their catalog position."""
+    from ton_etl_spark.cdc.schema import LSN_COL, OP_COL, TS_COL
+
+    base = catalog_to_spark_schema(columns, ignore_fields)
+    have = {f.name for f in base.fields}
+    env = [
+        T.StructField(OP_COL, T.StringType(), True),
+        T.StructField(LSN_COL, T.LongType(), True),
+        T.StructField(TS_COL, T.LongType(), True),
+    ]
+    return T.StructType(list(base.fields) + [f for f in env if f.name not in have])
+
+
 def diff_catalog_schema(
     table_schema: T.StructType, catalog_schema: T.StructType
 ) -> tuple[list[str], list[str]]:
@@ -167,6 +187,7 @@ def sync_table_from_catalog(
     key_cols: list[str],
     ignore_fields: Iterable[str] = (),
     cdc_meta: bool = False,
+    envelope: bool = False,
     commit_key: str | None = None,
     **create_kwargs: Any,
 ) -> tuple[LakeTable, dict]:
@@ -187,8 +208,15 @@ def sync_table_from_catalog(
 
     The default ``commit_key`` is a digest of the catalog column list, so
     re-running the sync against an unchanged catalog — or two schedulers
-    racing the same sync — is idempotent."""
-    catalog_schema = catalog_to_spark_schema(columns, ignore_fields, cdc_meta=cdc_meta)
+    racing the same sync — is idempotent.
+
+    ``envelope=True`` converges onto :func:`catalog_to_cdc_payload_schema`
+    instead (catalog columns + op/lsn/ts_ms) — the shape a sink needs to
+    participate in the LWW merge path (``cdc.stream``)."""
+    if envelope:
+        catalog_schema = catalog_to_cdc_payload_schema(columns, ignore_fields)
+    else:
+        catalog_schema = catalog_to_spark_schema(columns, ignore_fields, cdc_meta=cdc_meta)
     if not LakeTable.exists(root):
         t = LakeTable.get_or_create(
             spark, root, schema=catalog_schema, key_cols=key_cols, **create_kwargs
