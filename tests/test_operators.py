@@ -13,6 +13,7 @@ from ton_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_chunk_bounds,
     simhash_near_dups,
 )
@@ -118,6 +119,34 @@ def test_exact_dedup(spark, docs):
     groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
     assert groups[1] == 2  # docs 1 and 4
     assert groups[2] == 1 and groups[3] == 1 and groups[5] == 1
+
+
+def test_segment_dedup_strips_boilerplate(spark):
+    # 4 docs sharing a 3-word boilerplate prefix (docfreq 4 >= 3); each
+    # also has a unique tail that must survive in original order
+    rows = [(i, f"terms of service body{i} part one tail{i} two") for i in range(4)]
+    rows.append((9, "completely unrelated text here now"))  # no banned segs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in segment_dedup(df, seg_words=3, min_docfreq=3).collect()}
+    for i in range(4):
+        # segments: [terms of service] [bodyI part one] [tailI two]
+        assert out[i]["n_segs"] == 3 and out[i]["n_kept"] == 2
+        assert out[i]["clean_text"] == f"body{i} part one tail{i} two"
+    assert out[9]["n_kept"] == out[9]["n_segs"] == 2
+    assert out[9]["clean_text"] == "completely unrelated text here now"
+
+    # raising the threshold above the corpus docfreq keeps everything
+    keep_all = {
+        r["id"]: r for r in segment_dedup(df, seg_words=3, min_docfreq=5).collect()
+    }
+    assert all(r["n_kept"] == r["n_segs"] for r in keep_all.values())
+
+    # a doc that is ALL boilerplate re-assembles to the empty string
+    all_bp = spark.createDataFrame(
+        [(i, "terms of service") for i in range(3)], "doc_id long, text string"
+    )
+    got = segment_dedup(all_bp, seg_words=3, min_docfreq=3).collect()
+    assert all(r["n_kept"] == 0 and r["clean_text"] == "" for r in got)
 
 
 def test_minhash_lsh_finds_near_dups(spark, docs):

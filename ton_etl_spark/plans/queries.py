@@ -1816,6 +1816,40 @@ GROUP BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# 50. Segment-level (CCNet line-dedup shape) boilerplate removal — strip
+#     every 3-word segment occurring in >= 3 distinct documents, re-emit
+#     the cleaned text.  Hash-gated end to end: the oracle re-derives the
+#     banned set and the re-assembled clean_text string byte-for-byte.
+def q_segment_dedup(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf, "documents")
+    return segment_dedup(docs, seg_words=3, min_docfreq=3)
+
+
+SQL_SEGMENT_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL AND len(text) > 0
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(ws[3*i+1 : least(3*i+3, len(ws))], ' ') AS seg
+  FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS t(i)
+), banned AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT CAST(s.doc_id AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE b.seg IS NULL) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(
+           list(s.seg ORDER BY s.seg_idx) FILTER (WHERE b.seg IS NULL), ' '
+       ), '') AS clean_text
+FROM segs s LEFT JOIN banned b ON s.seg = b.seg
+GROUP BY s.doc_id
+"""
+
+
 # rows in registry-insertion order, so every oracle-backed query MUST precede
 # the rows-only (sketch/hash-seeded) entries or it silently loses its hard
 # correctness signal (this dropped the ANN/embedding oracles in round 4).
@@ -1869,6 +1903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "avro_roundtrip_docs": q_avro_roundtrip_docs,
+    "segment_dedup": q_segment_dedup,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -1931,4 +1966,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_lsh_topk": SQL_ANN_LSH,
     "avro_roundtrip_docs": SQL_AVRO_ROUNDTRIP,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
 }
