@@ -246,3 +246,177 @@ def test_concurrent_appends_rebase_metadata_only(spark, tmp_path):
     assert len(commit_dirs) == n_writers  # data written once per append
     # duplicate-key replay after the races is still a no-op
     assert t.append(spark.createDataFrame([("dup", 0)], schema), commit_key="reb-3") is False
+
+
+def _hooked_publish(loser, interleave):
+    """Wrap ``loser._publish`` so the FIRST call runs ``interleave()``
+    before publishing — a deterministic CAS race (the interleaved commit
+    wins, the hooked writer must rebase or re-derive)."""
+    real = loser._publish
+    state = {"fired": False}
+
+    def hooked(snap):
+        if not state["fired"]:
+            state["fired"] = True
+            interleave()
+        return real(snap)
+
+    loser._publish = hooked
+
+
+def test_disjoint_bucket_replacement_rebases_metadata_only(spark, tmp_path):
+    """A compactor/merge losing the CAS to a commit that touched OTHER
+    buckets re-points its already-written files instead of re-running
+    Spark (partition-scoped conflict validation)."""
+    from ton_etl_spark.lake.table import LakeTable, bucket_of
+
+    schema = spark.createDataFrame([], "k string, v long").schema
+    t1 = LakeTable.create(spark, str(tmp_path / "dj"), schema=schema,
+                          key_cols=["k"], n_buckets=4)
+    rows = [(f"k{i}", i) for i in range(40)]
+    t1.append(spark.createDataFrame(rows, schema), commit_key="seed")
+    by_bucket = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame(rows, schema)
+        .withColumn("b", bucket_of(["k"], 4)).collect()
+    }
+    b_a = by_bucket["k0"]
+    b_b = next(b for b in range(4) if b != b_a)
+
+    t2 = LakeTable.load(spark, t1.root)
+    df_b = t2.read(buckets=[b_b]).withColumn("v", F.col("v") + 1000)
+
+    writes = {"n": 0}
+    real_write = t2._write_commit_files
+
+    def counting_write(*a, **kw):
+        writes["n"] += 1
+        return real_write(*a, **kw)
+
+    t2._write_commit_files = counting_write
+    _hooked_publish(
+        t2,
+        lambda: t1.overwrite_buckets(
+            t1.read(buckets=[b_a]).withColumn("v", F.col("v") + 100),
+            [b_a], commit_key="win-a",
+        ),
+    )
+    assert t2.overwrite_buckets(df_b, [b_b], commit_key="lose-b")
+    assert writes["n"] == 1  # data written exactly once: metadata-only rebase
+    assert t1.current_version() == 3  # seed + winner + rebased loser
+    snap = t1.current()
+    assert snap.has_commit_key("win-a") and snap.has_commit_key("lose-b")
+    got = {r["k"]: r["v"] for r in t1.read().collect()}
+    for k, v in rows:
+        want = v + (100 if by_bucket[k] == b_a else 1000 if by_bucket[k] == b_b else 0)
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_overlapping_bucket_replacement_must_rederive(spark, tmp_path):
+    """If the interleaved commit replaced one of OUR buckets, the surviving
+    rows were computed from stale contents — rebase must refuse."""
+    import pytest
+
+    from ton_etl_spark.lake.table import CommitConflictError, LakeTable
+
+    schema = spark.createDataFrame([], "k string, v long").schema
+    t1 = LakeTable.create(spark, str(tmp_path / "ov"), schema=schema,
+                          key_cols=["k"], n_buckets=4)
+    t1.append(spark.createDataFrame([(f"k{i}", i) for i in range(40)], schema),
+              commit_key="seed")
+    t2 = LakeTable.load(spark, t1.root)
+    df_b = t2.read(buckets=[0, 1]).withColumn("v", F.col("v") + 1000)
+    _hooked_publish(
+        t2,
+        lambda: t1.overwrite_buckets(
+            t1.read(buckets=[1]).withColumn("v", F.col("v") + 100),
+            [1], commit_key="win-a",
+        ),
+    )
+    with pytest.raises(CommitConflictError, match="overlapping bucket"):
+        t2.overwrite_buckets(df_b, [0, 1], commit_key="lose-b")
+    # the winner's state is intact and the loser left no snapshot behind
+    snap = t1.current()
+    assert snap.has_commit_key("win-a") and not snap.has_commit_key("lose-b")
+
+
+def test_schema_divergent_replacement_must_rederive(spark, tmp_path):
+    """An interleaved ADDITIVE schema evolution also blocks the rebase: the
+    replacement's files lack the new column and were derived pre-evolution."""
+    import pytest
+
+    from ton_etl_spark.lake.table import CommitConflictError, LakeTable
+
+    schema = spark.createDataFrame([], "k string, v long").schema
+    wide = spark.createDataFrame([], "k string, v long, extra string").schema
+    t1 = LakeTable.create(spark, str(tmp_path / "sd"), schema=schema,
+                          key_cols=["k"], n_buckets=2)
+    t1.append(spark.createDataFrame([(f"k{i}", i) for i in range(8)], schema),
+              commit_key="seed")
+    t2 = LakeTable.load(spark, t1.root)
+    df_b = t2.read(buckets=[0]).withColumn("v", F.col("v") + 1000)
+    _hooked_publish(
+        t2,
+        lambda: t1.append(
+            spark.createDataFrame([("zz", 99, "new")], wide), commit_key="widen"
+        ),
+    )
+    with pytest.raises(CommitConflictError, match="schema changed"):
+        t2.overwrite_buckets(df_b, [0], commit_key="lose-b")
+
+
+def test_replacement_race_on_same_commit_key_is_idempotent(spark, tmp_path):
+    """If the interleaved winner applied the SAME commit_key (two workers
+    replaying one epoch), the loser reports not-applied instead of
+    double-committing."""
+    from ton_etl_spark.lake.table import LakeTable
+
+    schema = spark.createDataFrame([], "k string, v long").schema
+    t1 = LakeTable.create(spark, str(tmp_path / "ik"), schema=schema,
+                          key_cols=["k"], n_buckets=2)
+    t1.append(spark.createDataFrame([(f"k{i}", i) for i in range(8)], schema),
+              commit_key="seed")
+    t2 = LakeTable.load(spark, t1.root)
+    df = t2.read(buckets=[0]).withColumn("v", F.col("v") + 1000)
+    _hooked_publish(
+        t2,
+        lambda: t1.overwrite_buckets(
+            t1.read(buckets=[0]).withColumn("v", F.col("v") + 1000),
+            [0], commit_key="epoch=7",
+        ),
+    )
+    assert t2.overwrite_buckets(df, [0], commit_key="epoch=7") is False
+    assert t1.current_version() == 2
+
+
+def test_merge_epoch_absorbs_interleaved_compaction(spark, tmp_path):
+    """The production race the rebase exists for: a background compactor
+    commits while a streaming merge epoch is in flight.  The compaction
+    touched none of the epoch's buckets, so the merge re-points its
+    already-written files; final state still equals the one-pass oracle."""
+    from ton_etl_spark.cdc.generator import generate_cdc_log
+    from ton_etl_spark.lake.maintenance import rewrite_buckets
+    from ton_etl_spark.lake.table import bucket_of
+
+    log = generate_cdc_log(spark, 2000, seed=77)
+    t = make_sequences_table(spark, str(tmp_path / "mc"), n_buckets=8)
+    apply_cdc_batch(t, log, epoch=0)
+
+    # epoch 1 touches only the buckets of a handful of keys; compact one
+    # bucket OUTSIDE that set while the merge is between read and publish
+    batch = log.where(F.col("doc_id").isin([r["doc_id"] for r in log.select("doc_id").distinct().limit(5).collect()]))
+    touched = {
+        r["b"]
+        for r in batch.select(bucket_of(["doc_id"], 8).alias("b")).distinct().collect()
+    }
+    other = next(b for b in range(8) if b not in touched)
+    _hooked_publish(
+        t, lambda: rewrite_buckets(t, buckets=[other], commit_key="bg-compact")
+    )
+    res = apply_cdc_batch(t, batch, epoch=1)
+    assert res["applied"]
+    snap = t.current()
+    assert snap.has_commit_key("bg-compact") and snap.has_commit_key("epoch=1")
+    want = [r.asDict() for r in final_state_oracle(log).orderBy("doc_id").collect()]
+    got = [r.asDict() for r in read_state(t).orderBy("doc_id").collect()]
+    assert got == want

@@ -98,6 +98,7 @@ def rebuild_agg_mart(mart: LakeTable, source: LakeTable, to_version: int | None 
         buckets=list(range(msnap.n_buckets)),
         commit_key=commit_key,
         schema=msnap.schema,
+        base_version=msnap.version,
     )
     return {"applied": applied, "from": to_version, "to": to_version, "rebuild": True}
 
@@ -190,7 +191,8 @@ def refresh_agg_mart(
         )
         survivors = merged.where(F.col("n_docs") > 0)
         applied = mart.overwrite_buckets(
-            survivors, buckets, commit_key=commit_key, schema=msnap.schema
+            survivors, buckets, commit_key=commit_key, schema=msnap.schema,
+            base_version=msnap.version,
         )
     finally:
         delta.unpersist()

@@ -41,7 +41,8 @@ def rewrite_buckets(
     df = table.read(buckets=buckets)
     if predicate is not None:
         df = df.where(predicate)
-    ok = table.overwrite_buckets(df, buckets, commit_key=commit_key, schema=snap.schema)
+    ok = table.overwrite_buckets(df, buckets, commit_key=commit_key,
+                                 schema=snap.schema, base_version=snap.version)
     return {"applied": ok, "buckets": buckets}
 
 

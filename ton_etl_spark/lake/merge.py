@@ -208,6 +208,7 @@ def merge_lww(
             commit_key=commit_key,
             schema=target_schema,
             pre_partitioned=True,
+            base_version=snap.version,
         )
         _tlog("merge_write", t0)
     finally:

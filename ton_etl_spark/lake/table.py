@@ -904,13 +904,41 @@ class LakeTable:
         commit_key: str | None = None,
         schema: T.StructType | None = None,
         pre_partitioned: bool = False,
+        max_rebases: int = 4,
+        base_version: int | None = None,
     ) -> bool:
         """Copy-on-write commit: replace all files of ``buckets`` with ``df``
         (which must contain exactly the surviving rows for those buckets).
         This is the write half of MERGE.  Returns False on duplicate
-        commit_key (idempotent replay)."""
-        snap = self.current()
-        if commit_key is not None and snap.has_commit_key(commit_key):
+        commit_key (idempotent replay).
+
+        ``base_version`` is the snapshot version the caller DERIVED ``df``
+        from (merge read the bucket contents there; compaction listed its
+        files there).  Passing it anchors both the CAS and the rebase
+        validation to the true derivation base — without it, a commit
+        landing between the caller's read and this call would pass the CAS
+        and be silently clobbered.  Callers that read and commit in one
+        breath may omit it (the entry-time ``current()`` is then the base).
+
+        Concurrency: losing the CAS to a concurrent writer triggers a
+        METADATA-ONLY rebase — but, unlike ``append`` (whose data files are
+        valid against any base), a bucket replacement's surviving rows were
+        computed FROM the base contents of ``buckets``, so the rebase is
+        legal only when every interleaved commit is provably irrelevant to
+        that computation: it touched none of our replaced buckets, and
+        changed neither the schema nor the bucket layout.  Under those
+        checks the already-written files and manifests re-point onto the
+        new current snapshot unchanged (Iceberg's partition-scoped
+        conflict validation).  Anything else re-raises
+        ``CommitConflictError`` and the caller must re-derive.  This is
+        what lets a background compactor (``lake/maintenance.py``) run
+        against a live streaming merge: the two touch disjoint bucket
+        groups almost always, and the loser re-points instead of
+        re-running Spark."""
+        snap = (
+            self.snapshot(base_version) if base_version is not None else self.current()
+        )
+        if commit_key is not None and self.current().has_commit_key(commit_key):
             return False
         self.check_bucket_fn(snap)
         new_schema = schema if schema is not None else _merge_schemas(snap.schema, df.schema)
@@ -928,26 +956,60 @@ class LakeTable:
         if stray:
             # a row landing outside the replace-set would shadow live data
             raise ValueError(f"overwrite produced rows in unreplaced buckets {stray}")
-        manifests = {b: p for b, p in snap.manifests.items() if b not in bset}
         by_bucket: dict[int, list[DataFile]] = {}
         for f in new_files:
             by_bucket.setdefault(f.bucket, []).append(f)
-        for b, nf in by_bucket.items():
-            manifests[b] = self._write_manifest(b, nf, commit_id)
-        wm, recent = snap.advanced_keys(commit_key)
-        new_snap = Snapshot(
-            version=snap.version + 1,
-            schema_json=json.dumps(new_schema.jsonValue()),
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            manifests=manifests,
-            commit_watermarks=wm,
-            recent_commit_keys=recent,
-            properties=snap.properties,
-        )
-        new_snap._root = self.root
-        self._publish(new_snap)
-        return True
+        new_manifests = {
+            b: self._write_manifest(b, nf, commit_id) for b, nf in by_bucket.items()
+        }
+        base = snap  # the snapshot the surviving rows were derived from
+        for attempt in range(max_rebases + 1):
+            if attempt > 0:
+                snap = self.current()
+                if commit_key is not None and snap.has_commit_key(commit_key):
+                    # another writer applied this very key while we raced
+                    return False
+                # safe-rebase validation: every interleaved commit must be
+                # irrelevant to the replaced buckets' derivation
+                unsafe = None
+                if snap.n_buckets != base.n_buckets or snap.properties.get(
+                    "bucket_fn"
+                ) != base.properties.get("bucket_fn"):
+                    unsafe = "bucket layout changed"
+                elif snap.schema_json != base.schema_json:
+                    unsafe = "schema changed"
+                elif any(
+                    snap.manifests.get(b) != base.manifests.get(b) for b in bset
+                ):
+                    unsafe = "overlapping bucket replaced"
+                if unsafe:
+                    raise CommitConflictError(
+                        f"table {self.root}: bucket replacement planned against "
+                        f"version {base.version} cannot rebase onto "
+                        f"{snap.version} ({unsafe}); re-derive from the new "
+                        "current state"
+                    )
+            manifests = {b: p for b, p in snap.manifests.items() if b not in bset}
+            manifests.update(new_manifests)
+            wm, recent = snap.advanced_keys(commit_key)
+            new_snap = Snapshot(
+                version=snap.version + 1,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                n_buckets=snap.n_buckets,
+                key_cols=snap.key_cols,
+                manifests=manifests,
+                commit_watermarks=wm,
+                recent_commit_keys=recent,
+                properties=snap.properties,
+            )
+            new_snap._root = self.root
+            try:
+                self._publish(new_snap)
+                return True
+            except CommitConflictError:
+                if attempt == max_rebases:
+                    raise
+        raise AssertionError("unreachable")
 
 
 def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
