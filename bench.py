@@ -34,6 +34,7 @@ HEADLINE = [
     "minhash_near_dups",
     "embedding_topk",
     "pack_chunks",
+    "segment_dedup",
     "dup_clusters",
     "dup_clusters_capped",
 ]
