@@ -92,3 +92,31 @@ def test_cli_describe(spark, tmp_path, capsys):
     lo, hi = d["bounds"]["lsn"]
     assert 0 <= lo <= hi
     assert "epoch" in d["commit_watermarks"]
+
+
+def test_cli_export(spark, tmp_path, capsys):
+    import duckdb
+
+    log_root = str(tmp_path / "xlog")
+    write_cdc_log(generate_cdc_log(spark, 800, seed=21), log_root, n_batches=2, dup_pct=0, seed=21)
+    table = str(tmp_path / "xtbl")
+    assert main(["replay", "--log-root", log_root, "--table", table]) == 0
+    capsys.readouterr()
+
+    out = str(tmp_path / "xport")
+    assert main(["export", "--table", table, "--out", out, "--state"]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["cmd"] == "export" and d["version"] >= 1
+
+    # the emitted DuckDB view runs as-is and matches read_state's count
+    from ton_etl_spark.cdc.apply import read_state
+    from ton_etl_spark.lake.table import LakeTable
+
+    con = duckdb.connect()
+    con.execute(open(d["duckdb_view"]).read())
+    view = open(d["duckdb_view"]).read().split()[4]  # CREATE OR REPLACE VIEW <name>
+    n = con.execute(f"SELECT count(*) FROM {view}").fetchone()[0]
+    t = LakeTable.load(spark, table)
+    assert n == read_state(t).count() > 0
+    ddl = open(d["hive_ddl"]).read()
+    assert "SymlinkTextInputFormat" in ddl and os.path.exists(d["manifest"])

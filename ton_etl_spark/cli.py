@@ -199,6 +199,32 @@ def _cmd_oracle_check(args) -> int:
     return 0 if diff == 0 else 1
 
 
+def _cmd_export(args) -> int:
+    from ton_etl_spark.lake.ddl import (
+        duckdb_view_sql,
+        hive_ddl,
+        write_symlink_manifest,
+    )
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    manifest = write_symlink_manifest(t, args.out)
+    name = args.name or os.path.basename(os.path.normpath(args.table))
+    ddl = hive_ddl(t, name, args.location or args.out, state=args.state)
+    ddl_path = os.path.join(args.out, f"{name}.ddl.sql")
+    with open(ddl_path, "w") as fh:
+        fh.write(ddl + "\n")
+    duck_path = os.path.join(args.out, f"{name}.duckdb.sql")
+    with open(duck_path, "w") as fh:
+        fh.write(duckdb_view_sql(t, name, state=args.state) + "\n")
+    print(json.dumps({
+        "cmd": "export", "version": t.current_version(), "manifest": manifest,
+        "hive_ddl": ddl_path, "duckdb_view": duck_path,
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m ton_etl_spark")
     p.add_argument("--master", default=None, help="spark master (default: SPARK_MASTER env or local[*])")
@@ -254,6 +280,21 @@ def build_parser() -> argparse.ArgumentParser:
     de.add_argument("--bounds", action="store_true",
                     help="include global [min, max] per stats column")
     de.set_defaults(fn=_cmd_describe)
+
+    ex = sub.add_parser(
+        "export",
+        help="publish the current snapshot for external engines: symlink "
+        "manifest + Athena/Hive DDL + DuckDB view (lake/ddl.py)",
+    )
+    ex.add_argument("--table", required=True, help="table root")
+    ex.add_argument("--out", required=True,
+                    help="export directory (manifest + DDL files)")
+    ex.add_argument("--name", default=None, help="exported table name")
+    ex.add_argument("--location", default=None,
+                    help="LOCATION for the Hive DDL (default: out dir)")
+    ex.add_argument("--state", action="store_true",
+                    help="add the tombstone filter (match read_state)")
+    ex.set_defaults(fn=_cmd_export)
     return p
 
 
