@@ -420,3 +420,45 @@ def test_merge_epoch_absorbs_interleaved_compaction(spark, tmp_path):
     want = [r.asDict() for r in final_state_oracle(log).orderBy("doc_id").collect()]
     got = [r.asDict() for r in read_state(t).orderBy("doc_id").collect()]
     assert got == want
+
+
+def test_racing_disjoint_replacements_all_commit(spark, tmp_path):
+    """N threads each replacing its OWN bucket concurrently: every commit
+    lands through the internal rebase (no caller retry loop), data files
+    written once per writer."""
+    from ton_etl_spark.lake.table import LakeTable
+
+    schema = spark.createDataFrame([], "k string, v long").schema
+    t = LakeTable.create(spark, str(tmp_path / "race"), schema=schema,
+                         key_cols=["k"], n_buckets=4)
+    t.append(spark.createDataFrame([(f"k{i}", i) for i in range(40)], schema),
+             commit_key="seed")
+    base = t.current_version()
+    errors: list[Exception] = []
+
+    def _replace(b: int) -> None:
+        try:
+            df = t.read(buckets=[b]).withColumn("v", F.col("v") + 1000 * (b + 1))
+            assert t.overwrite_buckets(df, [b], commit_key=f"rw-{b}",
+                                       base_version=base)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=_replace, args=(b,)) for b in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    snap = t.current()
+    assert snap.version == base + 4
+    assert all(snap.has_commit_key(f"rw-{b}") for b in range(4))
+    from ton_etl_spark.lake.table import bucket_of
+
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    buckets = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(f"k{i}", i) for i in range(40)], schema)
+        .withColumn("b", bucket_of(["k"], 4)).collect()
+    }
+    assert got == {f"k{i}": i + 1000 * (buckets[f"k{i}"] + 1) for i in range(40)}

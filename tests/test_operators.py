@@ -1084,3 +1084,42 @@ def test_dup_clusters_capped_refines_uncapped(spark, sf_dir):
         by_comp.setdefault(c, []).append(i)
     for ids in by_comp.values():
         assert len({full[i] for i in ids}) == 1
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta".split()), min_size=1, max_size=12)
+        .map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    seg_words=st.integers(1, 4),
+    min_docfreq=st.integers(2, 4),
+)
+def test_segment_dedup_properties(spark, texts, seg_words, min_docfreq):
+    """Invariants vs a Python reference: per-doc segmentation, corpus
+    docfreq, strip-and-reassemble — exactly the operator's contract."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in segment_dedup(
+            df, seg_words=seg_words, min_docfreq=min_docfreq
+        ).collect()
+    }
+
+    def seg(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i : i + seg_words]) for i in range(0, len(ws), seg_words)]
+
+    docfreq: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        for s in set(seg(t)):
+            docfreq.setdefault(s, set()).add(i)
+    banned = {s for s, d in docfreq.items() if len(d) >= min_docfreq}
+    for i, t in enumerate(texts):
+        segs = seg(t)
+        kept = [s for s in segs if s not in banned]
+        assert got[i]["n_segs"] == len(segs)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["clean_text"] == " ".join(kept)
