@@ -116,3 +116,30 @@ def test_symlink_manifest_and_hive_ddl(spark, tmp_path):
     write_symlink_manifest(t, out)
     relisted = [l for l in open(mpath).read().splitlines() if l]
     assert relisted == current_file_paths(t) and relisted != listed
+
+
+def test_stream_keeps_export_in_lockstep(spark, tmp_path):
+    """`start_cdc_stream(export_dir=…)` refreshes the symlink manifest
+    after every commit: at stream end the export names exactly the final
+    snapshot's files, and a DuckDB reader of the export sees the same
+    state as the engine."""
+    from ton_etl_spark.cdc.generator import write_cdc_log
+    from ton_etl_spark.cdc.stream import run_stream_to_completion
+
+    log_root = str(tmp_path / "log")
+    write_cdc_log(generate_cdc_log(spark, 1200, seed=9), log_root,
+                  n_batches=3, dup_pct=5, seed=9)
+    out = str(tmp_path / "export")
+    t = run_stream_to_completion(
+        spark,
+        os.path.join(log_root, "phase=*/__seq=*"),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        export_dir=out,
+    )
+    listed = [l for l in open(os.path.join(out, "manifest")).read().splitlines() if l]
+    assert listed == current_file_paths(t)
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(t, "vs", state=True))
+    assert con.execute("SELECT count(*) FROM vs").fetchone()[0] == read_state(t).count()

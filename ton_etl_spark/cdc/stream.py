@@ -86,6 +86,7 @@ def start_cdc_stream(
     tombstone_retain_lsn: int | None = None,
     mart_root: str | None = None,
     mart_group_cols: tuple[str, ...] = ("source",),
+    export_dir: str | None = None,
 ):
     """Start (or restart from checkpoint) the streaming tail.
 
@@ -112,7 +113,15 @@ def start_cdc_stream(
     channel: the refresh cursor is recovered from the mart's own commit
     keys (``last_synced_version``), so a crash between the merge and the
     refresh simply widens the next epoch's interval, and a replayed epoch
-    whose merge was a manifest no-op refreshes nothing."""
+    whose merge was a manifest no-op refreshes nothing.
+
+    ``export_dir``: keep an external-engine export (``lake/ddl.py``
+    symlink manifest) in lockstep with the sink — refreshed after every
+    commit, so Athena/DuckDB readers always see the latest published
+    snapshot and never a torn one (the manifest write is an atomic
+    replace).  The reference republishes its Athena tables on an airflow
+    schedule (``datalake/airflow``); here the natural cadence is
+    per-commit, since the refresh is one small metadata file."""
     table = make_sequences_table(spark, table_root, n_buckets=n_buckets)
     lineage = make_lineage_table(spark, lineage_root) if lineage_root else None
 
@@ -177,6 +186,12 @@ def start_cdc_stream(
             maintenance_groups,
             tombstone_retain_lsn,
         )
+        if export_dir is not None:
+            from ton_etl_spark.lake.ddl import write_symlink_manifest
+
+            # re-read the pointer: maintenance may have committed after the
+            # merge; the export must name the latest published snapshot
+            write_symlink_manifest(t, export_dir, version=t.current_version())
 
     query = (
         src.writeStream.foreachBatch(_apply)
