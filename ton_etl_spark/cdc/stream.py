@@ -446,12 +446,25 @@ def start_cdc_catalog_stream(
         catalog = catalog_provider()
         batch_df.persist()
         try:
+            # which tables actually have rows this trigger: one tiny
+            # distinct over the already-extracted route column.  Sink
+            # provisioning/evolution below still converges on the WHOLE
+            # catalog (O(columns) driver-side metadata), but the heavy
+            # decode→merge path runs only for present tables — a catalog
+            # of hundreds of tables must not cost hundreds of no-op Spark
+            # job groups per trigger.
+            present = {
+                r[ROUTE_COL]
+                for r in batch_df.select(ROUTE_COL).distinct().collect()
+            }
             for name in sorted(catalog):
                 root = os.path.join(tables_dir, name)
                 t, _report = sync_table_from_catalog(
                     spark, root, catalog[name], key_cols=key_cols,
                     envelope=True, n_buckets=n_buckets,
                 )
+                if name not in present:
+                    continue
                 lin = (
                     make_lineage_table(spark, os.path.join(lineage_dir, name))
                     if lineage_dir
