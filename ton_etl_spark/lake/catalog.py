@@ -235,7 +235,7 @@ def sync_table_from_catalog(
     if not added:
         return t, {"action": "noop", "added": [], "missing_in_catalog": removed}
 
-    merged = _merge_schemas(snap.schema, catalog_schema)
+    merged = _merge_schemas(snap.schema, catalog_schema, LakeTable._widening(snap))
     if commit_key is None:
         cols_sig = json.dumps([(f.name, f.dataType.simpleString()) for f in merged.fields])
         commit_key = "catalog-sync-" + hashlib.md5(cols_sig.encode()).hexdigest()[:16]

@@ -167,8 +167,10 @@ def merge_lww(
 
     current = table.read(buckets=buckets)
 
-    # align schemas additively (mid-stream new columns appear on the batch side)
-    target_schema = _merge_schemas(snap.schema, batch.schema)
+    # align schemas additively (mid-stream new columns appear on the batch
+    # side); tables that opted into type_widening also take lossless
+    # promotions here (e.g. tokens array<int> -> array<bigint> mid-stream)
+    target_schema = _merge_schemas(snap.schema, batch.schema, table._widening(snap))
     cur = _conform(current, target_schema)
     inc = _conform(batch, target_schema)
 

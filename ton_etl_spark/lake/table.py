@@ -332,21 +332,62 @@ class Snapshot:
         )
 
 
-def _merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
-    """Additive schema union: base columns keep position/type; new incoming
-    columns are appended as nullable.  Type changes are rejected (the
-    reference only ever evolves additively)."""
+# Safe lossless promotion chains (the Iceberg v2 `promote` set, which is
+# also exactly what Spark 4's Parquet readers upcast in place — verified:
+# int32 files read under a bigint/double/array<bigint> schema return the
+# original values, so widening needs NO file rewrite).
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The narrower-to-wider merge of two types, or None when the pair is
+    not on a lossless promotion chain.  Arrays widen element-wise (a
+    per-field promotion, same as Iceberg's nested-field promotion)."""
+    sa, sb = a.simpleString(), b.simpleString()
+    if sa == sb:
+        return a
+    if sa in _INT_RANK and sb in _INT_RANK:
+        return a if _INT_RANK[sa] >= _INT_RANK[sb] else b
+    if {sa, sb} == {"float", "double"}:
+        return T.DoubleType()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType) and a.scale == b.scale:
+        return a if a.precision >= b.precision else b
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        el = _widen_type(a.elementType, b.elementType)
+        if el is not None:
+            return T.ArrayType(el, a.containsNull or b.containsNull)
+    return None
+
+
+def _merge_schemas(
+    base: T.StructType, incoming: T.StructType, allow_widening: bool = False
+) -> T.StructType:
+    """Additive schema union: base columns keep position; new incoming
+    columns are appended as nullable.  Type changes are rejected by
+    default (the reference only ever evolves additively); with
+    ``allow_widening`` (the table's ``type_widening`` property, Iceberg's
+    ``promote``) a column may move UP a lossless chain — tinyint→…→bigint,
+    float→double, decimal precision growth, arrays element-wise — and the
+    merged schema takes the wider side regardless of which side is new
+    (a narrower incoming batch is simply cast up by ``_conform``).
+    Lossy changes (string→int, bigint→int as the *merged* result, scale
+    changes) still fail loudly."""
     base_names = {f.name: f for f in base.fields}
     out = list(base.fields)
     for f in incoming.fields:
         if f.name in base_names:
             # nullability differences (e.g. parquet round-trip relaxing
             # containsNull) are not evolution; compare erased types only
-            if f.dataType.simpleString() != base_names[f.name].dataType.simpleString():
-                raise ValueError(
-                    f"incompatible evolution for column {f.name}: "
-                    f"{base_names[f.name].dataType} -> {f.dataType}"
-                )
+            bf = base_names[f.name]
+            if f.dataType.simpleString() != bf.dataType.simpleString():
+                wide = _widen_type(bf.dataType, f.dataType) if allow_widening else None
+                if wide is None:
+                    raise ValueError(
+                        f"incompatible evolution for column {f.name}: "
+                        f"{bf.dataType} -> {f.dataType}"
+                    )
+                if wide.simpleString() != bf.dataType.simpleString():
+                    out[out.index(bf)] = T.StructField(f.name, wide, True)
         else:
             out.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(out)
@@ -380,6 +421,7 @@ class LakeTable:
         target_file_rows: int | None = None,
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        type_widening: bool = False,
     ) -> "LakeTable":
         """``target_file_rows``: when set, every commit splits each bucket's
         output at this row count (``maxRecordsPerFile``) instead of writing
@@ -402,12 +444,22 @@ class LakeTable:
         exchange, so the zero-shuffle merge path keeps its plan).  Combined
         with ``target_file_rows`` the files of a bucket get tight, mostly
         disjoint ``stats_cols`` ranges, which is what makes skipping
-        effective (the Iceberg write-order / clustering role)."""
+        effective (the Iceberg write-order / clustering role).
+
+        ``type_widening``: opt in to lossless type promotion on evolution
+        (int→…→bigint, float→double, decimal precision, arrays
+        element-wise — the Iceberg ``promote`` set).  Off by default: the
+        reference evolves additively only, and the per-row token-array
+        equality contract is easiest to audit when types are frozen.  No
+        file rewrite on widen — Spark 4's Parquet readers upcast old
+        narrow files under the widened read schema in place."""
         t = cls(spark, root)
         os.makedirs(t._meta, exist_ok=True)
         os.makedirs(os.path.join(t.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.root, DATA_DIR), exist_ok=True)
         props = {**(properties or {}), "bucket_fn": BUCKET_FN_ID}
+        if type_widening:
+            props["type_widening"] = "true"
         if target_file_rows is not None:
             if target_file_rows <= 0:
                 raise ValueError("target_file_rows must be positive")
@@ -569,6 +621,10 @@ class LakeTable:
     def _prop_cols(snap: Snapshot, prop: str) -> list[str]:
         v = snap.properties.get(prop)
         return [c for c in v.split(",") if c] if v else []
+
+    @staticmethod
+    def _widening(snap: Snapshot) -> bool:
+        return snap.properties.get("type_widening", "").lower() in ("1", "true")
 
     def _session_tz_bounds(
         self, where: dict[str, tuple[Any, Any]]
@@ -852,7 +908,7 @@ class LakeTable:
         if commit_key is not None and snap.has_commit_key(commit_key):
             return False
         self.check_bucket_fn(snap)
-        schema = _merge_schemas(snap.schema, df.schema)
+        schema = _merge_schemas(snap.schema, df.schema, self._widening(snap))
         df = _conform(df, schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
         new_files = self._write_commit_files(
@@ -870,7 +926,7 @@ class LakeTable:
                 if commit_key is not None and snap.has_commit_key(commit_key):
                     # another writer applied this very key while we raced
                     return False
-                schema = _merge_schemas(snap.schema, schema)
+                schema = _merge_schemas(snap.schema, schema, self._widening(snap))
             manifests = dict(snap.manifests)
             for b, nf in by_bucket.items():
                 old = snap.files_for([b]) if b in manifests else []
@@ -941,7 +997,11 @@ class LakeTable:
         if commit_key is not None and self.current().has_commit_key(commit_key):
             return False
         self.check_bucket_fn(snap)
-        new_schema = schema if schema is not None else _merge_schemas(snap.schema, df.schema)
+        new_schema = (
+            schema
+            if schema is not None
+            else _merge_schemas(snap.schema, df.schema, self._widening(snap))
+        )
         df = _conform(df, new_schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
         new_files = self._write_commit_files(
