@@ -138,6 +138,56 @@ def test_sync_dropped_column_kept_with_warning(spark, tmp_path, caplog):
 def test_diff_reports_added_and_removed():
     a = catalog_to_spark_schema(MESSAGES_CATALOG[:5])
     b = catalog_to_spark_schema(MESSAGES_CATALOG[2:])
-    added, removed = diff_catalog_schema(a, b)
+    added, removed, widened = diff_catalog_schema(a, b)
     assert added == ["fwd_fee", "comment", "direction", "extra"]
     assert removed == ["msg_hash", "source"]
+    assert widened == []
+
+
+def test_sync_widens_type_on_opted_in_table(spark, tmp_path):
+    """A source-side column promotion (opcode integer -> bigint) converges
+    through sync when the table opted into type_widening: one metadata
+    commit, report lists the widened column, pre-widen rows read upcast."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    t, _ = sync_table_from_catalog(
+        spark, root, MESSAGES_CATALOG, key_cols=["msg_hash"], type_widening=True
+    )
+    t.append(spark.createDataFrame(
+        [Row(msg_hash="m1", opcode=7)],
+        "msg_hash string, opcode int",
+    ))
+    mutated = [dict(r) for r in MESSAGES_CATALOG]
+    mutated[3]["data_type"] = "bigint"  # opcode: integer -> bigint
+    t2, rep = sync_table_from_catalog(spark, root, mutated, key_cols=["msg_hash"])
+    assert rep["action"] == "evolved" and rep["widened"] == ["opcode"]
+    assert t2.current().schema["opcode"].dataType.simpleString() == "bigint"
+    got = {r["msg_hash"]: r["opcode"] for r in t2.read().collect()}
+    assert got == {"m1": 7}
+    # idempotent: the same catalog again is a noop
+    _, rep2 = sync_table_from_catalog(spark, root, mutated, key_cols=["msg_hash"])
+    assert rep2["action"] == "noop"
+
+
+def test_sync_narrower_catalog_is_noop_when_widening(spark, tmp_path):
+    """Catalog says int but the table already widened to bigint: nothing to
+    publish — the stored wider type absorbs narrow source rows."""
+    root = str(tmp_path / "tbl")
+    mutated = [dict(r) for r in MESSAGES_CATALOG]
+    mutated[3]["data_type"] = "bigint"
+    sync_table_from_catalog(
+        spark, root, mutated, key_cols=["msg_hash"], type_widening=True
+    )
+    t, rep = sync_table_from_catalog(spark, root, MESSAGES_CATALOG, key_cols=["msg_hash"])
+    assert rep["action"] == "noop"
+    assert t.current().schema["opcode"].dataType.simpleString() == "bigint"
+
+
+def test_sync_type_change_still_rejected_without_opt_in(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sync_table_from_catalog(spark, root, MESSAGES_CATALOG, key_cols=["msg_hash"])
+    mutated = [dict(r) for r in MESSAGES_CATALOG]
+    mutated[3]["data_type"] = "bigint"
+    with pytest.raises(ValueError, match="opcode"):
+        sync_table_from_catalog(spark, root, mutated, key_cols=["msg_hash"])

@@ -39,7 +39,7 @@ from typing import Any, Iterable, Mapping
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from ton_etl_spark.lake.table import LakeTable, _merge_schemas
+from ton_etl_spark.lake.table import LakeTable, _merge_schemas, _widen_type
 
 _LOG = logging.getLogger(__name__)
 
@@ -160,24 +160,35 @@ def catalog_to_cdc_payload_schema(
 
 
 def diff_catalog_schema(
-    table_schema: T.StructType, catalog_schema: T.StructType
-) -> tuple[list[str], list[str]]:
-    """(columns the catalog added, columns the catalog no longer has).
-    Raises on a type change — the one evolution the additive contract
-    cannot absorb, surfaced here BEFORE any commit is attempted."""
+    table_schema: T.StructType,
+    catalog_schema: T.StructType,
+    allow_widening: bool = False,
+) -> tuple[list[str], list[str], list[str]]:
+    """(columns the catalog added, columns the catalog no longer has,
+    columns whose type the catalog widened).  Raises on a type change the
+    contract cannot absorb: any change by default; with ``allow_widening``
+    (the table's ``type_widening`` property) a lossless promotion of the
+    stored type is reported in ``widened`` instead, and a catalog type
+    NARROWER than the stored one is a no-op (the table already holds the
+    wider type; narrow source rows cast up on write).  Surfaced here
+    BEFORE any commit is attempted."""
     have = {f.name: f for f in table_schema.fields}
-    added, removed = [], []
+    added, widened = [], []
     for f in catalog_schema.fields:
         if f.name not in have:
             added.append(f.name)
         elif f.dataType.simpleString() != have[f.name].dataType.simpleString():
-            raise ValueError(
-                f"incompatible catalog evolution for column {f.name}: "
-                f"table has {have[f.name].dataType}, catalog says {f.dataType}"
-            )
+            wide = _widen_type(have[f.name].dataType, f.dataType) if allow_widening else None
+            if wide is None:
+                raise ValueError(
+                    f"incompatible catalog evolution for column {f.name}: "
+                    f"table has {have[f.name].dataType}, catalog says {f.dataType}"
+                )
+            if wide.simpleString() != have[f.name].dataType.simpleString():
+                widened.append(f.name)
     cat_names = {f.name for f in catalog_schema.fields}
     removed = [f.name for f in table_schema.fields if f.name not in cat_names]
-    return added, removed
+    return added, removed, widened
 
 
 def sync_table_from_catalog(
@@ -204,7 +215,10 @@ def sync_table_from_catalog(
       schema; existing files are untouched and read back null-filled.
     - catalog shrank-> warning only; the lake keeps history the source
       dropped (additive-only, same as ``_merge_schemas``).
-    - type change   -> ValueError before anything is written.
+    - type change   -> ValueError before anything is written — unless the
+      table opted into ``type_widening`` and the change is a lossless
+      promotion, which commits like a growth (report key ``widened``;
+      old narrow files upcast at read, no rewrite).
 
     The default ``commit_key`` is a digest of the catalog column list, so
     re-running the sync against an unchanged catalog — or two schedulers
@@ -222,22 +236,25 @@ def sync_table_from_catalog(
             spark, root, schema=catalog_schema, key_cols=key_cols, **create_kwargs
         )
         return t, {"action": "created", "added": [f.name for f in catalog_schema.fields],
-                   "missing_in_catalog": []}
+                   "missing_in_catalog": [], "widened": []}
 
     t = LakeTable.load(spark, root)
     snap = t.current()
-    added, removed = diff_catalog_schema(snap.schema, catalog_schema)
+    widening = LakeTable._widening(snap)
+    added, removed, widened = diff_catalog_schema(snap.schema, catalog_schema, widening)
     if removed:
         _LOG.warning(
             "catalog sync %s: columns %s no longer in catalog; kept (additive-only)",
             root, removed,
         )
-    if not added:
-        return t, {"action": "noop", "added": [], "missing_in_catalog": removed}
+    if not added and not widened:
+        return t, {"action": "noop", "added": [], "missing_in_catalog": removed,
+                   "widened": []}
 
-    merged = _merge_schemas(snap.schema, catalog_schema, LakeTable._widening(snap))
+    merged = _merge_schemas(snap.schema, catalog_schema, widening)
     if commit_key is None:
         cols_sig = json.dumps([(f.name, f.dataType.simpleString()) for f in merged.fields])
         commit_key = "catalog-sync-" + hashlib.md5(cols_sig.encode()).hexdigest()[:16]
     t.append(spark.createDataFrame([], merged), commit_key=commit_key)
-    return t, {"action": "evolved", "added": added, "missing_in_catalog": removed}
+    return t, {"action": "evolved", "added": added, "missing_in_catalog": removed,
+               "widened": widened}
