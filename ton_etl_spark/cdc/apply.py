@@ -50,7 +50,10 @@ def final_state_oracle(events: DataFrame) -> DataFrame:
 
 
 def read_state(
-    table: LakeTable, lsn_range: tuple[int | None, int | None] | None = None
+    table: LakeTable,
+    lsn_range: tuple[int | None, int | None] | None = None,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Consumer view of a sequences table: live rows only (tombstones are
     retained in storage for out-of-order protection; see lake/merge.py).
@@ -59,9 +62,12 @@ def read_state(
     the inclusive range — with the table's default ``stats_cols=['lsn']``
     the probe skips files at manifest level, so an incremental consumer
     ("give me keys changed since LSN x") reads O(matching files), not the
-    full 100 TB state."""
+    full 100 TB state.
+
+    ``version``/``tag`` time-travel the view (``tag`` = a named pinned
+    snapshot, e.g. the exact training set of a past run)."""
     where = {LSN_COL: lsn_range} if lsn_range is not None else None
-    return table.read(where=where).where(F.col(OP_COL) != "d")
+    return table.read(where=where, version=version, tag=tag).where(F.col(OP_COL) != "d")
 
 
 def make_sequences_table(

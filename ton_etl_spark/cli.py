@@ -165,6 +165,7 @@ def _cmd_describe(args) -> int:
             round(sum(1 for f in files if f.stats) / len(files), 4) if files else None
         ),
         "commit_watermarks": snap.commit_watermarks,
+        "tags": t.tags(),
     }
     if args.bounds and stats_cols:
         bounds = {}
@@ -197,6 +198,22 @@ def _cmd_oracle_check(args) -> int:
     print(json.dumps({"cmd": "oracle-check", "rows": got.count(), "diff_rows": diff,
                       "equal": diff == 0}))
     return 0 if diff == 0 else 1
+
+
+def _cmd_tag(args) -> int:
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    out = {"cmd": "tag", "root": t.root}
+    if args.set is not None:
+        out["set"] = args.set
+        out["version"] = t.tag(args.set, version=args.version, replace=args.replace)
+    if args.delete is not None:
+        out["deleted"] = args.delete if t.delete_tag(args.delete) else None
+    out["tags"] = t.tags()
+    print(json.dumps(out))
+    return 0
 
 
 def _cmd_export(args) -> int:
@@ -295,6 +312,20 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--state", action="store_true",
                     help="add the tombstone filter (match read_state)")
     ex.set_defaults(fn=_cmd_export)
+
+    tg = sub.add_parser(
+        "tag",
+        help="named snapshot refs: pin/move/delete/list (tagged versions "
+        "are retained by maintain --expire-keep-last)",
+    )
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--set", metavar="NAME", default=None,
+                    help="create NAME at --version (default: current)")
+    tg.add_argument("--version", type=int, default=None)
+    tg.add_argument("--replace", action="store_true",
+                    help="allow --set to move an existing tag")
+    tg.add_argument("--delete", metavar="NAME", default=None)
+    tg.set_defaults(fn=_cmd_tag)
     return p
 
 

@@ -185,7 +185,10 @@ def expire_snapshots(
     versions and any data file no kept snapshot references.  Time-travel
     reads to expired versions stop working (same contract as Iceberg
     ``expire_snapshots``); the commit-key history of the CURRENT snapshot
-    is untouched, so batch idempotency is preserved.
+    is untouched, so batch idempotency is preserved.  TAGGED versions are
+    always kept (Iceberg tag retention): a tag pins the exact dataset a
+    training run consumed, so retention can never collect it — delete the
+    tag to release it.
 
     ``grace_seconds``: files younger than this are never deleted even when
     unreferenced.  A concurrent commit writes its data files and manifest
@@ -198,6 +201,7 @@ def expire_snapshots(
 
     cur = table.current_version()
     keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+    keep_versions.update(table.tags().values())
     referenced: set[str] = set()
     referenced_manifests: set[str] = set()
     for v in keep_versions:

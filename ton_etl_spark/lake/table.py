@@ -566,6 +566,73 @@ class LakeTable:
         snap._root = self.root
         return snap
 
+    # ------------------------------------------------------------------ tags
+    # Named immutable refs to snapshot versions (the Iceberg tag role).
+    # The training-data use: tag the snapshot a model trained on
+    # ("run-2026-08-17") and the exact dataset stays reproducible — tagged
+    # versions are PINNED against expire_snapshots, so the files survive
+    # retention however far current() advances.
+
+    _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+    def _tag_path(self, name: str) -> str:
+        if not self._TAG_RE.match(name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        return os.path.join(self._meta, "tags", f"{name}.json")
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Pin ``version`` (default: current) under ``name``.  Creation is
+        O_EXCL-atomic: two writers racing the same fresh name get exactly
+        one winner, same contract as the snapshot CAS.  ``replace=True``
+        moves an existing tag atomically instead."""
+        v = self.current_version() if version is None else int(version)
+        self.snapshot(v)  # raises if the version does not exist
+        path = self._tag_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = json.dumps({"version": v})
+        if replace:
+            tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+        else:
+            try:
+                with open(path, "x") as fh:
+                    fh.write(payload)
+            except FileExistsError:
+                raise ValueError(
+                    f"tag {name!r} already exists (at v{self.resolve_tag(name)}); "
+                    "pass replace=True to move it"
+                ) from None
+        return v
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self._meta, "tags")
+        out: dict[str, int] = {}
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".json") and not fn.startswith("."):
+                    with open(os.path.join(d, fn)) as fh:
+                        out[fn[: -len(".json")]] = int(json.load(fh)["version"])
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        path = self._tag_path(name)
+        try:
+            with open(path) as fh:
+                return int(json.load(fh)["version"])
+        except FileNotFoundError:
+            raise KeyError(f"no such tag: {name!r}") from None
+
+    def delete_tag(self, name: str) -> bool:
+        """Drop the ref (the pinned snapshot becomes expirable again).
+        Returns False when the tag did not exist."""
+        try:
+            os.unlink(self._tag_path(name))
+            return True
+        except FileNotFoundError:
+            return False
+
     def _publish(self, snap: Snapshot) -> None:
         """Compare-and-swap publish: write snapshot JSON, then atomically
         flip the ``_current`` pointer — but ONLY if the pointer still reads
@@ -697,6 +764,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         where: dict[str, tuple[Any, Any]] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Scan the table at a snapshot.  ``buckets`` prunes at file level —
         only the Parquet files registered for those buckets are opened.
@@ -709,7 +777,14 @@ class LakeTable:
         to the returned DataFrame, so results are exact whether or not a
         file carries bounds: skipping is an I/O optimization, the residual
         filter is the truth (and Parquet row-group pushdown still applies
-        inside the files that survive)."""
+        inside the files that survive).
+
+        ``tag``: read at a named ref instead of a numeric version (the
+        reproducible-training-set path — see :meth:`tag`)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         snap = self.snapshot(version) if version is not None else self.current()
         if buckets is not None:
             # pruning correctness depends on the bucket hash matching
