@@ -75,6 +75,7 @@ def make_sequences_table(
     target_file_rows: int | None = None,
     stats_cols: list[str] | None = None,
     sort_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> LakeTable:
     from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
 
@@ -94,7 +95,7 @@ def make_sequences_table(
     return LakeTable.get_or_create(
         spark, root, schema=CDC_EVENT_SCHEMA, key_cols=KEY_COLS,
         n_buckets=n_buckets, target_file_rows=target_file_rows,
-        stats_cols=stats_cols, sort_cols=sort_cols,
+        stats_cols=stats_cols, sort_cols=sort_cols, bloom_cols=bloom_cols,
     )
 
 

@@ -422,6 +422,7 @@ class LakeTable:
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
         type_widening: bool = False,
+        bloom_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``target_file_rows``: when set, every commit splits each bucket's
         output at this row count (``maxRecordsPerFile``) instead of writing
@@ -446,6 +447,19 @@ class LakeTable:
         disjoint ``stats_cols`` ranges, which is what makes skipping
         effective (the Iceberg write-order / clustering role).
 
+        ``bloom_cols``: write a Parquet bloom filter for these columns into
+        every data file.  min/max bounds cannot prune an EQUALITY probe on
+        a high-cardinality, un-clustered column (every file of a bucket
+        spans the full doc_id range, so a point lookup otherwise decodes
+        every row group of the key's bucket); the bloom lets the reader
+        drop whole row groups from footer metadata alone — Spark's Parquet
+        scan applies bloom-level row-group filtering for pushed-down ``=``
+        and ``IN`` predicates by default (``parquet.filter.bloom.enabled``).
+        Blooms are sized from ``target_file_rows`` (an upper bound on
+        per-file NDV) when set, else parquet-mr's default cap applies.
+        Cost is write-side CPU plus ~1%% file size; pick the column(s) a
+        serving/point-lookup path actually probes (typically the key).
+
         ``type_widening``: opt in to lossless type promotion on evolution
         (int→…→bigint, float→double, decimal precision, arrays
         element-wise — the Iceberg ``promote`` set).  Off by default: the
@@ -465,7 +479,11 @@ class LakeTable:
                 raise ValueError("target_file_rows must be positive")
             props["target_file_rows"] = str(int(target_file_rows))
         field_names = {f.name for f in schema.fields}
-        for prop, cols in (("stats_cols", stats_cols), ("sort_cols", sort_cols)):
+        for prop, cols in (
+            ("stats_cols", stats_cols),
+            ("sort_cols", sort_cols),
+            ("bloom_cols", bloom_cols),
+        ):
             if cols:
                 unknown = sorted(set(cols) - field_names)
                 if unknown:
@@ -522,7 +540,7 @@ class LakeTable:
             if asked - stored:  # additive evolution makes extra stored cols fine
                 want["schema_fields"] = sorted(asked)
                 have["schema_fields"] = sorted(stored)
-        for prop in ("stats_cols", "sort_cols"):
+        for prop in ("stats_cols", "sort_cols", "bloom_cols"):
             if kw.get(prop):
                 asked_s = ",".join(kw[prop])
                 if props.get(prop, "") != asked_s:
@@ -858,6 +876,7 @@ class LakeTable:
         target_file_rows: int | None = None,
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> list[DataFile]:
         """Write ``df`` as one directory tree partitioned by bucket; return the
         produced files tagged with their bucket.  One output file per bucket
@@ -896,6 +915,15 @@ class LakeTable:
         writer = out.write.mode("overwrite")
         if target_file_rows is not None:
             writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+        for c in bloom_cols or ():
+            # per-column parquet-mr bloom; NDV bounded by the file row cap
+            # when known, so the filter is sized instead of defaulting to
+            # the max-bytes cap
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if target_file_rows is not None:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", int(target_file_rows)
+                )
         writer.partitionBy(BUCKET_COL).parquet(commit_abs)
         # stat the produced files with a thread pool: footer opens are
         # ~ms each but serial over n_buckets files they add up to a fixed
@@ -991,6 +1019,7 @@ class LakeTable:
             target_file_rows=self._target_file_rows(snap),
             stats_cols=self._prop_cols(snap, "stats_cols"),
             sort_cols=self._prop_cols(snap, "sort_cols"),
+            bloom_cols=self._prop_cols(snap, "bloom_cols"),
         )
         by_bucket: dict[int, list[DataFile]] = {}
         for f in new_files:
@@ -1085,6 +1114,7 @@ class LakeTable:
             target_file_rows=self._target_file_rows(snap),
             stats_cols=self._prop_cols(snap, "stats_cols"),
             sort_cols=self._prop_cols(snap, "sort_cols"),
+            bloom_cols=self._prop_cols(snap, "bloom_cols"),
         )
         bset = set(buckets)
         stray = sorted({f.bucket for f in new_files} - bset)
