@@ -143,3 +143,33 @@ def test_stream_keeps_export_in_lockstep(spark, tmp_path):
     con = duckdb.connect()
     con.execute(duckdb_view_sql(t, "vs", state=True))
     assert con.execute("SELECT count(*) FROM vs").fetchone()[0] == read_state(t).count()
+
+
+def test_duckdb_view_unifies_widened_files(spark, tmp_path):
+    """Type-widened table = int32 files and int64 files side by side; the
+    exported view must read both with exact values (union_by_name unifies
+    numeric widths the same way the engine's widened read schema does)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "w"), schema=schema,
+                         key_cols=["doc_id"], n_buckets=2, type_widening=True)
+    t.append(spark.createDataFrame([("a", [1, 2], 2)], schema))
+    wide = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.LongType())),
+        T.StructField("n_tok", T.LongType()),
+    ])
+    big = 2**40
+    t.append(spark.createDataFrame([("b", [big], 1)], wide))
+
+    got = _duck_pdf(duckdb_view_sql(t, "vw"), "vw", ["doc_id"])
+    assert [list(x) for x in got["tokens"]] == [[1, 2], [big]]
+    assert list(got["n_tok"]) == [2, 1]
+    # engine read agrees (same files, widened snapshot schema)
+    want = _spark_pdf(t.read(), ["doc_id"])
+    assert [list(x) for x in want["tokens"]] == [[1, 2], [big]]
