@@ -225,3 +225,69 @@ def test_catalog_type_change_fails_loudly_before_commit(spark, tmp_path):
     assert (
         LakeTable.load(spark, str(tmp_path / "tables" / "seq")).current_version() == v0
     )
+
+
+def test_catalog_type_promotion_converges_mid_stream(spark, tmp_path):
+    """The catalog widens a column (integer -> bigint) between micro-batches
+    and the very next frames carry values beyond int32.  With sinks opted
+    into type_widening (table_kwargs), the sync publishes the wide schema
+    BEFORE the batch decodes, so those frames parse against bigint and LWW
+    holds across the boundary — final state equals the full-log oracle with
+    exact values."""
+    num_catalog_int = [
+        {"column_name": "doc_id", "data_type": "text", "ordinal_position": 1},
+        {"column_name": "n", "data_type": "integer", "ordinal_position": 2},
+    ]
+    num_catalog_big = [dict(c) for c in num_catalog_int]
+    num_catalog_big[1]["data_type"] = "bigint"
+
+    sch_int = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+    sch_long = T.StructType(sch_int.fields[:-1] + [T.StructField("n", T.LongType())])
+
+    log0 = spark.createDataFrame(
+        [(f"d{i % 20}", "c", i + 1, i + 1, i * 100) for i in range(60)], sch_int
+    )
+    big = 2**40
+    log1 = spark.createDataFrame(
+        [(f"d{i % 20}", "u", 61 + i, 61 + i, big + i) for i in range(30)], sch_long
+    )
+    frames_dir = str(tmp_path / "frames")
+    to_kafka_frames(log0, table="nums").coalesce(1).write.parquet(
+        os.path.join(frames_dir, "b0")
+    )
+    to_kafka_frames(log1, table="nums").coalesce(1).write.parquet(
+        os.path.join(frames_dir, "b1")
+    )
+
+    calls = {"n": 0}
+
+    def provider():
+        calls["n"] += 1
+        return {"nums": num_catalog_int if calls["n"] == 1 else num_catalog_big}
+
+    q = start_cdc_catalog_stream(
+        spark,
+        frames_glob=os.path.join(frames_dir, "*"),
+        catalog_provider=provider,
+        tables_dir=str(tmp_path / "tables"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        table_kwargs={"type_widening": True},
+    )
+    q.awaitTermination()
+
+    t = LakeTable.load(spark, str(tmp_path / "tables" / "nums"))
+    assert t.current().schema["n"].dataType.simpleString() == "bigint"
+    full_log = log0.withColumn("n", F.col("n").cast("long")).unionByName(log1)
+    got = _rows(read_state(t))
+    want = _rows(final_state_oracle(full_log))
+    assert got == want
+    # the post-widen winners carry exact >int32 values
+    assert all(r["n"] >= big for r in got if r["lsn"] > 60)
+    assert any(r["n"] >= big for r in got)

@@ -392,13 +392,18 @@ def start_cdc_catalog_stream(
     maintenance_every: int | None = None,
     maintenance_groups: int = 4,
     tombstone_retain_lsn: int | None = None,
+    table_kwargs: dict | None = None,
 ):
     """Multi-table envelope stream whose ROUTING MAP IS THE CATALOG: before
     every micro-batch the stream polls ``catalog_provider()`` — a callable
     returning ``{table_name: information_schema.columns rows}`` — and
     converges each sink onto it via ``lake.catalog.sync_table_from_catalog``
     (create when absent, additive evolution when the catalog grew, loud
-    failure on a type change).  The streaming end of the reference's
+    failure on a type change — unless the sinks opt into ``type_widening``
+    via ``table_kwargs``, in which case a lossless catalog promotion
+    converges mid-stream: the widened schema publishes BEFORE the batch
+    decodes, so the very frames that carry the first out-of-range values
+    parse against the wide type).  The streaming end of the reference's
     catalog-driven auto-create: ``datalake/datalake_daily_sync.py:268-296``
     provisions targets from the Glue catalog on a schedule;
     ``datalake/metadata_snapshot.py:44-79`` get-or-creates from the live
@@ -462,6 +467,7 @@ def start_cdc_catalog_stream(
                 t, _report = sync_table_from_catalog(
                     spark, root, catalog[name], key_cols=key_cols,
                     envelope=True, n_buckets=n_buckets,
+                    **(table_kwargs or {}),
                 )
                 if name not in present:
                     continue

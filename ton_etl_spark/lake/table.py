@@ -550,6 +550,9 @@ class LakeTable:
             if props.get("target_file_rows") != asked_r:
                 want["target_file_rows"] = asked_r
                 have["target_file_rows"] = props.get("target_file_rows")
+        if kw.get("type_widening") and not self._widening(snap):
+            want["type_widening"] = "true"
+            have["type_widening"] = props.get("type_widening")
         if want:
             _LOG.warning(
                 "get_or_create(%s): table exists; requested settings differ from "
