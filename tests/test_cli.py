@@ -120,3 +120,56 @@ def test_cli_export(spark, tmp_path, capsys):
     assert n == read_state(t).count() > 0
     ddl = open(d["hive_ddl"]).read()
     assert "SymlinkTextInputFormat" in ddl and os.path.exists(d["manifest"])
+
+
+def test_cli_metrics_oneshot_and_serve(spark, tmp_path, capsys):
+    """`metrics` = the reference's standalone prometheus_exporter process
+    (prometheus_exporter/main.py): one-shot exposition print, then an HTTP
+    /metrics server that re-reads the lake table between scrapes."""
+    import urllib.request
+
+    from ton_etl_spark.streaming.observability import make_metrics_table
+
+    root = str(tmp_path / "metrics")
+    m = make_metrics_table(spark, root)
+    rows = [
+        ("q", "r", 0, "2026-01-01T00:00:00.000Z", 500, 1000, 800, None, None, None),
+        ("q", "r", 1, "2026-01-01T00:00:05.000Z", 1500, 2000, 1500, None, None, None),
+    ]
+    m.append(spark.createDataFrame(rows, m.current().schema), commit_key="seed")
+
+    assert main(["metrics", "--metrics-root", root]) == 0
+    text = capsys.readouterr().out
+    assert "ton_etl_ingest_rows_total 2000" in text
+    assert "# TYPE ton_etl_ingest_rows_per_sec gauge" in text
+
+    # serve mode: scrape over HTTP, then stop after the bounded refreshes
+    import threading
+
+    rc = {}
+
+    def run():
+        rc["v"] = main([
+            "metrics", "--metrics-root", root, "--serve", "0",
+            "--refresh", "0.2", "--max-refreshes", "2",
+        ])
+
+    th = threading.Thread(target=run)
+    th.start()
+    # the port line is printed before the refresh loop starts
+    import time
+
+    port = None
+    for _ in range(100):
+        out = capsys.readouterr().out
+        for line in out.splitlines():
+            if line.startswith("{"):
+                port = json.loads(line)["port"]
+        if port:
+            break
+        time.sleep(0.05)
+    assert port
+    body = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
+    assert "ton_etl_ingest_rows_total 2000" in body
+    th.join(timeout=30)
+    assert not th.is_alive() and rc["v"] == 0

@@ -14,6 +14,11 @@ entry points; `python -m ton_etl_spark <cmd>` provides them:
                 table state (the operational replay-equality check)
   describe      table metadata: version, layout, file counts, stats
                 coverage and optional per-column [min, max] bounds
+  export        symlink manifest + Hive DDL + DuckDB view of a snapshot
+  tag           named snapshot refs (pin/move/delete/list)
+  metrics       Prometheus exposition of ingest gauges (one-shot print
+                or an HTTP /metrics server — the prometheus_exporter
+                process analog)
 
 Every command builds its session via ``session.get_spark`` (honors
 ``SPARK_MASTER`` env; local[*] default) — under spark-submit the master
@@ -242,6 +247,48 @@ def _cmd_export(args) -> int:
     return 0
 
 
+def _cmd_metrics(args) -> int:
+    """Prometheus exposition over the observability metrics table — the
+    reference's standalone exporter process (``prometheus_exporter/
+    main.py:15-110``) re-expressed over the lake instead of a Kafka
+    consumer: gauges recompute as Spark aggregations per refresh and only
+    gauge scalars reach the driver."""
+    import time
+
+    from ton_etl_spark.lake.table import LakeTable
+    from ton_etl_spark.streaming.exporter import (
+        GaugeRegistry,
+        start_metrics_server,
+        update_delivery_gauges,
+    )
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.metrics_root)
+    reg = GaugeRegistry()
+
+    def refresh():
+        update_delivery_gauges(reg, t.read(), window_sec=args.window)
+
+    refresh()
+    if args.serve is None:
+        sys.stdout.write(reg.render())
+        return 0
+    srv, port = start_metrics_server(reg, port=args.serve)
+    print(json.dumps({"cmd": "metrics", "port": port, "window_sec": args.window}), flush=True)
+    done = 0
+    try:
+        while args.max_refreshes is None or done < args.max_refreshes:
+            time.sleep(args.refresh)
+            refresh()  # t.read() re-resolves the current snapshot pointer
+            done += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m ton_etl_spark")
     p.add_argument("--master", default=None, help="spark master (default: SPARK_MASTER env or local[*])")
@@ -326,6 +373,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="allow --set to move an existing tag")
     tg.add_argument("--delete", metavar="NAME", default=None)
     tg.set_defaults(fn=_cmd_tag)
+
+    me = sub.add_parser(
+        "metrics",
+        help="Prometheus exposition of ingest gauges from the observability "
+        "metrics table (streaming/exporter.py); prints once to stdout, or "
+        "serves /metrics with --serve",
+    )
+    me.add_argument("--metrics-root", required=True,
+                    help="root of the MetricsRecorder lake table")
+    me.add_argument("--window", type=int, default=300,
+                    help="trailing gauge window, seconds of trigger time")
+    me.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve HTTP on PORT (0 = pick free) instead of one-shot print")
+    me.add_argument("--refresh", type=float, default=5.0,
+                    help="seconds between gauge recomputations while serving")
+    me.add_argument("--max-refreshes", type=int, default=None,
+                    help="stop after N refreshes (tests); default: run forever")
+    me.set_defaults(fn=_cmd_metrics)
     return p
 
 

@@ -7,6 +7,15 @@ from ton_etl_spark.streaming.observability import (
     ingest_rate_windows,
     make_metrics_table,
 )
+from ton_etl_spark.streaming.exporter import (
+    GaugeRegistry,
+    index_percentiles,
+    rolling_delay_gauges,
+    rolling_tps_gauge,
+    start_metrics_server,
+    update_delivery_gauges,
+    update_performance_gauges,
+)
 
 __all__ = [
     "tumbling_tps",
@@ -17,4 +26,11 @@ __all__ = [
     "make_metrics_table",
     "ingest_rate_windows",
     "batch_duration_percentiles",
+    "GaugeRegistry",
+    "index_percentiles",
+    "rolling_delay_gauges",
+    "rolling_tps_gauge",
+    "start_metrics_server",
+    "update_delivery_gauges",
+    "update_performance_gauges",
 ]
