@@ -124,12 +124,18 @@ def _cmd_maintain(args) -> int:
         expire_snapshots,
         gc_tombstones,
         rewrite_buckets,
+        rewrite_zorder,
     )
     from ton_etl_spark.lake.table import LakeTable
 
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
     out: dict = {"cmd": "maintain"}
+    if args.zorder:
+        out["zorder"] = rewrite_zorder(
+            t, [c.strip() for c in args.zorder.split(",") if c.strip()],
+            commit_key=(args.commit_key + "-z") if args.commit_key else None,
+        )
     if args.compact:
         out["compact"] = rewrite_buckets(t, commit_key=args.commit_key)
     if args.gc_tombstones_below is not None:
@@ -331,6 +337,9 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--compact", action="store_true")
     mt.add_argument("--gc-tombstones-below", type=int, default=None)
     mt.add_argument("--expire-keep-last", type=int, default=None)
+    mt.add_argument("--zorder", default=None, metavar="COL,COL[,...]",
+                    help="z-order clustering rewrite on these columns "
+                    "(multi-column file skipping; a compaction variant)")
     mt.add_argument("--commit-key", default=None)
     mt.set_defaults(fn=_cmd_maintain)
 

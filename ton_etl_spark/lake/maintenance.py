@@ -178,6 +178,118 @@ def rebucket(
     }
 
 
+_ZORDER_TEMPORAL = {"timestamp": F.unix_micros, "timestamp_ntz": F.unix_micros,
+                    "date": F.unix_date}
+_ZORDER_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "long")
+
+
+def _zorder_double(df, col: str):
+    """Map a z-order dimension to a double for quantile binning.  ANSI mode
+    rejects temporal→numeric casts, so temporals go through the epoch
+    functions; decimals and the fixed-width numerics cast directly."""
+    dtype = dict(df.dtypes)[col]
+    fn = _ZORDER_TEMPORAL.get(dtype)
+    if fn is not None:
+        return fn(F.col(col)).cast("double")
+    if dtype in _ZORDER_NUMERIC or dtype.startswith("decimal"):
+        return F.col(col).cast("double")
+    raise TypeError(
+        f"z-order supports numeric/temporal columns; {col!r} is {dtype} "
+        "(string locality doesn't survive bit interleaving — use bloom_cols "
+        "for point lookups on strings)"
+    )
+
+
+def zorder_boundaries(
+    df, cols: list[str], bits: int = 8, relative_error: float = 0.001
+) -> dict[str, list[float]]:
+    """Per-column quantile bin boundaries for the z-value (2^bits bins).
+
+    Quantile bins, not min/max linear scaling: a skewed column (lsn hot at
+    the head, value with outliers) would otherwise collapse into a few
+    linear bins and the interleave would carry no information for it.
+    One approxQuantile pass over the rewrite input, driver gets ≤
+    (2^bits - 1) doubles per column — bounded metadata, like Delta's
+    range-partition ids."""
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    proj = df.select(*[_zorder_double(df, c).alias(c) for c in cols])
+    out: dict[str, list[float]] = {}
+    for c, qs in zip(cols, proj.approxQuantile(cols, probs, relative_error)):
+        # constant / near-constant columns repeat boundaries; dedupe so the
+        # binning expression stays minimal (empty => every row bins to 0)
+        out[c] = sorted(set(qs))
+    return out
+
+
+def zorder_value(df, boundaries: dict[str, list[float]], bits: int = 8):
+    """Morton (z-order) value as a pure Column expression — no UDF, no
+    materialized column: bin each dimension by its quantile boundaries
+    (count of boundaries ≤ value, NULL → bin 0 so NULL rows cluster
+    together), then interleave the bin bits across dimensions.
+
+    Column algebra only: the bin is one ``aggregate`` over a boundary
+    array literal (O(2^bits) JVM adds per row, I/O-noise for a rewrite)
+    and the interleave is a static unroll of shift/mask terms — the whole
+    thing stays inside codegen."""
+    cols = list(boundaries)
+    n_dims = len(cols)
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        bs = boundaries[c]
+        v = _zorder_double(df, c)
+        if bs:
+            arr = F.array(*[F.lit(float(b)) for b in bs])
+            bin_c = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+            ).cast("long")
+        else:
+            bin_c = F.lit(0).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(bin_c, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n_dims + d)
+    return z
+
+
+def rewrite_zorder(
+    table: LakeTable,
+    cols: list[str],
+    buckets: list[int] | None = None,
+    commit_key: str | None = None,
+    bits: int = 8,
+) -> dict:
+    """Z-order clustering rewrite: re-sort each bucket's rows by the Morton
+    interleave of ``cols`` so file-level [min, max] bounds get tight on
+    EVERY listed column at once — multi-dimensional file skipping, where
+    ``sort_cols`` clusters only its leading column (Iceberg/Delta
+    ``rewrite_data_files(strategy => 'zorder')`` role).
+
+    Runs on the existing copy-on-write path: same CAS commit, same rebase
+    rules, same bucket layout (z-ordering changes clustering WITHIN
+    buckets, never row→bucket routing), and bounds for ``cols`` are
+    harvested via ``extra_stats_cols`` even when not declared as
+    ``stats_cols``.  Later merge commits sort by the table's declared
+    ``sort_cols`` again — z-order locality decays as buckets take new
+    writes, so schedule this like compaction (it IS a compaction, one
+    rolling bucket group at a time at 100 TB — the ``buckets`` arg)."""
+    snap = table.current()
+    if commit_key is not None and snap.has_commit_key(commit_key):
+        return {"applied": False, "buckets": []}
+    if buckets is None:
+        buckets = sorted(snap.manifests.keys())
+    df = table.read(buckets=buckets)
+    bounds = zorder_boundaries(df, cols, bits=bits)
+    z = zorder_value(df, bounds, bits=bits)
+    ok = table.overwrite_buckets(
+        df, buckets, commit_key=commit_key, schema=snap.schema,
+        base_version=snap.version, sort_exprs=[z], extra_stats_cols=cols,
+    )
+    return {"applied": ok, "buckets": buckets,
+            "bins": {c: len(b) + 1 for c, b in bounds.items()}}
+
+
 def expire_snapshots(
     table: LakeTable, keep_last: int = 1, grace_seconds: float = 600.0
 ) -> dict:

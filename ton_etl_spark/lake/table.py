@@ -880,6 +880,7 @@ class LakeTable:
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        sort_exprs: list | None = None,
     ) -> list[DataFile]:
         """Write ``df`` as one directory tree partitioned by bucket; return the
         produced files tagged with their bucket.  One output file per bucket
@@ -908,7 +909,12 @@ class LakeTable:
         out = df.withColumn(BUCKET_COL, bucket_of(key_cols, n_buckets))
         if not pre_partitioned:
             out = out.repartition(n_buckets, F.col(BUCKET_COL))
-        if sort_cols:
+        if sort_exprs is not None:
+            # caller-supplied clustering expressions (e.g. a z-order value)
+            # replace the table's declared sort_cols for THIS commit; an
+            # expression sorts without materializing a physical column
+            out = out.sortWithinPartitions(BUCKET_COL, *sort_exprs)
+        elif sort_cols:
             # per-task sort, no exchange: leading BUCKET_COL keeps each
             # bucket's rows contiguous (the dynamic-partition writer needs
             # that sort anyway — pre-sorting folds both into one), and the
@@ -1069,6 +1075,8 @@ class LakeTable:
         pre_partitioned: bool = False,
         max_rebases: int = 4,
         base_version: int | None = None,
+        sort_exprs: list | None = None,
+        extra_stats_cols: list[str] | None = None,
     ) -> bool:
         """Copy-on-write commit: replace all files of ``buckets`` with ``df``
         (which must contain exactly the surviving rows for those buckets).
@@ -1097,7 +1105,14 @@ class LakeTable:
         what lets a background compactor (``lake/maintenance.py``) run
         against a live streaming merge: the two touch disjoint bucket
         groups almost always, and the loser re-points instead of
-        re-running Spark."""
+        re-running Spark.
+
+        ``sort_exprs``: clustering expressions replacing the declared
+        ``sort_cols`` for this commit only (the z-order rewrite path).
+        ``extra_stats_cols``: harvest file bounds for these columns in
+        addition to the declared ``stats_cols`` — files written by LATER
+        commits won't carry them (and are simply never skipped on them;
+        skipping stays an optimization)."""
         snap = (
             self.snapshot(base_version) if base_version is not None else self.current()
         )
@@ -1111,13 +1126,17 @@ class LakeTable:
         )
         df = _conform(df, new_schema)
         commit_id = f"c{snap.version + 1}-{uuid.uuid4().hex[:8]}"
+        stats_cols = self._prop_cols(snap, "stats_cols")
+        if extra_stats_cols:
+            stats_cols = list(dict.fromkeys((stats_cols or []) + list(extra_stats_cols)))
         new_files = self._write_commit_files(
             df, commit_id, snap.n_buckets, snap.key_cols,
             pre_partitioned=pre_partitioned,
             target_file_rows=self._target_file_rows(snap),
-            stats_cols=self._prop_cols(snap, "stats_cols"),
+            stats_cols=stats_cols,
             sort_cols=self._prop_cols(snap, "sort_cols"),
             bloom_cols=self._prop_cols(snap, "bloom_cols"),
+            sort_exprs=sort_exprs,
         )
         bset = set(buckets)
         stray = sorted({f.bucket for f in new_files} - bset)
