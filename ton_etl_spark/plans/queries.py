@@ -1850,9 +1850,72 @@ GROUP BY s.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# 51. PII redaction (functions/pii.py) — training-data curation stage.
+# Non-vacuous by construction: the contact string synthesizes an email,
+# phone, IP, and card-like run from customer fields, so every row fires
+# every pattern; redaction and counts are byte-identical to the oracle
+# because the patterns stay in the Java∩RE2 regex subset.
+def q_pii_redaction(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.functions.pii import redact_pii
+
+    c = load_table(spark, sf, "customer")
+    key = F.col("c_custkey")
+    contact = F.concat(
+        F.lit("reach "), F.col("c_name"),
+        F.lit(" <"), F.replace(F.lower(F.col("c_name")), F.lit("#"), F.lit(".")),
+        F.lit("@example.com> or 25-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"), F.lit("-741-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" via 10."), (key % 256).cast("string"), F.lit(".0.1"),
+        F.lit(" card 4"),
+        F.lpad((key % 100000).cast("string"), 15, "0"),
+    )
+    df = c.select(F.col("c_custkey").alias("custkey"), contact.alias("contact"))
+    out = redact_pii(df, "contact", out_col="clean")
+    return out.select(
+        "custkey", "clean",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ccn").cast("long").alias("n_ccn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
+SQL_PII = r"""
+WITH t AS (
+  SELECT c_custkey AS custkey,
+         'reach ' || c_name || ' <' || replace(lower(c_name), '#', '.')
+         || '@example.com> or 25-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+         || '-741-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' via 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1'
+         || ' card 4' || lpad(CAST(c_custkey % 100000 AS VARCHAR), 15, '0')
+         AS contact
+  FROM customer
+)
+SELECT custkey,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g'),
+    '\b\d{13,16}\b', '<ccn>', 'g'),
+    '\b\d{2,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<phone>', 'g') AS clean,
+  CAST(len(regexp_extract_all(contact,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(contact,
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(contact, '\b\d{13,16}\b')) AS BIGINT) AS n_ccn,
+  CAST(len(regexp_extract_all(contact,
+    '\b\d{2,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone
+FROM t
+"""
+
+
 # rows in registry-insertion order, so every oracle-backed query MUST precede
 # the rows-only (sketch/hash-seeded) entries or it silently loses its hard
 # correctness signal (this dropped the ANN/embedding oracles in round 4).
+# pii_redaction sits past the driver's 50-row cap by design (the first 50
+# oracle rows stay stable); the local mirror (tests/test_queries_oracle.py)
+# hash-gates it every run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "cdc_lww_snapshot": q_cdc_lww_snapshot,
@@ -1904,6 +1967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "avro_roundtrip_docs": q_avro_roundtrip_docs,
     "segment_dedup": q_segment_dedup,
+    "pii_redaction": q_pii_redaction,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -1967,4 +2031,5 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH,
     "avro_roundtrip_docs": SQL_AVRO_ROUNDTRIP,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "pii_redaction": SQL_PII,
 }
