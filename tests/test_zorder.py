@@ -125,3 +125,29 @@ def test_zorder_skipped_files_never_opened(spark, tmp_path):
     got = t.read(where={"b": (lo, hi)}).count()
     full = 4000
     assert 0 < got < full
+
+
+def test_rolling_maintenance_zorder_group(spark, tmp_path):
+    """The ingest-loop policy: a maintenance epoch z-orders ONE rolling
+    bucket group; untouched groups keep their manifests, and the touched
+    group's files gain tight bounds on both dims."""
+    from ton_etl_spark.lake.maintenance import rolling_maintenance
+
+    t = _make(spark, str(tmp_path / "z3"), n=4000, target_file_rows=50)
+    before = {b: m for b, m in t.current().manifests.items()}
+    with pytest.raises(ValueError, match="not both"):
+        rolling_maintenance(t, epoch=7, every=8, groups=2,
+                            tombstone_horizon_lsn=1, zorder_cols=["a", "b"])
+    assert rolling_maintenance(t, epoch=6, every=8, groups=2,
+                               zorder_cols=["a", "b"]) is None  # off-epoch
+    r = rolling_maintenance(t, epoch=7, every=8, groups=2, zorder_cols=["a", "b"])
+    assert r["applied"] and set(r["buckets"]) == {0}  # group 0 of 2
+    snap = t.current()
+    assert snap.manifests[1] == before[1]  # other group untouched
+    assert snap.manifests[0] != before[0]
+    g0_files = [f for f in snap.files if f.bucket == 0]
+    assert all("b" in f.stats for f in g0_files)
+    # replay idempotency: the same epoch retried is a no-op
+    assert rolling_maintenance(t, epoch=7, every=8, groups=2,
+                               zorder_cols=["a", "b"])["applied"] is False
+    assert t.read().count() == 4000

@@ -71,6 +71,7 @@ def rolling_maintenance(
     every: int = 8,
     groups: int = 4,
     tombstone_horizon_lsn: int | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> dict | None:
     """Automated maintenance policy for a long-running ingest loop: every
     ``every`` epochs, compact ONE rolling group of buckets (group id cycles
@@ -86,9 +87,19 @@ def rolling_maintenance(
 
     Returns None on non-maintenance epochs; otherwise the rewrite stats.
     Idempotent per epoch via the ``roll=<epoch>`` commit key (recent-keys
-    dedup, so a foreachBatch retry doesn't compact twice)."""
+    dedup, so a foreachBatch retry doesn't compact twice).
+
+    ``zorder_cols``: compact the group AS a z-order clustering rewrite
+    (``rewrite_zorder``) instead of a plain collapse — the ingest loop
+    then continuously restores multi-column skipping locality that
+    inter-maintenance merges erode, one bucket group at a time.
+    Mutually exclusive with ``tombstone_horizon_lsn`` (a z-order rewrite
+    keeps every row; GC'ing inside it would fork the tombstone predicate
+    into a second place)."""
     if every <= 0 or (epoch + 1) % every != 0:
         return None
+    if zorder_cols and tombstone_horizon_lsn is not None:
+        raise ValueError("pass zorder_cols OR tombstone_horizon_lsn, not both")
     snap = table.current()
     g = ((epoch + 1) // every - 1) % groups
     buckets = [b for b in sorted(snap.manifests) if b % groups == g]
@@ -100,6 +111,8 @@ def rolling_maintenance(
         return gc_tombstones(
             table, tombstone_horizon_lsn, buckets=buckets, commit_key=key
         )
+    if zorder_cols:
+        return rewrite_zorder(table, zorder_cols, buckets=buckets, commit_key=key)
     return rewrite_buckets(table, buckets=buckets, commit_key=key)
 
 
