@@ -494,3 +494,71 @@ def test_rebucket_loses_cas_to_concurrent_writer(spark, tmp_path):
     assert mmod.rebucket(t, 8)["applied"]
     assert t.current().n_buckets == 8
     assert sorted(r["doc_id"] for r in read_state(t).collect()) == ["a", "b"]
+
+
+def test_delete_where_prunes_untouched_buckets(spark, tmp_path):
+    """Range delete rewrites only buckets whose file bounds intersect the
+    range; everything else keeps its manifest pointer (metadata proof of
+    pruning), and NULL rows in the range column always survive."""
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 100 == 0, F.lit(None)).otherwise(F.col("id")).alias("lsn"),
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "dw"), schema=df.schema, key_cols=["k"],
+        n_buckets=4, stats_cols=["lsn"], sort_cols=["lsn"], target_file_rows=100,
+    )
+    t.append(df, commit_key="seed")
+    before = dict(t.current().manifests)
+
+    # out-of-domain range: nothing intersects, nothing commits
+    r0 = delete_where(t, {"lsn": (10_000, 20_000)}, commit_key="d0")
+    assert r0["applied"] is False and r0["deleted_rows"] == 0
+    assert dict(t.current().manifests) == before
+
+    r = delete_where(t, {"lsn": (150, 249)}, commit_key="d1")
+    assert r["applied"]
+    want_deleted = sum(1 for i in range(150, 250) if i % 100 != 0)
+    assert r["deleted_rows"] == want_deleted
+    got = t.read()
+    assert got.where("lsn between 150 and 249").count() == 0
+    # NULL-lsn rows all survive, including those whose k sits in the range
+    assert got.where("lsn is null").count() == 20
+    assert got.count() == 2000 - want_deleted
+    # open-ended upper range (keys hash across all buckets, so all rewrite)
+    r2 = delete_where(t, {"lsn": (1990, None)}, commit_key="d2")
+    assert r2["applied"] and r2["deleted_rows"] == 10  # 1990..1999, none NULL
+    # idempotent replay
+    assert delete_where(t, {"lsn": (150, 249)}, commit_key="d1")["applied"] is False
+
+
+def test_delete_where_touches_only_intersecting_buckets(spark, tmp_path):
+    """Partial pruning proof: lsn is constructed to correlate with the
+    storage bucket (lsn = bucket*1000 + i), so a sub-1000 range must
+    rewrite bucket 0 ONLY — the other manifests stay untouched and their
+    files can even be corrupted without the delete noticing them."""
+    from ton_etl_spark.lake.maintenance import delete_where
+    from ton_etl_spark.lake.table import bucket_of
+
+    df = spark.range(2000).select(F.col("id").alias("k")).withColumn(
+        "lsn", bucket_of(["k"], 4).cast("long") * 1000 + F.col("k") % 1000
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "dwp"), schema=df.schema, key_cols=["k"],
+        n_buckets=4, stats_cols=["lsn"], target_file_rows=200,
+    )
+    t.append(df, commit_key="seed")
+    before = dict(t.current().manifests)
+    for f in t.current().files:
+        if f.bucket != 0:  # corrupt everything the delete must not open
+            with open(os.path.join(t.root, f.path), "wb") as fh:
+                fh.write(b"corrupt")
+    r = delete_where(t, {"lsn": (None, 999)}, commit_key="d")
+    assert r["applied"] and r["buckets"] == [0] and r["deleted_rows"] > 0
+    snap = t.current()
+    assert all(snap.manifests[b] == before[b] for b in (1, 2, 3))
+    # bucket 0's lsn space is fully below 1000 => emptied, manifest dropped
+    assert snap.manifests.get(0) != before[0]
+    assert 0 not in {f.bucket for f in snap.files}

@@ -121,6 +121,7 @@ def _cmd_multi_stream(args) -> int:
 
 def _cmd_maintain(args) -> int:
     from ton_etl_spark.lake.maintenance import (
+        delete_where,
         expire_snapshots,
         gc_tombstones,
         rewrite_buckets,
@@ -131,6 +132,14 @@ def _cmd_maintain(args) -> int:
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
     out: dict = {"cmd": "maintain"}
+    if args.delete_where:
+        ranges = {
+            c: (lo, hi) for c, (lo, hi) in json.loads(args.delete_where).items()
+        }
+        out["delete"] = delete_where(
+            t, ranges,
+            commit_key=(args.commit_key + "-del") if args.commit_key else None,
+        )
     if args.zorder:
         out["zorder"] = rewrite_zorder(
             t, [c.strip() for c in args.zorder.split(",") if c.strip()],
@@ -340,6 +349,9 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--zorder", default=None, metavar="COL,COL[,...]",
                     help="z-order clustering rewrite on these columns "
                     "(multi-column file skipping; a compaction variant)")
+    mt.add_argument("--delete-where", default=None, metavar="JSON",
+                    help='stats-pruned range delete, e.g. '
+                    '\'{"lsn": [null, 999]}\' (inclusive bounds, null=open)')
     mt.add_argument("--commit-key", default=None)
     mt.set_defaults(fn=_cmd_maintain)
 

@@ -191,6 +191,55 @@ def rebucket(
     }
 
 
+def delete_where(
+    table: LakeTable,
+    where: dict,
+    commit_key: str | None = None,
+) -> dict:
+    """Delete every row inside the ``where`` ranges (column -> inclusive
+    (lo, hi), either bound None for open-ended; ranges AND together —
+    ``read(where=...)``'s contract, inverted).
+
+    Stats-pruned: only buckets holding at least one file whose manifest
+    [min, max] bounds can intersect the ranges are rewritten — deleting
+    one day / one LSN span from a 100 TB table touches the few buckets'
+    files that overlap it, not the world (Iceberg's metadata-pruned
+    DELETE role; the commit unit here is the bucket, and maintenance
+    keeps buckets split into bounded files, so bucket ≈ a small file
+    set).  Files without bounds on a range column conservatively count
+    as intersecting — pruning is an optimization, the predicate is the
+    truth.
+
+    NULL semantics match the read path: a NULL in a range column never
+    matches a range, so such rows are always KEPT."""
+    from ton_etl_spark.lake.table import _file_may_match, _stats_encode
+
+    snap = table.current()
+    if commit_key is not None and snap.has_commit_key(commit_key):
+        return {"applied": False, "buckets": [], "deleted_rows": 0}
+    enc = {
+        c: (_stats_encode(lo), _stats_encode(hi))
+        for c, (lo, hi) in table._session_tz_bounds(where).items()
+    }
+    buckets = sorted({f.bucket for f in snap.files if _file_may_match(f, enc)})
+    if not buckets:
+        return {"applied": False, "buckets": [], "deleted_rows": 0}
+    matched = F.lit(True)
+    for col, (lo, hi) in where.items():
+        if lo is not None:
+            matched = matched & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            matched = matched & (F.col(col) <= F.lit(hi))
+    keep = ~F.coalesce(matched, F.lit(False))  # NULL range col => kept
+    before = sum(f.rows for f in snap.files if f.bucket in set(buckets))
+    out = rewrite_buckets(table, buckets=buckets, predicate=keep,
+                          commit_key=commit_key)
+    after = sum(
+        f.rows for f in table.current().files if f.bucket in set(buckets)
+    ) if out["applied"] else before
+    return {**out, "deleted_rows": before - after}
+
+
 _ZORDER_TEMPORAL = {"timestamp": F.unix_micros, "timestamp_ntz": F.unix_micros,
                     "date": F.unix_date}
 _ZORDER_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "long")
