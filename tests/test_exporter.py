@@ -198,3 +198,14 @@ def test_update_delivery_gauges_from_metrics_table(spark):
     # p95 -> int(0.95)=idx 0 (the upper element needs n*0.95 to cross 1)
     assert reg.get("ton_etl_ingest_batch_ms", {"col": "p50"}) == 1000
     assert reg.get("ton_etl_ingest_batch_ms", {"col": "p95"}) == 1000
+
+
+def test_rolling_delay_gauges_empty_window_skips_update(spark):
+    """Reference behavior: no data in the window => no metric update, not
+    a crash (performance.py _calc_metrics returning None)."""
+    df = spark.createDataFrame([], "ts long, delay double")
+    assert rolling_delay_gauges(df, "delay", "ts", interval_sec=10) == []
+    full = spark.createDataFrame([(100, 5.0)], "ts long, delay double")
+    # fully-evicted: anchor far past every event
+    assert rolling_delay_gauges(full, "delay", "ts", interval_sec=10,
+                                now_ts=10_000) == []

@@ -562,3 +562,27 @@ def test_delete_where_touches_only_intersecting_buckets(spark, tmp_path):
     # bucket 0's lsn space is fully below 1000 => emptied, manifest dropped
     assert snap.manifests.get(0) != before[0]
     assert 0 not in {f.bucket for f in snap.files}
+
+
+def test_delete_where_guards_tombstones_and_degenerate_ranges(spark, tmp_path):
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    df = spark.createDataFrame(
+        [(1, 10, "u"), (2, 20, "d"), (3, 30, "u")], "k long, lsn long, op string"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "dwt"), schema=df.schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["lsn"])
+    t.append(df, commit_key="seed")
+    with pytest.raises(ValueError, match="bounded range"):
+        delete_where(t, {})
+    with pytest.raises(ValueError, match="bounded range"):
+        delete_where(t, {"lsn": (None, None)})
+    # tombstone at lsn=20 sits inside the range but survives by default —
+    # dropping it would re-open the redelivery resurrection window
+    r = delete_where(t, {"lsn": (0, 100)}, commit_key="d1")
+    assert r["deleted_rows"] == 2
+    assert [x["op"] for x in t.read().collect()] == ["d"]
+    # opt-out follows gc_tombstones' horizon contract ownership
+    r2 = delete_where(t, {"lsn": (0, 100)}, commit_key="d2",
+                      protect_tombstones=False)
+    assert r2["deleted_rows"] == 1 and t.read().count() == 0

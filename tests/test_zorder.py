@@ -151,3 +151,14 @@ def test_rolling_maintenance_zorder_group(spark, tmp_path):
     assert rolling_maintenance(t, epoch=7, every=8, groups=2,
                                zorder_cols=["a", "b"])["applied"] is False
     assert t.read().count() == 4000
+
+
+def test_zorder_rejects_interleave_overflow(spark):
+    from ton_etl_spark.lake.maintenance import zorder_value
+
+    df = spark.createDataFrame([(1,) * 8], ", ".join(f"c{i} long" for i in range(8)))
+    bounds = {f"c{i}": [0.5] for i in range(8)}
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_value(df, bounds, bits=8)  # 64 z bits: sign-bit corruption
+    z = df.select(zorder_value(df, bounds, bits=7).alias("z")).collect()[0]["z"]
+    assert z is not None  # 56 bits fits

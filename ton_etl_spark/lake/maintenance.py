@@ -96,10 +96,12 @@ def rolling_maintenance(
     Mutually exclusive with ``tombstone_horizon_lsn`` (a z-order rewrite
     keeps every row; GC'ing inside it would fork the tombstone predicate
     into a second place)."""
+    if zorder_cols and tombstone_horizon_lsn is not None:
+        # validate BEFORE the epoch gate: a misconfigured ingest loop must
+        # fail on its first call, not epochs later inside foreachBatch
+        raise ValueError("pass zorder_cols OR tombstone_horizon_lsn, not both")
     if every <= 0 or (epoch + 1) % every != 0:
         return None
-    if zorder_cols and tombstone_horizon_lsn is not None:
-        raise ValueError("pass zorder_cols OR tombstone_horizon_lsn, not both")
     snap = table.current()
     g = ((epoch + 1) // every - 1) % groups
     buckets = [b for b in sorted(snap.manifests) if b % groups == g]
@@ -195,10 +197,11 @@ def delete_where(
     table: LakeTable,
     where: dict,
     commit_key: str | None = None,
+    protect_tombstones: bool = True,
 ) -> dict:
     """Delete every row inside the ``where`` ranges (column -> inclusive
-    (lo, hi), either bound None for open-ended; ranges AND together —
-    ``read(where=...)``'s contract, inverted).
+    (lo, hi), either bound None for open-ended but not both; ranges AND
+    together — ``read(where=...)``'s contract, inverted).
 
     Stats-pruned: only buckets holding at least one file whose manifest
     [min, max] bounds can intersect the ranges are rewritten — deleting
@@ -210,10 +213,27 @@ def delete_where(
     as intersecting — pruning is an optimization, the predicate is the
     truth.
 
+    Snapshot consistency: the prune list, the data read, and the CAS all
+    anchor on ONE snapshot — the delete means "as of version v"; a
+    commit racing into a replaced bucket conflicts (or legally rebases
+    per ``overwrite_buckets``), and rows committed concurrently to other
+    buckets are after this delete's snapshot by definition.
+
     NULL semantics match the read path: a NULL in a range column never
-    matches a range, so such rows are always KEPT."""
+    matches a range, so such rows are always KEPT.  CDC delete
+    tombstones (op='d') are also kept by default — dropping them
+    re-opens the redelivery resurrection window that ``gc_tombstones``'s
+    horizon contract exists to prevent; pass
+    ``protect_tombstones=False`` only when the source's redelivery
+    horizon has passed the deleted range."""
     from ton_etl_spark.lake.table import _file_may_match, _stats_encode
 
+    if not where or any(lo is None and hi is None for lo, hi in where.values()):
+        raise ValueError(
+            "delete_where needs at least one bounded range; a (None, None) "
+            "range would also delete NULL rows, contradicting the NULL-kept "
+            "contract — use rewrite_buckets(predicate=...) for a full wipe"
+        )
     snap = table.current()
     if commit_key is not None and snap.has_commit_key(commit_key):
         return {"applied": False, "buckets": [], "deleted_rows": 0}
@@ -231,13 +251,23 @@ def delete_where(
         if hi is not None:
             matched = matched & (F.col(col) <= F.lit(hi))
     keep = ~F.coalesce(matched, F.lit(False))  # NULL range col => kept
-    before = sum(f.rows for f in snap.files if f.bucket in set(buckets))
-    out = rewrite_buckets(table, buckets=buckets, predicate=keep,
-                          commit_key=commit_key)
-    after = sum(
-        f.rows for f in table.current().files if f.bucket in set(buckets)
-    ) if out["applied"] else before
-    return {**out, "deleted_rows": before - after}
+    if protect_tombstones and OP_COL in snap.schema.fieldNames():
+        keep = keep | F.coalesce(F.col(OP_COL) == "d", F.lit(False))
+    bset = set(buckets)
+    before = sum(f.rows for f in snap.files if f.bucket in bset)
+    df = table.read(buckets=buckets, version=snap.version).where(keep)
+    ok = table.overwrite_buckets(
+        df, buckets, commit_key=commit_key, schema=snap.schema,
+        base_version=snap.version,
+    )
+    # post-commit re-read: exact unless another writer lands in these
+    # buckets between our commit and this read (our own commit already
+    # conflicts/rebases any interleaved touch of them)
+    after = (
+        sum(f.rows for f in table.current().files if f.bucket in bset)
+        if ok else before
+    )
+    return {"applied": ok, "buckets": buckets, "deleted_rows": before - after}
 
 
 _ZORDER_TEMPORAL = {"timestamp": F.unix_micros, "timestamp_ntz": F.unix_micros,
@@ -296,6 +326,14 @@ def zorder_value(df, boundaries: dict[str, list[float]], bits: int = 8):
     thing stays inside codegen."""
     cols = list(boundaries)
     n_dims = len(cols)
+    if n_dims * bits > 63:
+        # bit 63 is the sign bit and shiftleft wraps mod 64 past it —
+        # either silently destroys the Morton order; fail instead
+        raise ValueError(
+            f"{n_dims} dims x {bits} bits = {n_dims * bits} z bits; the "
+            "interleave must fit a signed long (<= 63) — lower bits or "
+            "z-order fewer columns"
+        )
     z = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         bs = boundaries[c]

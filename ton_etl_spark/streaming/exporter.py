@@ -246,6 +246,10 @@ def rolling_delay_gauges(
     joined = base.join(pcts, gcols, "inner") if gcols else base.crossJoin(pcts)
     out: list[dict] = []
     for r in joined.collect():
+        if r["avg"] is None:
+            # ungrouped agg over an empty/fully-evicted window yields one
+            # all-NULL row; the reference skips the update (tps.py:48-50)
+            continue
         cls = r[class_col] if class_col else None
         # Python-3 round = banker's rounding, same as the reference
         out.append({"class": cls, "col": "average", "value": float(round(r["avg"]))})
