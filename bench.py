@@ -35,6 +35,7 @@ HEADLINE = [
     "embedding_topk",
     "pack_chunks",
     "segment_dedup",
+    "pii_redaction",
     "dup_clusters",
     "dup_clusters_capped",
 ]
