@@ -268,3 +268,14 @@ def test_minhash_index_probe_broadcasts_new_side_only(spark, sf_dir, tmp_path):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "new_id" in line and "sig" not in line and "bhash" not in line, line
+
+
+def test_pii_redaction_is_pure_projection(spark, sf_dir):
+    """The PII scrub must stay a scan + codegen'd project — zero exchanges,
+    zero Python evals: it composes with any pipeline stage for free."""
+    from ton_etl_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["pii_redaction"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF fallback — regexp stays JVM-side
+    assert "*(1) Project" in plan  # the '*' marks whole-stage codegen
