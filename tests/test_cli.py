@@ -173,3 +173,32 @@ def test_cli_metrics_oneshot_and_serve(spark, tmp_path, capsys):
     assert "ton_etl_ingest_rows_total 2000" in body
     th.join(timeout=30)
     assert not th.is_alive() and rc["v"] == 0
+
+
+def test_cli_metrics_with_event_gauges(spark, tmp_path, capsys):
+    """--events-root adds the reference's per-family delay gauges next to
+    the delivery gauges in the same exposition."""
+    from ton_etl_spark.lake.table import LakeTable
+    from ton_etl_spark.streaming.observability import make_metrics_table
+
+    mroot = str(tmp_path / "m")
+    m = make_metrics_table(spark, mroot)
+    m.append(spark.createDataFrame(
+        [("q", "r", 0, "2026-01-01T00:00:00.000Z", 5, 1000, 900, None, None, None)],
+        m.current().schema), commit_key="seed")
+
+    eroot = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [(1, "p2p", 100, 4.0), (2, "p2p", 101, 6.0), (3, "jetton", 102, 9.0)],
+        "k long, cls string, ts long, delay double")
+    t = LakeTable.create(spark, eroot, schema=df.schema, key_cols=["k"], n_buckets=2)
+    t.append(df, commit_key="seed")
+
+    assert main([
+        "metrics", "--metrics-root", mroot, "--events-root", eroot,
+        "--class-col", "cls", "--window", "100000",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert 'ton_etl_common_operations{class="p2p",col="average"} 5' in text
+    assert 'ton_etl_common_operations{class="jetton",col="tx_count"} 1' in text
+    assert "ton_etl_ingest_rows_total 5" in text

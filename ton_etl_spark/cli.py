@@ -275,14 +275,25 @@ def _cmd_metrics(args) -> int:
         GaugeRegistry,
         start_metrics_server,
         update_delivery_gauges,
+        update_performance_gauges,
     )
 
     spark = _spark(args)
     t = LakeTable.load(spark, args.metrics_root)
+    ev = LakeTable.load(spark, args.events_root) if args.events_root else None
     reg = GaugeRegistry()
 
     def refresh():
         update_delivery_gauges(reg, t.read(), window_sec=args.window)
+        if ev is not None:
+            # the reference's per-family delay gauges (average/p50/p75/
+            # p95/tx_count under the `col` label), over the event lake
+            update_performance_gauges(
+                reg, ev.read(), args.gauge_name,
+                documentation="event delay metrics, rolling window",
+                delay_col=args.delay_col, ts_col=args.ts_col,
+                class_col=args.class_col, interval_sec=args.window,
+            )
 
     refresh()
     if args.serve is None:
@@ -411,6 +422,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="seconds between gauge recomputations while serving")
     me.add_argument("--max-refreshes", type=int, default=None,
                     help="stop after N refreshes (tests); default: run forever")
+    me.add_argument("--events-root", default=None,
+                    help="optional event lake table for per-family delay "
+                    "gauges (the reference's performance gauges)")
+    me.add_argument("--gauge-name", default="ton_etl_common_operations")
+    me.add_argument("--delay-col", default="delay")
+    me.add_argument("--ts-col", default="ts")
+    me.add_argument("--class-col", default=None,
+                    help="event-family column -> `class` label per series")
     me.set_defaults(fn=_cmd_metrics)
     return p
 
