@@ -586,3 +586,34 @@ def test_delete_where_guards_tombstones_and_degenerate_ranges(spark, tmp_path):
     r2 = delete_where(t, {"lsn": (0, 100)}, commit_key="d2",
                       protect_tombstones=False)
     assert r2["deleted_rows"] == 1 and t.read().count() == 0
+
+
+def test_delete_where_property_random_ranges(spark, tmp_path):
+    """Property: delete_where(range) leaves exactly the rows a Python
+    filter keeps, across random inclusive/open ranges."""
+    import random
+
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    rnd = random.Random(7)
+    vals = [(i, rnd.randint(-50, 50) if rnd.random() > 0.1 else None)
+            for i in range(500)]
+    df = spark.createDataFrame(vals, "k long, v long")
+    t = LakeTable.create(spark, str(tmp_path / "dwr"), schema=df.schema,
+                         key_cols=["k"], n_buckets=4, stats_cols=["v"],
+                         sort_cols=["v"], target_file_rows=50)
+    t.append(df, commit_key="seed")
+    live = dict(vals)
+    for trial in range(6):
+        lo = rnd.choice([None, rnd.randint(-60, 60)])
+        hi = rnd.randint(lo if lo is not None else -60, 60)
+        if rnd.random() < 0.3:
+            lo, hi = hi, None
+        r = delete_where(t, {"v": (lo, hi)}, commit_key=f"t{trial}")
+        live = {k: v for k, v in live.items()
+                if v is None
+                or (lo is not None and v < lo)
+                or (hi is not None and v > hi)}
+        got = {x["k"]: x["v"] for x in t.read().collect()}
+        assert got == live, (trial, lo, hi)
+        assert r["deleted_rows"] >= 0

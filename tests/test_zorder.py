@@ -162,3 +162,24 @@ def test_zorder_rejects_interleave_overflow(spark):
         zorder_value(df, bounds, bits=8)  # 64 z bits: sign-bit corruption
     z = df.select(zorder_value(df, bounds, bits=7).alias("z")).collect()[0]["z"]
     assert z is not None  # 56 bits fits
+
+
+def test_zorder_temporal_dims(spark, tmp_path):
+    """Timestamps go through the epoch functions (ANSI mode rejects
+    temporal->numeric casts); the z-dim still bins and clusters."""
+    from datetime import datetime, timezone
+
+    rows = [(i, datetime(2026, 1, 1 + i % 20, tzinfo=timezone.utc), i % 7)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    t = LakeTable.create(spark, str(tmp_path / "zt"), schema=df.schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["ts", "v"],
+                         target_file_rows=50)
+    t.append(df, commit_key="seed")
+    r = rewrite_zorder(t, ["ts", "v"], commit_key="z")
+    assert r["applied"] and r["bins"]["ts"] > 10
+    assert t.read().count() == 400
+    # bounds on the timestamp dim got harvested and a probe stays exact
+    hits = t.read(where={"ts": (datetime(2026, 1, 5, tzinfo=timezone.utc),
+                                datetime(2026, 1, 6, tzinfo=timezone.utc))})
+    assert hits.count() == sum(1 for _, d, _v in rows if 5 <= d.day <= 6)
