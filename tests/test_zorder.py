@@ -183,3 +183,28 @@ def test_zorder_temporal_dims(spark, tmp_path):
     hits = t.read(where={"ts": (datetime(2026, 1, 5, tzinfo=timezone.utc),
                                 datetime(2026, 1, 6, tzinfo=timezone.utc))})
     assert hits.count() == sum(1 for _, d, _v in rows if 5 <= d.day <= 6)
+
+
+def test_clustering_overlap_metric(spark, tmp_path):
+    """The describe-level re-cluster signal: sorted dim ~0 overlap, random
+    dim ~1; after z-order BOTH dims drop well below the random baseline."""
+    from ton_etl_spark.lake.maintenance import clustering_overlap
+
+    t = _make(spark, str(tmp_path / "zc"), n=4000, target_file_rows=50)
+    m = clustering_overlap(t)
+    # sort_cols=['a'] => near-disjoint ranges (adjacent files may share a
+    # boundary VALUE when duplicates split across a file cut)
+    assert m["a"] < 0.1
+    assert m["b"] > 0.9           # unclustered dim: everything overlaps
+    rewrite_zorder(t, ["a", "b"], commit_key="z")
+    m2 = clustering_overlap(t)
+    assert m2["a"] < 0.5 and m2["b"] < 0.5
+    # CLI surface
+    import io, contextlib, json as _json
+    from ton_etl_spark.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["describe", "--table", t.root, "--clustering"]) == 0
+    d = _json.loads(buf.getvalue().strip())
+    assert d["clustering"] == m2

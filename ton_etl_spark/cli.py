@@ -202,6 +202,10 @@ def _cmd_describe(args) -> int:
                 # null rather than crashing
                 bounds[c] = None
         out["bounds"] = bounds
+    if args.clustering:
+        from ton_etl_spark.lake.maintenance import clustering_overlap
+
+        out["clustering"] = clustering_overlap(t)
     print(json.dumps(out))
     return 0
 
@@ -375,6 +379,10 @@ def build_parser() -> argparse.ArgumentParser:
     de.add_argument("--table", required=True)
     de.add_argument("--bounds", action="store_true",
                     help="include global [min, max] per stats column")
+    de.add_argument("--clustering", action="store_true",
+                    help="per-column within-bucket file-bound overlap ratio "
+                    "(0 = disjoint/ideal skipping, 1 = every pair overlaps "
+                    "— time to rewrite_zorder)")
     de.set_defaults(fn=_cmd_describe)
 
     ex = sub.add_parser(

@@ -193,6 +193,47 @@ def rebucket(
     }
 
 
+def clustering_overlap(table: LakeTable, version: int | None = None) -> dict:
+    """Per-column clustering quality from manifest metadata alone: the
+    fraction of same-bucket file pairs whose [min, max] bounds overlap.
+
+    0.0 = files are range-disjoint (skipping prunes a point/range probe to
+    one file per bucket — what ``sort_cols`` / ``rewrite_zorder`` produce
+    fresh); 1.0 = every pair overlaps (bounds span the domain, skipping
+    never fires — the signal to schedule a clustering rewrite).  Driver
+    side over O(files) stats, no Spark job; pairs counted per bucket
+    because skipping competes only within a bucket's file set.
+
+    Columns with mixed-type bounds (schema evolution) or no stats report
+    null.  Buckets with a single stats-carrying file contribute no pairs.
+    """
+    snap = table.snapshot(version) if version is not None else table.current()
+    cols = sorted({c for f in snap.files if f.stats for c in f.stats})
+    out: dict[str, float | None] = {}
+    for c in cols:
+        overlaps = 0
+        try:
+            by_bucket: dict[int, list] = {}
+            for f in snap.files:
+                if f.stats and c in f.stats:
+                    by_bucket.setdefault(f.bucket, []).append(tuple(f.stats[c]))
+            for ranges in by_bucket.values():
+                # sweep over lo-sorted ranges: an earlier range overlaps the
+                # current one iff its hi >= current lo; each overlapping
+                # pair is counted exactly once
+                ranges.sort()
+                active: list = []  # his of still-open earlier ranges
+                for lo, hi in ranges:
+                    active = [h for h in active if h >= lo]
+                    overlaps += len(active)
+                    active.append(hi)
+            total = sum(len(v) * (len(v) - 1) // 2 for v in by_bucket.values())
+            out[c] = round(overlaps / total, 4) if total else None
+        except TypeError:
+            out[c] = None  # mixed-type bounds across commits
+    return out
+
+
 def delete_where(
     table: LakeTable,
     where: dict,
