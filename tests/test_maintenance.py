@@ -617,3 +617,46 @@ def test_delete_where_property_random_ranges(spark, tmp_path):
         got = {x["k"]: x["v"] for x in t.read().collect()}
         assert got == live, (trial, lo, hi)
         assert r["deleted_rows"] >= 0
+
+
+def test_delete_where_file_granular_rewrites_only_hit_files(spark, tmp_path):
+    """file_granular=True: files whose bounds exclude the range survive
+    with their exact paths (path identity proves they were neither read
+    nor rewritten); results equal the bucket-granular delete on a twin
+    table, and time travel still sees the pre-delete rows."""
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    def build(root):
+        df = spark.range(2000).select(F.col("id").alias("k"),
+                                      F.col("id").alias("lsn"))
+        t = LakeTable.create(spark, root, schema=df.schema, key_cols=["k"],
+                             n_buckets=2, stats_cols=["lsn"],
+                             sort_cols=["lsn"], target_file_rows=100)
+        t.append(df, commit_key="seed")
+        return t
+
+    tf = build(str(tmp_path / "fg"))
+    tb = build(str(tmp_path / "bg"))
+    paths_before = {f.path for f in tf.current().files}
+    hit_before = {f.path for f in tf.current().files
+                  if not (f.stats["lsn"][1] < 300 or f.stats["lsn"][0] > 449)}
+
+    rf = delete_where(tf, {"lsn": (300, 449)}, commit_key="d",
+                      file_granular=True)
+    rb = delete_where(tb, {"lsn": (300, 449)}, commit_key="d")
+    assert rf["applied"] and rb["applied"]
+    assert rf["deleted_rows"] == rb["deleted_rows"] == 150
+
+    paths_after = {f.path for f in tf.current().files}
+    # every non-intersecting file survived AS-IS; every hit file is gone
+    assert paths_before - hit_before <= paths_after
+    assert not (hit_before & paths_after)
+    # file-granular rewrote strictly fewer bytes than it kept
+    assert len(paths_before - hit_before) > len(paths_after - paths_before)
+
+    got_f = sorted(r["k"] for r in tf.read().collect())
+    got_b = sorted(r["k"] for r in tb.read().collect())
+    assert got_f == got_b == [i for i in range(2000) if not 300 <= i <= 449]
+
+    # time travel to the pre-delete snapshot still sees everything
+    assert tf.read(version=1).count() == 2000

@@ -139,6 +139,7 @@ def _cmd_maintain(args) -> int:
         out["delete"] = delete_where(
             t, ranges,
             commit_key=(args.commit_key + "-del") if args.commit_key else None,
+            file_granular=args.file_granular,
         )
     if args.zorder:
         out["zorder"] = rewrite_zorder(
@@ -367,6 +368,9 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--delete-where", default=None, metavar="JSON",
                     help='stats-pruned range delete, e.g. '
                     '\'{"lsn": [null, 999]}\' (inclusive bounds, null=open)')
+    mt.add_argument("--file-granular", action="store_true",
+                    help="with --delete-where: rewrite only the files whose "
+                    "bounds intersect the range, carrying the rest unchanged")
     mt.add_argument("--commit-key", default=None)
     mt.set_defaults(fn=_cmd_maintain)
 

@@ -239,6 +239,7 @@ def delete_where(
     where: dict,
     commit_key: str | None = None,
     protect_tombstones: bool = True,
+    file_granular: bool = False,
 ) -> dict:
     """Delete every row inside the ``where`` ranges (column -> inclusive
     (lo, hi), either bound None for open-ended but not both; ranges AND
@@ -266,7 +267,17 @@ def delete_where(
     re-opens the redelivery resurrection window that ``gc_tombstones``'s
     horizon contract exists to prevent; pass
     ``protect_tombstones=False`` only when the source's redelivery
-    horizon has passed the deleted range."""
+    horizon has passed the deleted range.
+
+    ``file_granular=True``: within each touched bucket, files whose
+    bounds exclude the ranges are carried into the new manifest
+    UNCHANGED — only intersecting files are read and rewritten (the
+    Iceberg copy-on-write file-scoped DELETE).  Exact by the same
+    argument as read-skipping: a file whose bounds exclude a range
+    holds no matching row, so keeping it whole equals filtering it.
+    This is the 100 TB operating point — a narrow LSN/day delete in a
+    hot bucket rewrites a few files, not the bucket; the default stays
+    bucket-granular because it also re-compacts what it touches."""
     from ton_etl_spark.lake.table import _file_may_match, _stats_encode
 
     if not where or any(lo is None and hi is None for lo, hi in where.values()):
@@ -296,10 +307,24 @@ def delete_where(
         keep = keep | F.coalesce(F.col(OP_COL) == "d", F.lit(False))
     bset = set(buckets)
     before = sum(f.rows for f in snap.files if f.bucket in bset)
-    df = table.read(buckets=buckets, version=snap.version).where(keep)
+    keep_files = None
+    if file_granular:
+        keep_files = {b: [] for b in buckets}
+        hit_paths = []
+        for f in snap.files:
+            if f.bucket not in bset:
+                continue
+            if _file_may_match(f, enc):
+                hit_paths.append(os.path.join(table.root, f.path))
+            else:
+                keep_files[f.bucket].append(f)
+        src = table.spark.read.schema(snap.schema).parquet(*hit_paths)
+        df = src.where(keep)
+    else:
+        df = table.read(buckets=buckets, version=snap.version).where(keep)
     ok = table.overwrite_buckets(
         df, buckets, commit_key=commit_key, schema=snap.schema,
-        base_version=snap.version,
+        base_version=snap.version, keep_files=keep_files,
     )
     # post-commit re-read: exact unless another writer lands in these
     # buckets between our commit and this read (our own commit already

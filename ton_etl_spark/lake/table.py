@@ -1077,6 +1077,7 @@ class LakeTable:
         base_version: int | None = None,
         sort_exprs: list | None = None,
         extra_stats_cols: list[str] | None = None,
+        keep_files: dict[int, list["DataFile"]] | None = None,
     ) -> bool:
         """Copy-on-write commit: replace all files of ``buckets`` with ``df``
         (which must contain exactly the surviving rows for those buckets).
@@ -1112,7 +1113,16 @@ class LakeTable:
         ``extra_stats_cols``: harvest file bounds for these columns in
         addition to the declared ``stats_cols`` — files written by LATER
         commits won't carry them (and are simply never skipped on them;
-        skipping stays an optimization)."""
+        skipping stays an optimization).
+
+        ``keep_files``: FILE-granular replacement — for each replaced
+        bucket, these existing DataFiles are carried into the new
+        manifest unchanged (not rewritten, not deleted); ``df`` must then
+        hold the surviving rows of the bucket's OTHER files only.  The
+        caller owns the exactness argument (e.g. a range delete keeps
+        exactly the files whose bounds exclude the range).  Conflict
+        granularity stays the bucket — kept files ride in the bucket's
+        rewritten manifest."""
         snap = (
             self.snapshot(base_version) if base_version is not None else self.current()
         )
@@ -1144,6 +1154,11 @@ class LakeTable:
             # a row landing outside the replace-set would shadow live data
             raise ValueError(f"overwrite produced rows in unreplaced buckets {stray}")
         by_bucket: dict[int, list[DataFile]] = {}
+        for b, kept in (keep_files or {}).items():
+            if b not in bset:
+                raise ValueError(f"keep_files bucket {b} outside replace-set")
+            if kept:
+                by_bucket[b] = list(kept)
         for f in new_files:
             by_bucket.setdefault(f.bucket, []).append(f)
         new_manifests = {
