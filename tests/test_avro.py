@@ -192,3 +192,100 @@ def test_lake_migration_from_avro(spark, tmp_path):
     merge_lww(t, df, commit_key="avro-import")
     got = {r["doc_id"]: r["text"] for r in t.read().collect()}
     assert got == {i: f"v{150 + i}" for i in range(50)}
+
+
+def _evolved_files(root, with_conflict=False):
+    """Two-generation lake: file 1 = v1 schema (doc_id, text); file 2 = v2
+    adds n_tok (the reference evolves additively — createdb.sql ALTERs via
+    datalake/generate_schema.py) and drops text."""
+    os.makedirs(root, exist_ok=True)
+    v1 = {
+        "type": "record",
+        "name": "docs",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"], "default": None},
+            {"name": "text", "type": ["null", "string"], "default": None},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "docs",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "n_tok",
+                "type": ["null", "string" if with_conflict else "long"],
+                "default": None,
+            },
+        ],
+    }
+    with open(os.path.join(root, "gen1.avro"), "wb") as fh:
+        fh.write(write_ocf_bytes(v1, [{"doc_id": i, "text": f"t{i}"} for i in range(3)]))
+    with open(os.path.join(root, "gen2.avro"), "wb") as fh:
+        fh.write(
+            write_ocf_bytes(
+                v2,
+                [
+                    {"doc_id": i, "n_tok": f"n{i}" if with_conflict else i * 10}
+                    for i in range(3, 6)
+                ],
+            )
+        )
+
+
+def test_read_avro_additive_schema_evolution(spark, tmp_path):
+    """Round-6 fix for the first-file schema pin (sources/avro.py): each
+    file decodes against its OWN writer schema and conforms to the additive
+    union — the added column is NULL for old files, the removed column is
+    NULL for new files, and no rows or columns are silently dropped."""
+    root = str(tmp_path / "lake")
+    _evolved_files(root)
+    df = read_avro(spark, root, use_datasource=False)
+    assert set(df.columns) == {"doc_id", "text", "n_tok", "_source_file"}
+    got = {r["doc_id"]: (r["text"], r["n_tok"]) for r in df.collect()}
+    assert got == {
+        **{i: (f"t{i}", None) for i in range(3)},       # added col → NULL
+        **{i: (None, i * 10) for i in range(3, 6)},     # removed col → NULL
+    }
+
+
+def test_read_avro_reader_schema_pins_columns(spark, tmp_path):
+    """Explicit reader_schema skips discovery: absent columns are NULL,
+    columns outside the reader schema are dropped."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "lake")
+    _evolved_files(root)
+    rs = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_tok", T.LongType(), True),
+        ]
+    )
+    df = read_avro(spark, root, use_datasource=False, reader_schema=rs)
+    assert set(df.columns) == {"doc_id", "n_tok", "_source_file"}
+    got = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+
+
+def test_read_avro_conflicting_types_raise(spark, tmp_path):
+    """Same column name with different Avro types across files must fail
+    loudly, not coerce — silent coercion loses data."""
+    root = str(tmp_path / "lake")
+    _evolved_files(root, with_conflict=True)
+    with open(os.path.join(root, "gen3.avro"), "wb") as fh:
+        fh.write(
+            write_ocf_bytes(
+                {
+                    "type": "record",
+                    "name": "docs",
+                    "fields": [
+                        {"name": "doc_id", "type": ["null", "long"], "default": None},
+                        {"name": "n_tok", "type": ["null", "long"], "default": None},
+                    ],
+                },
+                [{"doc_id": 9, "n_tok": 9}],
+            )
+        )
+    with pytest.raises(ValueError, match="conflicting Avro types.*n_tok"):
+        read_avro(spark, root, use_datasource=False)

@@ -88,6 +88,9 @@ def test_oracle_backed_queries_precede_rows_only():
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     assert all(n in oracles for n in names[:50])
+    # round-6 promotion: pii_redaction must hold a driver-visible slot
+    # (it was the only operator whose hard signal was dark in round 5).
+    assert "pii_redaction" in names[:50]
     oracle_pos = [names.index(k) for k in oracles]
     rows_only_pos = [i for i, n in enumerate(names) if n not in oracles]
     assert not rows_only_pos or max(oracle_pos) < min(rows_only_pos)

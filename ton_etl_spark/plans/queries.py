@@ -1913,9 +1913,12 @@ FROM t
 # rows in registry-insertion order, so every oracle-backed query MUST precede
 # the rows-only (sketch/hash-seeded) entries or it silently loses its hard
 # correctness signal (this dropped the ANN/embedding oracles in round 4).
-# pii_redaction sits past the driver's 50-row cap by design (the first 50
-# oracle rows stay stable); the local mirror (tests/test_queries_oracle.py)
-# hash-gates it every run.
+# The driver caps CORRECTNESS at 50 rows, so the first 50 entries are the
+# driver-visible census. Round 6: pii_redaction was promoted into the
+# visible 50 (it was the only operator whose hard signal was dark) and
+# label_centroid_norm — whose vector arithmetic is already exercised by
+# embedding_topk — moved past the cap. Every oracle-backed entry, visible
+# or not, is hash-gated by the local mirror (tests/test_queries_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "cdc_lww_snapshot": q_cdc_lww_snapshot,
@@ -1942,7 +1945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_counts": q_doc_lang_counts,
     "doc_quality": q_doc_quality,
     "embedding_topk": q_embedding_topk,
-    "label_centroid_norm": q_label_centroid_norm,
+    "pii_redaction": q_pii_redaction,
     "tps_windows": q_tps_windows,
     "latency_percentiles": q_latency_percentiles,
     "trace_2hop": q_trace_2hop,
@@ -1967,7 +1970,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "avro_roundtrip_docs": q_avro_roundtrip_docs,
     "segment_dedup": q_segment_dedup,
-    "pii_redaction": q_pii_redaction,
+    # oracle-backed but past the driver's 50-row cap (local mirror covers it):
+    "label_centroid_norm": q_label_centroid_norm,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots

@@ -438,6 +438,7 @@ def read_avro(
     spark: SparkSession,
     path: str,
     use_datasource: bool | None = None,
+    reader_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Read a directory/glob of Avro object container files as a DataFrame.
 
@@ -447,20 +448,29 @@ def read_avro(
     partition directories in the path (the reference's
     ``adding_date=YYYYMMDD/``) surface as columns in datasource mode; in
     jar-less mode derive them from ``_source_file`` if needed — the column
-    is appended so lineage survives the decode."""
+    is appended so lineage survives the decode.
+
+    Mixed-schema file sets (the reference's lake evolves additively —
+    ``createdb.sql`` ALTERs propagating through
+    ``datalake/generate_schema.py``) are handled in jar-less mode by
+    decoding each file against its OWN embedded writer schema
+    (``read_ocf_bytes``) and conforming to the additive union of all file
+    schemas: a column absent from a file surfaces as NULL for its rows, in
+    both the added-later and removed-later directions.  Pass
+    ``reader_schema`` to skip the header-discovery pass and pin the output
+    columns explicitly (columns absent from a file → NULL; file columns
+    outside the reader schema → dropped).  Same-named fields with
+    conflicting Spark types across files raise — silent coercion loses
+    data."""
     if use_datasource is None:
         use_datasource = _has_avro_datasource(spark)
     if use_datasource:
         return spark.read.format("avro").load(path)
 
-    sample = _first_avro_file(path)
-    with open(sample, "rb") as fh:
-        head = fh.read()
-    sj, _ = _read_header_only(head)
-    sc = parse_schema(sj)
-    if sc.kind != "record":
-        raise ValueError("top-level Avro schema must be a record")
-    spark_schema = avro_to_spark_type(sc)
+    if reader_schema is not None:
+        spark_schema = reader_schema
+    else:
+        spark_schema = _union_file_schemas(_list_avro_files(path))
     out_schema = T.StructType(
         list(spark_schema.fields) + [T.StructField("_source_file", T.StringType(), True)]
     )
@@ -470,9 +480,16 @@ def read_avro(
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
                 _, rows = read_ocf_bytes(bytes(content))
-                for r in rows:
-                    r["_source_file"] = path_
-                yield pd.DataFrame(rows, columns=names)
+                pdf_out = pd.DataFrame(rows) if rows else pd.DataFrame()
+                pdf_out["_source_file"] = path_
+                # conform to the union schema: absent columns (schema
+                # evolution in either direction) become NULL via an
+                # object-dtype column — never NaN-float, which can trip
+                # the Arrow cast for integral types.
+                for n in names:
+                    if n not in pdf_out.columns:
+                        pdf_out[n] = pd.Series([None] * len(pdf_out), dtype=object)
+                yield pdf_out[names]
 
     files = (
         spark.read.format("binaryFile")
@@ -483,14 +500,61 @@ def read_avro(
     return files.select("path", "content").mapInPandas(_decode, out_schema)
 
 
-def _first_avro_file(path: str) -> str:
+def _list_avro_files(path: str) -> list[str]:
     import glob as _glob
 
     pat = path if "*" in path else os.path.join(path, "**", "*.avro")
     hits = sorted(_glob.glob(pat, recursive=True))
     if not hits:
         raise FileNotFoundError(f"no .avro files under {path}")
-    return hits[0]
+    return hits
+
+
+def _file_schema_json(fpath: str) -> str:
+    """Writer schema JSON of one OCF, reading only the header region.
+
+    Headers are KBs; read 4 MB first and fall back to the whole file on a
+    parse failure (a pathological multi-MB schema)."""
+    with open(fpath, "rb") as fh:
+        head = fh.read(4 << 20)
+        try:
+            sj, _ = _read_header_only(head)
+            json.loads(sj)
+            return sj
+        except Exception:
+            data = head + fh.read()
+    sj, _ = _read_header_only(data)
+    return sj
+
+
+def _union_file_schemas(files: list[str]) -> T.StructType:
+    """Additive union of the files' writer schemas, first-seen field order.
+
+    Driver-side header reads only (the jar-less path already assumes a
+    shared filesystem — see ``write_avro``); distinct schema JSONs are
+    memoised so an evolved lake with millions of files but a handful of
+    schema versions parses each version once."""
+    fields: dict[str, T.StructField] = {}
+    seen_json: set[str] = set()
+    for fpath in files:
+        sj = _file_schema_json(fpath)
+        if sj in seen_json:
+            continue
+        seen_json.add(sj)
+        sc = parse_schema(sj)
+        if sc.kind != "record":
+            raise ValueError("top-level Avro schema must be a record")
+        for f in avro_to_spark_type(sc).fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = T.StructField(f.name, f.dataType, True)
+            elif prev.dataType != f.dataType:
+                raise ValueError(
+                    f"conflicting Avro types for column {f.name!r}: "
+                    f"{prev.dataType} vs {f.dataType} (in {fpath}); pass "
+                    "reader_schema= to resolve explicitly"
+                )
+    return T.StructType(list(fields.values()))
 
 
 def _read_header_only(data: bytes) -> tuple[str, bytes]:
