@@ -74,6 +74,37 @@ def run_headline(spark) -> dict[str, float]:
     return times
 
 
+def run_cc_graph(spark, workdir: str) -> float:
+    """Standing connected-components benchmark (round 6).  The sf0.1
+    ``dup_clusters`` reading is orchestration-dominated at bench scale
+    (BENCH.md round-5 analysis: Catalyst planning + per-round
+    localCheckpoint overhead, not data work), so CC regressions are
+    measured here instead: 600k deterministic pseudo-random edges over
+    200k nodes (xxhash64-derived — no RNG, identical every run) plus a
+    5k-long chain that forces the full O(log n) large-star/small-star
+    alternation depth.  Edge generation is untimed (materialised to tmpfs
+    parquet and read back) so the timed region is pure CC work."""
+    from pyspark.sql import functions as F
+
+    from ton_etl_spark.operators.graph import connected_components
+
+    n_nodes, n_rand, chain_len = 200_000, 600_000, 5_000
+    path = os.path.join(workdir, "cc_edges")
+    rand = spark.range(n_rand).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("id_a"),
+        F.pmod(F.xxhash64(F.col("id") + 1_000_000_007), F.lit(n_nodes)).alias("id_b"),
+    )
+    chain = spark.range(chain_len).select(
+        (F.col("id") + n_nodes).alias("id_a"),
+        (F.col("id") + n_nodes + 1).alias("id_b"),
+    )
+    rand.unionByName(chain).coalesce(8).write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    connected_components(edges).count()
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_ingest(spark, n_events: int, n_batches: int, workdir: str) -> dict:
     """The primary-metric job: generate a CDC log (not timed), then time
     end-to-end apply (validate → LWW MERGE) into a lake table.  A small
@@ -140,6 +171,7 @@ def main() -> None:
     QUERIES[HEADLINE[0]](spark, SF_DIR).count()
     queries = run_headline(spark)
     with tempfile.TemporaryDirectory(prefix="cdc_bench_", dir="/dev/shm") as wd:
+        queries["dup_clusters_graph"] = run_cc_graph(spark, wd)
         ingest = run_ingest(spark, BENCH_EVENTS, BENCH_BATCHES, wd)
     total = round(sum(queries.values()) + ingest["ingest_sec"], 3)
     out = {

@@ -236,3 +236,70 @@ def test_where_read_equals_filter_truth_property(spark, tmp_path_factory,
     want = {(r["k"], r["lsn"]) for r in truth.collect()}
     got = {(r["k"], r["lsn"]) for r in t.read(where={"lsn": (lo, hi)}).collect()}
     assert got == want
+
+
+def test_where_in_point_lookup_exact_and_pruned(spark, tmp_path):
+    """Round-6 point-lookup path: read(where_in=) equals the brute-force
+    isin truth, and files whose bounds exclude every probe value are never
+    opened (corrupted-skippable-file proof)."""
+    t = _make(spark, str(tmp_path / "in1"), stats_cols=["lsn"],
+              sort_cols=["lsn"], target_file_rows=100)
+    probe = [3, 471, 472, 998]
+    want = {(f"k{v}", v) for v in probe}
+    got = {(r["k"], r["lsn"]) for r in t.read(where_in={"lsn": probe}).collect()}
+    assert got == want
+    # corrupt every file no probe value can live in; the read must be
+    # possible only via manifest in-list skipping
+    skippable = [
+        f for f in t.current().files
+        if not any(f.stats["lsn"][0] <= v <= f.stats["lsn"][1] for v in probe)
+    ]
+    assert len(skippable) >= 3
+    for f in skippable:
+        with open(os.path.join(t.root, f.path), "wb") as fh:
+            fh.write(b"corrupt")
+    got = {(r["k"], r["lsn"]) for r in t.read(where_in={"lsn": probe}).collect()}
+    assert got == want
+    # columns AND together; values within a column OR; empty probe = empty
+    assert t.read(where_in={"lsn": probe, "tag": ["t3"]}).count() == 1  # k3
+    assert t.read(where_in={"lsn": []}).count() == 0
+
+
+def test_where_in_key_probe_prunes_buckets(spark, tmp_path):
+    """A probe covering the key columns computes candidate buckets by
+    hashing the probe keys through the storage bucket expression — proven
+    by corrupting EVERY file in every non-candidate bucket."""
+    t = _make(spark, str(tmp_path / "in2"), stats_cols=["lsn"],
+              target_file_rows=100)
+    snap = t.current()
+    keys = ["k10", "k20"]
+    cand = t._probe_buckets(snap, {"k": keys})
+    assert cand is not None and set(cand) <= set(snap.manifests)
+    for f in snap.files:
+        if f.bucket not in cand:
+            with open(os.path.join(t.root, f.path), "wb") as fh:
+                fh.write(b"corrupt")
+    got = {(r["k"], r["lsn"]) for r in t.read(where_in={"k": keys}).collect()}
+    assert got == {("k10", 10), ("k20", 20)}
+    # non-key probes and oversized cross-products fall back gracefully
+    assert t._probe_buckets(snap, {"lsn": [1]}) is None
+    big = {"k": [f"k{i}" for i in range(5000)]}
+    assert t._probe_buckets(snap, big) is None
+
+
+def test_where_in_unencodable_values_stay_exact(spark, tmp_path):
+    """Probe values the stats encoding cannot order (e.g. None) disable
+    pruning for that column but never break exactness."""
+    t = _make(spark, str(tmp_path / "in3"), stats_cols=["lsn"],
+              sort_cols=["lsn"], target_file_rows=100)
+    got = {r["lsn"] for r in t.read(where_in={"lsn": [5, None]}).collect()}
+    assert got == {5}  # SQL isin never matches NULL; no file was skipped
+
+
+def test_where_in_composes_with_range(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "in4"), stats_cols=["lsn"],
+              sort_cols=["lsn"], target_file_rows=100)
+    got = {r["lsn"] for r in
+           t.read(where={"lsn": (100, 200)},
+                  where_in={"tag": ["t3", "t7"]}).collect()}
+    assert got == {v for v in range(100, 201) if v % 10 in (3, 7)}

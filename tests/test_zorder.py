@@ -208,3 +208,47 @@ def test_clustering_overlap_metric(spark, tmp_path):
         assert main(["describe", "--table", t.root, "--clustering"]) == 0
     d = _json.loads(buf.getvalue().strip())
     assert d["clustering"] == m2
+
+
+def test_rolling_maintenance_zorder_threshold_autotrigger(spark, tmp_path):
+    """Round-6: the clustering metric DRIVES the rewrite.  A degraded
+    group re-clusters; once clustered, subsequent cycles do ZERO rewrites
+    (manifests untouched); fresh unclustered ingest re-arms the trigger."""
+    from ton_etl_spark.lake.maintenance import clustering_overlap, rolling_maintenance
+
+    t = _make(spark, str(tmp_path / "zat"), n=4000, target_file_rows=50)
+    with pytest.raises(ValueError, match="requires zorder_cols"):
+        rolling_maintenance(t, epoch=7, every=8, groups=2,
+                            zorder_overlap_threshold=0.5)
+
+    kw = dict(every=8, groups=2, zorder_cols=["a", "b"],
+              zorder_overlap_threshold=0.6)
+    # seed state: sorted on a, random on b => b overlap ~1 => both groups fire
+    r0 = rolling_maintenance(t, epoch=7, **kw)    # group 0
+    r1 = rolling_maintenance(t, epoch=15, **kw)   # group 1
+    assert r0["applied"] and r1["applied"]
+    m = clustering_overlap(t)
+    assert m["a"] < 0.6 and m["b"] < 0.6
+
+    # well-clustered: the next full cycle does zero rewrites
+    before = dict(t.current().manifests)
+    s0 = rolling_maintenance(t, epoch=23, **kw)
+    s1 = rolling_maintenance(t, epoch=31, **kw)
+    assert s0["skipped"] == "well-clustered" and s0["overlap"] <= 0.6
+    assert s1["skipped"] == "well-clustered"
+    assert dict(t.current().manifests) == before  # no commit at all
+
+    # ingest degrades clustering: new files span both domains
+    df = spark.range(4000, 8000).select(
+        F.col("id").alias("k"),
+        (F.xxhash64(F.col("id"), F.lit(1)) % 1000).alias("a"),
+        (F.xxhash64(F.col("id"), F.lit(2)) % 1000).alias("b"),
+    )
+    t.append(df, commit_key="more")
+    assert max(v for v in clustering_overlap(t).values() if v is not None) > 0.6
+    r2 = rolling_maintenance(t, epoch=39, **kw)   # group 0 re-arms
+    r3 = rolling_maintenance(t, epoch=47, **kw)   # group 1 re-arms
+    assert r2["applied"] and r3["applied"]
+    m3 = clustering_overlap(t)
+    assert m3["a"] < 0.6 and m3["b"] < 0.6
+    assert t.read().count() == 8000

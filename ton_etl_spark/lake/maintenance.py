@@ -72,6 +72,7 @@ def rolling_maintenance(
     groups: int = 4,
     tombstone_horizon_lsn: int | None = None,
     zorder_cols: list[str] | None = None,
+    zorder_overlap_threshold: float | None = None,
 ) -> dict | None:
     """Automated maintenance policy for a long-running ingest loop: every
     ``every`` epochs, compact ONE rolling group of buckets (group id cycles
@@ -95,11 +96,22 @@ def rolling_maintenance(
     inter-maintenance merges erode, one bucket group at a time.
     Mutually exclusive with ``tombstone_horizon_lsn`` (a z-order rewrite
     keeps every row; GC'ing inside it would fork the tombstone predicate
-    into a second place)."""
+    into a second place).
+
+    ``zorder_overlap_threshold``: make the z-order rewrite DEMAND-DRIVEN —
+    the cycle's group is re-clustered only when its worst per-column
+    ``clustering_overlap`` over ``zorder_cols`` exceeds the threshold
+    (manifest math only, no Spark job for the check), so a well-clustered
+    table pays zero rewrite I/O while a degrading ingest stream still
+    self-heals.  Without it, every cycle rewrites its group
+    unconditionally — correct but wasteful at 100 TB, where most cycles
+    follow appends that touched few buckets."""
     if zorder_cols and tombstone_horizon_lsn is not None:
         # validate BEFORE the epoch gate: a misconfigured ingest loop must
         # fail on its first call, not epochs later inside foreachBatch
         raise ValueError("pass zorder_cols OR tombstone_horizon_lsn, not both")
+    if zorder_overlap_threshold is not None and not zorder_cols:
+        raise ValueError("zorder_overlap_threshold requires zorder_cols")
     if every <= 0 or (epoch + 1) % every != 0:
         return None
     snap = table.current()
@@ -114,6 +126,21 @@ def rolling_maintenance(
             table, tombstone_horizon_lsn, buckets=buckets, commit_key=key
         )
     if zorder_cols:
+        if zorder_overlap_threshold is not None:
+            ov = clustering_overlap(table, version=snap.version, buckets=buckets)
+            scores = [
+                ov[c] for c in zorder_cols if ov.get(c) is not None
+            ]
+            worst = max(scores) if scores else None
+            # None = no scoreable pairs (single-file buckets / no stats):
+            # nothing a rewrite could improve — skip, don't rewrite blind
+            if worst is None or worst <= zorder_overlap_threshold:
+                return {
+                    "applied": False,
+                    "buckets": buckets,
+                    "overlap": worst,
+                    "skipped": "well-clustered",
+                }
         return rewrite_zorder(table, zorder_cols, buckets=buckets, commit_key=key)
     return rewrite_buckets(table, buckets=buckets, commit_key=key)
 
@@ -193,7 +220,11 @@ def rebucket(
     }
 
 
-def clustering_overlap(table: LakeTable, version: int | None = None) -> dict:
+def clustering_overlap(
+    table: LakeTable,
+    version: int | None = None,
+    buckets: list[int] | None = None,
+) -> dict:
     """Per-column clustering quality from manifest metadata alone: the
     fraction of same-bucket file pairs whose [min, max] bounds overlap.
 
@@ -206,15 +237,22 @@ def clustering_overlap(table: LakeTable, version: int | None = None) -> dict:
 
     Columns with mixed-type bounds (schema evolution) or no stats report
     null.  Buckets with a single stats-carrying file contribute no pairs.
+    ``buckets`` restricts the metric to one bucket group — how
+    ``rolling_maintenance``'s auto-z-order gate scores just the group it
+    would rewrite this cycle.
     """
     snap = table.snapshot(version) if version is not None else table.current()
-    cols = sorted({c for f in snap.files if f.stats for c in f.stats})
+    files = snap.files
+    if buckets is not None:
+        bset = set(buckets)
+        files = [f for f in files if f.bucket in bset]
+    cols = sorted({c for f in files if f.stats for c in f.stats})
     out: dict[str, float | None] = {}
     for c in cols:
         overlaps = 0
         try:
             by_bucket: dict[int, list] = {}
-            for f in snap.files:
+            for f in files:
                 if f.stats and c in f.stats:
                     by_bucket.setdefault(f.bucket, []).append(tuple(f.stats[c]))
             for ranges in by_bucket.values():

@@ -188,6 +188,33 @@ def _stats_encode(v: Any) -> Any:
     return None
 
 
+def _file_may_match_in(f: DataFile, enc_in: dict[str, list]) -> bool:
+    """Conservative in-list skip test: False only when the file's [min,
+    max] bounds prove NO probe value can be present.  ``enc_in`` values
+    are pre-encoded AND sorted (once per read), so each file test is a
+    bisect, not a scan — a 10^4-value probe list over a 10^5-file snapshot
+    stays O(files × log values) driver work.  A probe value that failed to
+    encode keeps the column unprunable (empty list sentinel)."""
+    import bisect
+
+    if not f.stats:
+        return True
+    for col, vals in enc_in.items():
+        if not vals:  # unencodable probe value present: cannot prune
+            continue
+        bounds = f.stats.get(col)
+        if not bounds:
+            continue
+        fmin, fmax = bounds
+        try:
+            i = bisect.bisect_left(vals, fmin)
+            if i >= len(vals) or vals[i] > fmax:
+                return False
+        except TypeError:
+            continue  # mixed encodings: unknowable, keep the file
+    return True
+
+
 def _file_may_match(f: DataFile, enc_where: dict[str, tuple[Any, Any]]) -> bool:
     """Conservative skip test: False only when a file's stored [min, max]
     bounds PROVE no row can satisfy every range.  Missing stats (old
@@ -725,6 +752,13 @@ class LakeTable:
         not — those are parsed as fixed offsets; anything unrecognizable
         disables skipping for that bound (``None`` => unbounded => every
         file kept; the residual filter stays correct)."""
+        conv = self._session_tz_converter()
+        return {c: (conv(lo), conv(hi)) for c, (lo, hi) in where.items()}
+
+    def _session_tz_converter(self):
+        """Shared naive-datetime → session-tz-aware converter for skip-side
+        predicate encoding (see ``_session_tz_bounds`` for the contract);
+        returns a callable so in-list probes reuse the same resolution."""
         import datetime as _dt
         import re as _re
 
@@ -758,7 +792,7 @@ class LakeTable:
                 return v.replace(tzinfo=tz)
             return v
 
-        return {c: (conv(lo), conv(hi)) for c, (lo, hi) in where.items()}
+        return conv
 
     # ------------------------------------------------------------------ bucketing
     def check_bucket_fn(self, snap: Snapshot) -> None:
@@ -786,6 +820,7 @@ class LakeTable:
         version: int | None = None,
         where: dict[str, tuple[Any, Any]] | None = None,
         tag: str | None = None,
+        where_in: dict[str, list] | None = None,
     ) -> DataFrame:
         """Scan the table at a snapshot.  ``buckets`` prunes at file level —
         only the Parquet files registered for those buckets are opened.
@@ -801,16 +836,44 @@ class LakeTable:
         inside the files that survive).
 
         ``tag``: read at a named ref instead of a numeric version (the
-        reproducible-training-set path — see :meth:`tag`)."""
+        reproducible-training-set path — see :meth:`tag`).
+
+        ``where_in`` maps column -> collection of probe values (the
+        point-lookup path — reference analog: the per-key online SELECTs in
+        ``parser/db.py:112-256``); columns AND together, values within a
+        column OR.  Three pruning layers compose: (1) when the probe
+        columns cover the table's key columns, the candidate BUCKETS are
+        computed by hashing the probe keys (one tiny local-relation job) —
+        a point lookup on a 100 TB table opens one bucket's files; (2)
+        files whose [min, max] bounds contain no probe value are skipped;
+        (3) the residual ``isin`` filter is pushed to the Parquet scan,
+        where per-file bloom filters (``bloom_cols``) do the row-group
+        work.  As with ``where``, skipping is an optimization and the
+        residual filter is the truth — results are exact regardless of
+        which layers fire."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")
             version = self.resolve_tag(tag)
         snap = self.snapshot(version) if version is not None else self.current()
+        if where_in and buckets is None:
+            buckets = self._probe_buckets(snap, where_in)
         if buckets is not None:
             # pruning correctness depends on the bucket hash matching
             self.check_bucket_fn(snap)
         files = snap.files_for(buckets)
+        if where_in:
+            conv = self._session_tz_converter()
+            enc_in: dict[str, list] = {}
+            for c, vals in where_in.items():
+                enc = [_stats_encode(conv(v)) for v in vals]
+                # an unencodable probe value makes the column unprunable
+                # (empty-list sentinel understood by _file_may_match_in)
+                try:
+                    enc_in[c] = sorted(enc) if None not in enc else []
+                except TypeError:
+                    enc_in[c] = []
+            files = [f for f in files if _file_may_match_in(f, enc_in)]
         if where:
             # A NAIVE datetime bound means session-local time to the
             # residual filter below, but the stored bounds are UTC — attach
@@ -835,7 +898,43 @@ class LakeTable:
                     df = df.where(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     df = df.where(F.col(col) <= F.lit(hi))
+        if where_in:
+            for col, vals in where_in.items():
+                df = df.where(F.col(col).isin(list(vals)))
         return df
+
+    _PROBE_BUCKET_MAX_COMBOS = 4096
+
+    def _probe_buckets(
+        self, snap: Snapshot, where_in: dict[str, list]
+    ) -> list[int] | None:
+        """Candidate buckets for a key-covering point lookup, or None when
+        bucket pruning cannot apply (probe misses a key column, or the key
+        cross-product is too large to enumerate).  The probe keys are hashed
+        through the SAME Spark expression that routed writes (``bucket_of``
+        over the snapshot's key schema — a Python reimplementation of
+        murmur3 would be a silent-corruption risk), as one local-relation
+        job over at most ``_PROBE_BUCKET_MAX_COMBOS`` rows."""
+        import itertools
+
+        if not set(snap.key_cols) <= set(where_in):
+            return None
+        sizes = [len(where_in[k]) for k in snap.key_cols]
+        n_combos = 1
+        for s in sizes:
+            n_combos *= s
+        if n_combos == 0 or n_combos > self._PROBE_BUCKET_MAX_COMBOS:
+            return None
+        self.check_bucket_fn(snap)
+        key_fields = T.StructType(
+            [snap.schema[k] for k in snap.key_cols]  # exact key types: the
+            # murmur3 of int32 and int64 differ, so probe literals must be
+            # cast to the stored key schema before hashing
+        )
+        combos = list(itertools.product(*(where_in[k] for k in snap.key_cols)))
+        kdf = self.spark.createDataFrame(combos, key_fields)
+        expr = bucket_of(snap.key_cols, snap.n_buckets)
+        return sorted({r[0] for r in kdf.select(expr.alias("b")).distinct().collect()})
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog between two snapshots (Iceberg
