@@ -209,3 +209,50 @@ def test_curation_index_rebuilds_from_table_after_sidecar_loss(spark, doc_log, t
     assert dec[100]["decision"] == "dup_corpus" and dec[100]["match_id"] == sampled_out
     assert dec[101]["decision"] in ("admitted", "sampled_out")
     assert 100 not in {r["doc_id"] for r in table.read().collect()}
+
+
+def test_curation_stream_retention_bounds_sidecars(spark, doc_log, tmp_path):
+    """Round-6: an unbounded curation loop must not grow its sidecar
+    state forever.  With retention on, decision rows age out past the
+    epoch horizon, both tables' snapshot metadata expires, file counts
+    stay bounded — and the curated corpus still equals the batch oracle
+    (retention never touches content or replay keys)."""
+    glob_path = os.path.join(doc_log, "b*")
+    tbl, dcs = str(tmp_path / "tbl"), str(tmp_path / "dec")
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    q = start_curation_stream(
+        spark, glob_path, tbl, dcs, idx, ckpt, max_files_per_trigger=1,
+        retain_epochs=2, retention_every=2, keep_last_snapshots=2,
+        retention_grace_seconds=0.0,
+    )
+    q.awaitTermination(300)
+
+    # replay equality unaffected
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in read_corpus(LakeTable.load(spark, tbl)).collect()
+    )
+    assert got == _oracle_rows(doc_log)
+
+    # decisions hold only the retention window: the batch-5 sweep ran at
+    # horizon 5-2=3, so epochs <=3 are gone and 4..5 survive
+    d = LakeTable.load(spark, dcs)
+    epochs = {r["epoch"] for r in d.read().select("epoch").distinct().collect()}
+    assert epochs == {4, 5}
+
+    # bounded storage: file counts collapse to O(buckets), snapshot
+    # metadata to O(keep_last) — not O(epochs)
+    t = LakeTable.load(spark, tbl)
+    assert len(d.current().files) <= 8     # 4 buckets, post-sweep compact
+    assert len(t.current().files) <= 8     # 8 buckets, rolling-compacted
+    for root in (tbl, dcs):
+        snaps = [f for f in os.listdir(os.path.join(root, "_meta"))
+                 if f.startswith("v") and f.endswith(".json")]
+        assert len(snaps) <= 3, (root, snaps)
+
+    # idempotency survives retention: replaying an old epoch is a no-op
+    # even though its decision rows were swept
+    batch0 = spark.read.parquet(os.path.join(doc_log, "b0"))
+    res = curate_batch(spark, t, d, idx, batch0, epoch=0)
+    assert res["applied"] is False
+    assert {r["epoch"] for r in d.read().select("epoch").distinct().collect()} == {4, 5}

@@ -145,3 +145,48 @@ def test_batch_duration_windows_key_off_batch_end(spark, tmp_path):
     assert set(got) == {"01:00", "00:00"}
     assert got["01:00"]["p50"] == 30.0
     assert got["00:00"]["p50"] == 5.0
+
+
+def test_metrics_recorder_retention_bounds_table(spark, tmp_path):
+    """Round-6: the metrics LakeTable inside an unbounded stream is swept
+    by wall-clock horizon — old rows age out, snapshots expire, file count
+    stays O(buckets) over a long synthetic run."""
+    import datetime as dt
+
+    from ton_etl_spark.streaming.observability import MetricsRecorder
+
+    rec = MetricsRecorder(
+        spark, str(tmp_path / "mret"), retain_seconds=3600.0,
+        retention_every=10, keep_last_snapshots=2,
+        retention_grace_seconds=0.0,
+    )
+    now = dt.datetime.now(dt.timezone.utc)
+
+    def _iso(t):
+        return t.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+
+    for i in range(30):
+        # first 20 rows are 2h stale, the rest current
+        ts = now - dt.timedelta(hours=2) if i < 20 else now
+        rec._record({
+            "id": "q1", "runId": "r1", "batchId": i,
+            "timestamp": _iso(ts), "numInputRows": 1,
+            "durationMs": {"triggerExecution": 5, "addBatch": 3},
+            "observedMetrics": {},
+        })
+    assert rec.rows_written == 30 and not rec.errors
+    rows = rec.table.read().select("batch_id").collect()
+    got = sorted(r["batch_id"] for r in rows)
+    assert got == list(range(20, 30))  # stale rows swept, current kept
+    assert len(rec.table.current().files) <= 4  # 2 buckets, post-sweep
+    snaps = [f for f in os.listdir(os.path.join(rec.table.root, "_meta"))
+             if f.startswith("v") and f.endswith(".json")]
+    assert len(snaps) <= 3
+    # replay keys survive retention: re-recording an old batch is a no-op
+    before = rec.table.current_version()
+    rec._record({
+        "id": "q1", "runId": "r1", "batchId": 29,
+        "timestamp": _iso(now), "numInputRows": 1,
+        "durationMs": {}, "observedMetrics": {},
+    })
+    assert rec.table.current_version() == before

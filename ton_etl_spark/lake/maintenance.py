@@ -374,6 +374,45 @@ def delete_where(
     return {"applied": ok, "buckets": buckets, "deleted_rows": before - after}
 
 
+def retention_sweep(
+    table: LakeTable,
+    where: dict,
+    commit_key: str | None = None,
+    keep_last: int = 2,
+    grace_seconds: float = 600.0,
+    compact: bool = False,
+) -> dict:
+    """Bounded-growth policy for append-only sidecar tables that live
+    inside an unbounded stream (curation decisions, observability metrics,
+    lineage): delete every row inside the ``where`` horizon ranges
+    (``delete_where`` semantics — stats-pruned, and the rewrite collapses
+    each touched bucket back to compact files), then expire snapshot
+    metadata and unreferenced data files beyond the newest ``keep_last``
+    versions.  Tagged snapshots always survive expiry — a tag pins what
+    retention must never collect.  Idempotent per ``commit_key``; the
+    expiry half is monotone and safe to repeat.
+
+    Reference analog: the Postgres tables these sidecars replace are
+    bounded by the reference's cron DELETEs/VACUUM; here the horizon is
+    explicit and the replay contract is preserved because commit-key
+    watermarks live in the snapshot, not in the expired history.
+
+    ``compact=True``: also collapse every bucket's per-append file
+    accumulation after the delete — the horizon delete only rewrites
+    buckets holding EXPIRED rows, so a quiet period where nothing expires
+    would otherwise let still-live append files pile up between sweeps.
+    Sidecar tables are small by construction; a full compact per sweep
+    cycle is bounded work."""
+    d = delete_where(table, where, commit_key=commit_key)
+    if compact and table.current().manifests:
+        rewrite_buckets(
+            table,
+            commit_key=f"{commit_key}-compact" if commit_key else None,
+        )
+    e = expire_snapshots(table, keep_last=keep_last, grace_seconds=grace_seconds)
+    return {**d, "expired": {k: v for k, v in e.items() if k != "kept_versions"}}
+
+
 _ZORDER_TEMPORAL = {"timestamp": F.unix_micros, "timestamp_ntz": F.unix_micros,
                     "date": F.unix_date}
 _ZORDER_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "long")

@@ -81,8 +81,11 @@ def make_curated_table(spark: SparkSession, root: str, n_buckets: int = 8) -> La
 
 def make_decision_table(spark: SparkSession, root: str, n_buckets: int = 4) -> LakeTable:
     schema = spark.createDataFrame([], DECISION_SCHEMA).schema
+    # epoch bounds in the manifests: the retention sweep's horizon delete
+    # prunes to the buckets/files actually holding expired epochs
     return LakeTable.get_or_create(
-        spark, root, schema=schema, key_cols=["doc_id"], n_buckets=n_buckets
+        spark, root, schema=schema, key_cols=["doc_id"], n_buckets=n_buckets,
+        stats_cols=["epoch"],
     )
 
 
@@ -261,6 +264,10 @@ def start_curation_stream(
     checkpoint_dir: str,
     n_buckets: int = 8,
     max_files_per_trigger: int = 2,
+    retain_epochs: int | None = None,
+    retention_every: int = 8,
+    keep_last_snapshots: int = 2,
+    retention_grace_seconds: float = 600.0,
     **gates,
 ):
     """Streaming curation: a file stream of raw document parquet
@@ -268,7 +275,17 @@ def start_curation_stream(
     Restart with the same ``checkpoint_dir`` resumes from the last
     committed source offset; replayed batches no-op via the commit keys
     and the index's epoch cursor (see module docstring for the crash
-    contract)."""
+    contract).
+
+    ``retain_epochs``: bound the otherwise-forever-growing sidecar state —
+    every ``retention_every`` epochs, decision rows older than
+    ``current_epoch - retain_epochs`` are swept (``retention_sweep``:
+    horizon delete + snapshot expiry) and the curated table gets one
+    rolling compaction group plus the same snapshot expiry.  The curated
+    CONTENT is never dropped (it is the product; dedup state lives in the
+    index and the table rows themselves) — only decision audit rows age
+    out, so replay equality is untouched.  Tags pin snapshots that must
+    survive expiry."""
     make_curated_table(spark, table_root, n_buckets=n_buckets)
     make_decision_table(spark, decision_root)
 
@@ -283,6 +300,29 @@ def start_curation_stream(
         t = LakeTable.load(spark, table_root)
         d = LakeTable.load(spark, decision_root)
         curate_batch(spark, t, d, index_path, batch_df, batch_id, **gates)
+        if retain_epochs is not None and (batch_id + 1) % retention_every == 0:
+            from ton_etl_spark.lake.maintenance import (
+                expire_snapshots,
+                retention_sweep,
+                rolling_maintenance,
+            )
+
+            horizon = batch_id - retain_epochs
+            if horizon >= 0:
+                retention_sweep(
+                    d, {"epoch": (None, horizon)},
+                    commit_key=f"retain={batch_id}",
+                    keep_last=keep_last_snapshots,
+                    grace_seconds=retention_grace_seconds,
+                    compact=True,
+                )
+            # the curated table keeps every row; bound its FILE count
+            # (1 file/bucket/epoch of appends) and snapshot metadata
+            rolling_maintenance(t, batch_id, every=retention_every, groups=1)
+            expire_snapshots(
+                t, keep_last=keep_last_snapshots,
+                grace_seconds=retention_grace_seconds,
+            )
 
     return (
         src.writeStream.foreachBatch(_apply)

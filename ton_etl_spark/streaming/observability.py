@@ -60,8 +60,12 @@ METRICS_SCHEMA = T.StructType(
 
 
 def make_metrics_table(spark: SparkSession, root: str) -> LakeTable:
+    # batch_ts bounds in the manifests: the ISO-8601 strings order
+    # lexicographically == chronologically, so the wall-clock retention
+    # sweep prunes to the files actually holding expired rows
     return LakeTable.get_or_create(
-        spark, root, schema=METRICS_SCHEMA, key_cols=["run_id", "batch_id"], n_buckets=2
+        spark, root, schema=METRICS_SCHEMA, key_cols=["run_id", "batch_id"],
+        n_buckets=2, stats_cols=["batch_ts"],
     )
 
 
@@ -73,12 +77,33 @@ class MetricsRecorder(StreamingQueryListener):
     session, so multiple streams share one metrics table with their rows
     distinguished by ``query_id``/``run_id``."""
 
-    def __init__(self, spark: SparkSession, root: str, observation: str = "delivery"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        observation: str = "delivery",
+        retain_seconds: float | None = None,
+        retention_every: int = 32,
+        keep_last_snapshots: int = 2,
+        retention_grace_seconds: float = 600.0,
+    ):
+        """``retain_seconds``: bound the append-only metrics table inside
+        an unbounded stream — every ``retention_every`` recorded rows, rows
+        whose ``batch_ts`` (the trigger-start wall clock) is older than the
+        horizon are swept and snapshots beyond ``keep_last_snapshots``
+        expire (``lake.maintenance.retention_sweep``).  Tags pin snapshots
+        retention must keep.  ``None`` (default) keeps everything —
+        unchanged behavior for short-lived jobs."""
         self.spark = spark
         self.observation = observation
         self.table = make_metrics_table(spark, root)
         self.errors: list[Exception] = []
         self.rows_written = 0
+        self.retain_seconds = retain_seconds
+        self.retention_every = max(1, retention_every)
+        self.keep_last_snapshots = keep_last_snapshots
+        self.retention_grace_seconds = retention_grace_seconds
+        self._last_sweep_rows = 0
         self._lock = threading.Lock()
 
     # -------------------------------------------------------- listener API
@@ -131,6 +156,40 @@ class MetricsRecorder(StreamingQueryListener):
                     self.rows_written += 1
             except CommitConflictError:
                 self.errors.append(RuntimeError(f"metrics commit starved for {key}"))
+            if (
+                self.retain_seconds is not None
+                and self.rows_written > 0
+                and self.rows_written % self.retention_every == 0
+                # deduped replays leave rows_written stationary; never
+                # re-sweep (and re-commit a compaction) for the same count
+                and self.rows_written != self._last_sweep_rows
+            ):
+                self._last_sweep_rows = self.rows_written
+                try:
+                    self._sweep()
+                except CommitConflictError:
+                    pass  # a concurrent writer won the CAS; next cycle retries
+
+    def _sweep(self) -> None:
+        """Wall-clock retention over batch_ts (same ISO shape the progress
+        events carry, so the string compare is chronological).  Runs under
+        the recorder lock — it serializes with this process's appends the
+        same way the appends serialize with each other."""
+        import datetime as _dt
+
+        from ton_etl_spark.lake.maintenance import retention_sweep
+
+        cutoff = (
+            _dt.datetime.now(_dt.timezone.utc)
+            - _dt.timedelta(seconds=self.retain_seconds)
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        retention_sweep(
+            self.table,
+            {"batch_ts": (None, cutoff)},
+            keep_last=self.keep_last_snapshots,
+            grace_seconds=self.retention_grace_seconds,
+            compact=True,  # per-append files pile up even when nothing expires
+        )
 
     # -------------------------------------------------------- barrier
     def wait_for(self, n_rows: int, timeout: float = 60.0) -> bool:
