@@ -202,3 +202,40 @@ def test_cli_metrics_with_event_gauges(spark, tmp_path, capsys):
     assert 'ton_etl_common_operations{class="p2p",col="average"} 5' in text
     assert 'ton_etl_common_operations{class="jetton",col="tx_count"} 1' in text
     assert "ton_etl_ingest_rows_total 5" in text
+
+
+def test_cli_lookup_and_demand_driven_zorder(spark, tmp_path, capsys):
+    """Round-6 surfaces: `lookup` (point lookups over where_in) and
+    `maintain --zorder --zorder-if-overlap` (rewrite only when the
+    clustering metric says so)."""
+    from ton_etl_spark.lake.table import LakeTable
+
+    df = spark.range(4000).selectExpr(
+        "id AS k", "xxhash64(id, 1) % 1000 AS a", "xxhash64(id, 2) % 1000 AS b"
+    )
+    table = str(tmp_path / "tbl")
+    t = LakeTable.create(spark, table, schema=df.schema, key_cols=["k"],
+                         n_buckets=2, stats_cols=["a", "b"], sort_cols=["a"],
+                         target_file_rows=50)
+    t.append(df, commit_key="seed")
+
+    # point lookup: key-covering probe, JSON lines out
+    assert main(["lookup", "--table", table, "--in", '{"k": [5, 17]}',
+                 "--columns", "k,a"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["k"] for r in lines) == [5, 17]
+    assert all(set(r) == {"k", "a"} for r in lines)
+
+    # b is unclustered (overlap ~1) => threshold 0.6 triggers the rewrite
+    assert main(["maintain", "--table", table, "--zorder", "a,b",
+                 "--zorder-if-overlap", "0.6", "--commit-key", "z1"]) == 0
+    z = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert z["zorder"]["applied"] is True and z["zorder"]["overlap"] > 0.6
+
+    # now well-clustered => same invocation skips, no commit
+    v = LakeTable.load(spark, table).current_version()
+    assert main(["maintain", "--table", table, "--zorder", "a,b",
+                 "--zorder-if-overlap", "0.6", "--commit-key", "z2"]) == 0
+    z2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert z2["zorder"]["skipped"] == "well-clustered"
+    assert LakeTable.load(spark, table).current_version() == v

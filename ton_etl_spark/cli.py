@@ -142,10 +142,27 @@ def _cmd_maintain(args) -> int:
             file_granular=args.file_granular,
         )
     if args.zorder:
-        out["zorder"] = rewrite_zorder(
-            t, [c.strip() for c in args.zorder.split(",") if c.strip()],
-            commit_key=(args.commit_key + "-z") if args.commit_key else None,
-        )
+        zcols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        worst = None
+        if args.zorder_if_overlap is not None:
+            from ton_etl_spark.lake.maintenance import clustering_overlap
+
+            ov = clustering_overlap(t)
+            scores = [ov[c] for c in zcols if ov.get(c) is not None]
+            worst = max(scores) if scores else None
+        if args.zorder_if_overlap is not None and (
+            worst is None or worst <= args.zorder_if_overlap
+        ):
+            # None = no scoreable pairs: nothing a rewrite could improve
+            out["zorder"] = {"applied": False, "overlap": worst,
+                             "skipped": "well-clustered"}
+        else:
+            out["zorder"] = rewrite_zorder(
+                t, zcols,
+                commit_key=(args.commit_key + "-z") if args.commit_key else None,
+            )
+            if worst is not None:
+                out["zorder"]["overlap"] = worst
     if args.compact:
         out["compact"] = rewrite_buckets(t, commit_key=args.commit_key)
     if args.gc_tombstones_below is not None:
@@ -156,6 +173,28 @@ def _cmd_maintain(args) -> int:
     if args.expire_keep_last is not None:
         out["expire"] = expire_snapshots(t, keep_last=args.expire_keep_last)
     print(json.dumps(out))
+    return 0
+
+
+def _cmd_lookup(args) -> int:
+    """Online point lookup (reference analog: the per-key SELECT helpers in
+    ``parser/db.py:112-256``): bucket-pruned + stats-pruned + bloom-assisted
+    via ``LakeTable.read(where_in=)``; rows print as JSON lines."""
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    probes = json.loads(args.where_in)
+    if not isinstance(probes, dict) or not all(
+        isinstance(v, list) for v in probes.values()
+    ):
+        raise SystemExit('--in must be a JSON object of {"col": [values...]}')
+    df = t.read(where_in=probes)
+    if args.columns:
+        df = df.select(*[c.strip() for c in args.columns.split(",") if c.strip()])
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
     return 0
 
 
@@ -365,6 +404,12 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--zorder", default=None, metavar="COL,COL[,...]",
                     help="z-order clustering rewrite on these columns "
                     "(multi-column file skipping; a compaction variant)")
+    mt.add_argument("--zorder-if-overlap", type=float, default=None,
+                    metavar="FRAC",
+                    help="with --zorder: rewrite only when the worst "
+                    "per-column clustering overlap over those columns "
+                    "exceeds FRAC (demand-driven re-clustering; the "
+                    "describe --clustering signal, manifest math only)")
     mt.add_argument("--delete-where", default=None, metavar="JSON",
                     help='stats-pruned range delete, e.g. '
                     '\'{"lsn": [null, 999]}\' (inclusive bounds, null=open)')
@@ -378,6 +423,19 @@ def build_parser() -> argparse.ArgumentParser:
     oc.add_argument("--table", required=True)
     oc.add_argument("--log-root", required=True)
     oc.set_defaults(fn=_cmd_oracle_check)
+
+    lk = sub.add_parser(
+        "lookup",
+        help="point lookup: bucket/stats/bloom-pruned read(where_in=)",
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--in", dest="where_in", required=True, metavar="JSON",
+                    help='probe values per column, e.g. \'{"doc_id": [1, 7]}\' '
+                    "(columns AND, values OR; key-covering probes prune to "
+                    "their buckets)")
+    lk.add_argument("--columns", default=None, metavar="COL,COL[,...]")
+    lk.add_argument("--limit", type=int, default=1000)
+    lk.set_defaults(fn=_cmd_lookup)
 
     de = sub.add_parser("describe", help="table metadata: version, layout, file/stats coverage")
     de.add_argument("--table", required=True)
