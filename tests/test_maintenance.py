@@ -660,3 +660,95 @@ def test_delete_where_file_granular_rewrites_only_hit_files(spark, tmp_path):
 
     # time travel to the pre-delete snapshot still sees everything
     assert tf.read(version=1).count() == 2000
+
+
+def test_delete_where_in_key_list(spark, tmp_path):
+    """Round-6 per-key delete (GDPR role): where_in deletes exactly the
+    probed keys; a key-covering probe prunes candidate BUCKETS (proven by
+    corrupting every file in every non-candidate bucket) and in-list file
+    skipping prunes within them; file_granular keeps non-hit files by
+    path identity."""
+    import os
+
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "din"), schema=df.schema, key_cols=["k"],
+        n_buckets=4, stats_cols=["k"], sort_cols=["k"], target_file_rows=100,
+    )
+    t.append(df, commit_key="seed")
+    snap = t.current()
+
+    victims = [42, 43, 1999]
+    cand = t._probe_buckets(snap, {"k": victims})
+    assert cand is not None and len(cand) < 4
+    untouched_files = {f.path for f in snap.files if f.bucket not in cand}
+    for p in untouched_files:
+        with open(os.path.join(t.root, p), "wb") as fh:
+            fh.write(b"corrupt")
+
+    r = delete_where(t, where_in={"k": victims}, commit_key="g1",
+                     file_granular=True)
+    assert r["applied"] and r["deleted_rows"] == 3
+    assert set(r["buckets"]) <= set(cand)
+    after = t.current()
+    # non-candidate buckets: manifests untouched (their corrupt files
+    # were never opened); candidate buckets: non-hit files carried by
+    # path identity
+    for f in after.files:
+        if f.bucket not in cand:
+            assert f.path in untouched_files
+    kept_hit_bucket_files = {
+        f.path for f in after.files if f.bucket in cand
+    } & {f.path for f in snap.files}
+    assert kept_hit_bucket_files  # at least one pre-existing file survived
+
+    # exactness on the surviving (readable) buckets: one job maps every
+    # key to its storage bucket, then membership decides the expectation
+    from ton_etl_spark.lake.table import bucket_of
+
+    k2b = {
+        r["k"]: r["b"]
+        for r in spark.range(2000).select(
+            F.col("id").alias("k"), bucket_of(["k"], snap.n_buckets).alias("b")
+        ).collect()
+    }
+    got = sorted(r["k"] for r in t.read(buckets=list(cand)).collect())
+    want = sorted(
+        k for k in range(2000) if k not in victims and k2b[k] in cand
+    )
+    assert got == want
+
+    # idempotency + empty probe no-op + validation
+    assert delete_where(t, where_in={"k": victims}, commit_key="g1")["applied"] is False
+    assert delete_where(t, where_in={"k": []})["applied"] is False
+    with pytest.raises(ValueError, match="range or a where_in"):
+        delete_where(t)
+
+
+def test_delete_where_in_composes_with_range(spark, tmp_path):
+    """where_in ANDs with where: delete only the probed tags inside the
+    range; NULL probe values never match (NULL rows kept)."""
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    rows = [(i, i if i % 50 else None, f"t{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, lsn long, tag string")
+    t = LakeTable.create(
+        spark, str(tmp_path / "dinr"), schema=df.schema, key_cols=["k"],
+        n_buckets=2, stats_cols=["lsn"], sort_cols=["lsn"], target_file_rows=100,
+    )
+    t.append(df, commit_key="seed")
+    r = delete_where(t, {"lsn": (100, 300)}, where_in={"tag": ["t3", None]},
+                     commit_key="d1")
+    want_deleted = sum(
+        1 for k, lsn, tag in rows
+        if lsn is not None and 100 <= lsn <= 300 and tag == "t3"
+    )
+    assert r["deleted_rows"] == want_deleted
+    got = {(x["k"], x["tag"]) for x in t.read().collect()}
+    want = {(k, tag) for k, lsn, tag in rows
+            if not (lsn is not None and 100 <= lsn <= 300 and tag == "t3")}
+    assert got == want

@@ -132,12 +132,13 @@ def _cmd_maintain(args) -> int:
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
     out: dict = {"cmd": "maintain"}
-    if args.delete_where:
+    if args.delete_where or args.delete_in:
         ranges = {
             c: (lo, hi) for c, (lo, hi) in json.loads(args.delete_where).items()
-        }
+        } if args.delete_where else None
         out["delete"] = delete_where(
             t, ranges,
+            where_in=json.loads(args.delete_in) if args.delete_in else None,
             commit_key=(args.commit_key + "-del") if args.commit_key else None,
             file_granular=args.file_granular,
         )
@@ -413,6 +414,10 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--delete-where", default=None, metavar="JSON",
                     help='stats-pruned range delete, e.g. '
                     '\'{"lsn": [null, 999]}\' (inclusive bounds, null=open)')
+    mt.add_argument("--delete-in", default=None, metavar="JSON",
+                    help='per-key delete, e.g. \'{"doc_id": [1, 7]}\' '
+                    "(GDPR-style; key-covering probes prune to their "
+                    "buckets; ANDs with --delete-where)")
     mt.add_argument("--file-granular", action="store_true",
                     help="with --delete-where: rewrite only the files whose "
                     "bounds intersect the range, carrying the rest unchanged")

@@ -274,10 +274,11 @@ def clustering_overlap(
 
 def delete_where(
     table: LakeTable,
-    where: dict,
+    where: dict | None = None,
     commit_key: str | None = None,
     protect_tombstones: bool = True,
     file_granular: bool = False,
+    where_in: dict | None = None,
 ) -> dict:
     """Delete every row inside the ``where`` ranges (column -> inclusive
     (lo, hi), either bound None for open-ended but not both; ranges AND
@@ -315,15 +316,40 @@ def delete_where(
     holds no matching row, so keeping it whole equals filtering it.
     This is the 100 TB operating point — a narrow LSN/day delete in a
     hot bucket rewrites a few files, not the bucket; the default stays
-    bucket-granular because it also re-compacts what it touches."""
-    from ton_etl_spark.lake.table import _file_may_match, _stats_encode
+    bucket-granular because it also re-compacts what it touches.
 
-    if not where or any(lo is None and hi is None for lo, hi in where.values()):
+    ``where_in`` maps column -> collection of probe values (AND with
+    ``where``; values within a column OR) — the per-KEY delete
+    (GDPR-style "remove these doc_ids"; reference analog: the per-key
+    DELETE statements in ``parser/db.py``).  Pruning composes the read
+    path's point-lookup layers: a probe covering the table's key columns
+    restricts candidates to the buckets the keys hash to, and in-list
+    manifest skipping (sorted-probe bisect) drops files whose bounds
+    exclude every value.  A NULL or unencodable probe value keeps that
+    column unprunable but never breaks exactness (NULL never matches
+    ``isin`` — NULL rows are always kept, same as ranges)."""
+    from ton_etl_spark.lake.table import (
+        _file_may_match,
+        _file_may_match_in,
+        _stats_encode,
+    )
+
+    where = where or {}
+    where_in = where_in or {}
+    if any(lo is None and hi is None for lo, hi in where.values()):
         raise ValueError(
             "delete_where needs at least one bounded range; a (None, None) "
             "range would also delete NULL rows, contradicting the NULL-kept "
             "contract — use rewrite_buckets(predicate=...) for a full wipe"
         )
+    if not where and not where_in:
+        raise ValueError(
+            "delete_where needs at least one bounded range or a where_in "
+            "probe list"
+        )
+    if any(len(v) == 0 for v in where_in.values()):
+        # an empty probe list matches nothing; the delete is a no-op
+        return {"applied": False, "buckets": [], "deleted_rows": 0}
     snap = table.current()
     if commit_key is not None and snap.has_commit_key(commit_key):
         return {"applied": False, "buckets": [], "deleted_rows": 0}
@@ -331,7 +357,21 @@ def delete_where(
         c: (_stats_encode(lo), _stats_encode(hi))
         for c, (lo, hi) in table._session_tz_bounds(where).items()
     }
-    buckets = sorted({f.bucket for f in snap.files if _file_may_match(f, enc)})
+    enc_in: dict[str, list] = {}
+    if where_in:
+        conv = table._session_tz_converter()
+        for c, vals in where_in.items():
+            ev = [_stats_encode(conv(v)) for v in vals]
+            try:
+                enc_in[c] = sorted(ev) if None not in ev else []
+            except TypeError:
+                enc_in[c] = []
+    cand = table._probe_buckets(snap, where_in) if where_in else None
+    buckets = sorted({
+        f.bucket for f in snap.files
+        if (cand is None or f.bucket in cand)
+        and _file_may_match(f, enc) and _file_may_match_in(f, enc_in)
+    })
     if not buckets:
         return {"applied": False, "buckets": [], "deleted_rows": 0}
     matched = F.lit(True)
@@ -340,6 +380,8 @@ def delete_where(
             matched = matched & (F.col(col) >= F.lit(lo))
         if hi is not None:
             matched = matched & (F.col(col) <= F.lit(hi))
+    for col, vals in where_in.items():
+        matched = matched & F.col(col).isin(list(vals))
     keep = ~F.coalesce(matched, F.lit(False))  # NULL range col => kept
     if protect_tombstones and OP_COL in snap.schema.fieldNames():
         keep = keep | F.coalesce(F.col(OP_COL) == "d", F.lit(False))
@@ -352,7 +394,7 @@ def delete_where(
         for f in snap.files:
             if f.bucket not in bset:
                 continue
-            if _file_may_match(f, enc):
+            if _file_may_match(f, enc) and _file_may_match_in(f, enc_in):
                 hit_paths.append(os.path.join(table.root, f.path))
             else:
                 keep_files[f.bucket].append(f)
