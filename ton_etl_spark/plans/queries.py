@@ -1817,6 +1817,57 @@ GROUP BY lang, source
 
 
 # --------------------------------------------------------------------------
+# 52. Lake point-lookup round trip — hash-gates the ENGINE read/delete path
+#     (reference analog: the per-key online SELECT/DELETE helpers,
+#     parser/db.py:112-256): documents land in a LakeTable, victims are
+#     key-deleted via delete_where(where_in=), and the probe reads back
+#     through read(where_in=) — bucket pruning + manifest in-list skipping
+#     + residual isin all on the hot path the oracle must reproduce.
+_PL_PROBES = [i * 3 for i in range(30)]  # 0..87: non-vacuous at sf0.001
+_PL_VICTIMS = [9, 27, 45]
+
+
+def q_lake_point_lookup(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.maintenance import delete_where
+    from ton_etl_spark.lake.table import LakeTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="lake_pl_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=docs.schema,
+            key_cols=["doc_id"], n_buckets=4, stats_cols=["doc_id"],
+            sort_cols=["doc_id"], target_file_rows=64,
+        )
+        t.append(docs, commit_key="seed")
+        delete_where(t, where_in={"doc_id": _PL_VICTIMS}, commit_key="gdpr")
+        out = (
+            t.read(where_in={"doc_id": _PL_PROBES})
+            .select(
+                "doc_id", "lang", "source",
+                F.md5(F.col("text")).alias("text_md5"),
+            )
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_LAKE_POINT_LOOKUP = f"""
+SELECT doc_id, lang, source, md5(text) AS text_md5
+FROM documents
+WHERE doc_id IN ({", ".join(str(p) for p in _PL_PROBES)})
+  AND doc_id NOT IN ({", ".join(str(v) for v in _PL_VICTIMS)})
+"""
+
+
+# --------------------------------------------------------------------------
 # 50. Segment-level (CCNet line-dedup shape) boilerplate removal — strip
 #     every 3-word segment occurring in >= 3 distinct documents, re-emit
 #     the cleaned text.  Hash-gated end to end: the oracle re-derives the
@@ -1972,6 +2023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     # oracle-backed but past the driver's 50-row cap (local mirror covers it):
     "label_centroid_norm": q_label_centroid_norm,
+    "lake_point_lookup": q_lake_point_lookup,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -2036,4 +2088,5 @@ ORACLES: dict[str, str] = {
     "avro_roundtrip_docs": SQL_AVRO_ROUNDTRIP,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "pii_redaction": SQL_PII,
+    "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
 }
