@@ -239,3 +239,36 @@ def test_cli_lookup_and_demand_driven_zorder(spark, tmp_path, capsys):
     z2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert z2["zorder"]["skipped"] == "well-clustered"
     assert LakeTable.load(spark, table).current_version() == v
+
+
+def test_cli_maintain_input_guards(spark, tmp_path, capsys):
+    """Round-6 review fixes: (a) `--delete-in` must reject a scalar probe
+    value — a bare string would be iterated character-by-character and
+    DELETE the wrong keys (GDPR path); (b) `--zorder-if-overlap` without
+    `--zorder` must fail loudly, not silently skip maintenance."""
+    import pytest
+
+    from ton_etl_spark.lake.table import LakeTable
+
+    df = spark.createDataFrame(
+        [("17", 1), ("1", 2), ("7", 3)], "user string, v int"
+    )
+    table = str(tmp_path / "tbl")
+    t = LakeTable.create(spark, table, schema=df.schema, key_cols=["user"],
+                         n_buckets=2)
+    t.append(df, commit_key="seed")
+
+    with pytest.raises(SystemExit, match="delete-in"):
+        main(["maintain", "--table", table, "--delete-in", '{"user": "17"}'])
+    # nothing was deleted: users "1" and "7" (the characters of "17") intact
+    assert t.read().count() == 3
+
+    with pytest.raises(SystemExit, match="requires --zorder"):
+        main(["maintain", "--table", table, "--zorder-if-overlap", "0.5"])
+
+    # the well-formed equivalent deletes exactly key "17"
+    assert main(["maintain", "--table", table,
+                 "--delete-in", '{"user": ["17"]}']) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delete"]["deleted_rows"] == 1
+    assert sorted(r["user"] for r in t.read().collect()) == ["1", "7"]

@@ -220,10 +220,15 @@ def test_curation_stream_retention_bounds_sidecars(spark, doc_log, tmp_path):
     glob_path = os.path.join(doc_log, "b*")
     tbl, dcs = str(tmp_path / "tbl"), str(tmp_path / "dec")
     idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    # retention_groups=1 compacts the WHOLE curated table each sweep —
+    # fine at this 8-bucket test scale and makes the file-count bound
+    # below exact.  The production default is rolling groups (4), whose
+    # bound is O(buckets × every × groups) files, constant in epochs but
+    # too loose to assert tightly over a 6-epoch run.
     q = start_curation_stream(
         spark, glob_path, tbl, dcs, idx, ckpt, max_files_per_trigger=1,
-        retain_epochs=2, retention_every=2, keep_last_snapshots=2,
-        retention_grace_seconds=0.0,
+        retain_epochs=2, retention_every=2, retention_groups=1,
+        keep_last_snapshots=2, retention_grace_seconds=0.0,
     )
     q.awaitTermination(300)
 

@@ -303,3 +303,59 @@ def test_where_in_composes_with_range(spark, tmp_path):
            t.read(where={"lsn": (100, 200)},
                   where_in={"tag": ["t3", "t7"]}).collect()}
     assert got == {v for v in range(100, 201) if v % 10 in (3, 7)}
+
+
+def test_where_in_mistyped_probes_conform_not_crash(spark, tmp_path):
+    """Round-6 review fix, hardened: probe values are conformed to the
+    column's type BEFORE hashing/encoding/filtering.  Raw mistyped probes
+    would either crash (ANSI casts the string COLUMN to bigint ->
+    CAST_INVALID_INPUT on the first non-numeric row; or createDataFrame
+    rejects a string probe against a long key inside _probe_buckets) or
+    silently miss rows (the bucket hash of the stringified probe vs the
+    numerically-coerced filter: '07' = 7)."""
+    schema = spark.createDataFrame([], "k string, lsn long, tag string").schema
+    t = LakeTable.create(spark, str(tmp_path / "in5"), schema=schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["lsn"],
+                         target_file_rows=100)
+    rows = [("7", 1, "a"), ("07", 2, "a"), ("k1", 3, "b"), ("8", 4, "b")]
+    t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+
+    # int probe on the string key: looked up as its string form — matches
+    # exactly "7" (not "07"), and no ANSI cast error on "k1"
+    got = [(r["k"], r["lsn"]) for r in t.read(where_in={"k": [7]}).collect()]
+    assert got == [("7", 1)]
+    # mixed valid+NULL probe on the KEY column keeps exactness
+    got = {r["k"] for r in t.read(where_in={"k": ["k1", None]}).collect()}
+    assert got == {"k1"}
+
+    # string probes on a long column parse; unparseable values match
+    # nothing instead of raising
+    assert {r["lsn"] for r in t.read(where_in={"lsn": ["2", "4"]}).collect()} \
+        == {2, 4}
+    assert t.read(where_in={"lsn": ["nope"]}).count() == 0
+
+    # the direct _probe_buckets belt: a genuinely unhashable raw probe
+    # falls back to the unpruned path (None), never crashes the read
+    long_key = LakeTable.create(
+        spark, str(tmp_path / "in6"),
+        schema=spark.createDataFrame([], "k long, v string").schema,
+        key_cols=["k"], n_buckets=2,
+    )
+    long_key.append(
+        spark.createDataFrame([(7, "x"), (8, "y")], "k long, v string"),
+        commit_key="seed",
+    )
+    assert long_key._probe_buckets(long_key.current(), {"k": ["x"]}) is None
+    assert [r["v"] for r in long_key.read(where_in={"k": ["7"]}).collect()] \
+        == ["x"]
+
+    # delete_where goes through the same conformance: mistyped key list
+    # deletes exactly the conformed keys
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    res = delete_where(t, where_in={"k": [8]})
+    assert res["deleted_rows"] == 1
+    assert sorted(r["k"] for r in t.read().collect()) == ["07", "7", "k1"]
+    # all-unrepresentable probe: no-op, not a full-table rewrite
+    res = delete_where(long_key, where_in={"k": ["nope"]})
+    assert res == {"applied": False, "buckets": [], "deleted_rows": 0}

@@ -252,3 +252,57 @@ def test_rolling_maintenance_zorder_threshold_autotrigger(spark, tmp_path):
     m3 = clustering_overlap(t)
     assert m3["a"] < 0.6 and m3["b"] < 0.6
     assert t.read().count() == 8000
+
+
+def test_zorder_gate_fires_without_declared_stats(spark, tmp_path):
+    """Round-6 review fix: zorder_cols that were never declared stats_cols
+    have no manifest bounds, so the overlap metric is blind to them — the
+    gate must read missing coverage as 'needs clustering' (bootstrapping
+    the bounds via the rewrite's extra_stats_cols), not 'well-clustered
+    forever'; and fresh ingest, whose files carry no bounds for those
+    cols, must re-arm the gate even while the OLD files' overlap stays
+    low (post-rewrite erosion would otherwise be invisible)."""
+    from ton_etl_spark.lake.maintenance import (
+        clustering_overlap,
+        rolling_maintenance,
+        zorder_needed,
+    )
+
+    def _rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.xxhash64(F.col("id"), F.lit(1)) % 1000).alias("a"),
+            (F.xxhash64(F.col("id"), F.lit(2)) % 1000).alias("b"),
+        )
+
+    df = _rows(0, 4000)
+    t = LakeTable.create(
+        spark, str(tmp_path / "zns"), schema=df.schema, key_cols=["k"],
+        n_buckets=2, stats_cols=["k"], target_file_rows=50,
+    )
+    t.append(df, commit_key="seed")
+    assert "a" not in clustering_overlap(t)     # metric blind to a/b
+
+    kw = dict(every=8, groups=1, zorder_cols=["a", "b"],
+              zorder_overlap_threshold=0.6)
+    r0 = rolling_maintenance(t, epoch=7, **kw)  # bootstrap fires
+    assert r0["applied"]
+
+    # rewrite harvested a/b bounds: fully covered + clustered => quiet
+    needed, worst, reason = zorder_needed(t, ["a", "b"], 0.6)
+    assert needed is False and reason == "well-clustered" and worst <= 0.6
+    before = dict(t.current().manifests)
+    s = rolling_maintenance(t, epoch=15, **kw)
+    assert s["skipped"] == "well-clustered"
+    assert dict(t.current().manifests) == before
+
+    # fresh ingest writes files with NO a/b bounds; old tight files keep
+    # the overlap low, but lost coverage re-arms the gate
+    t.append(_rows(4000, 8000), commit_key="more")
+    m = clustering_overlap(t)
+    # on the gate's own columns, overlap alone would say "skip"
+    assert all(m[c] is not None and m[c] <= 0.6 for c in ("a", "b"))
+    r1 = rolling_maintenance(t, epoch=23, **kw)
+    assert r1["applied"]
+    assert zorder_needed(t, ["a", "b"], 0.6)[0] is False
+    assert t.read().count() == 8000

@@ -132,31 +132,42 @@ def _cmd_maintain(args) -> int:
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
     out: dict = {"cmd": "maintain"}
+    if args.zorder_if_overlap is not None and not args.zorder:
+        # fail on misconfiguration, matching rolling_maintenance's
+        # ValueError — a silently-ignored gate flag looks like "maintenance
+        # ran" while the table never re-clusters
+        raise SystemExit("--zorder-if-overlap requires --zorder")
     if args.delete_where or args.delete_in:
         ranges = {
             c: (lo, hi) for c, (lo, hi) in json.loads(args.delete_where).items()
         } if args.delete_where else None
+        probes = json.loads(args.delete_in) if args.delete_in else None
+        if probes is not None and (
+            not isinstance(probes, dict)
+            or not all(isinstance(v, list) for v in probes.values())
+        ):
+            # same guard as lookup --in: a scalar string value would be
+            # iterated character-by-character and DELETE the wrong keys
+            raise SystemExit(
+                '--delete-in must be a JSON object of {"col": [values...]}'
+            )
         out["delete"] = delete_where(
             t, ranges,
-            where_in=json.loads(args.delete_in) if args.delete_in else None,
+            where_in=probes,
             commit_key=(args.commit_key + "-del") if args.commit_key else None,
             file_granular=args.file_granular,
         )
     if args.zorder:
         zcols = [c.strip() for c in args.zorder.split(",") if c.strip()]
         worst = None
+        needed = True
         if args.zorder_if_overlap is not None:
-            from ton_etl_spark.lake.maintenance import clustering_overlap
+            from ton_etl_spark.lake.maintenance import zorder_needed
 
-            ov = clustering_overlap(t)
-            scores = [ov[c] for c in zcols if ov.get(c) is not None]
-            worst = max(scores) if scores else None
-        if args.zorder_if_overlap is not None and (
-            worst is None or worst <= args.zorder_if_overlap
-        ):
-            # None = no scoreable pairs: nothing a rewrite could improve
+            needed, worst, reason = zorder_needed(t, zcols, args.zorder_if_overlap)
+        if not needed:
             out["zorder"] = {"applied": False, "overlap": worst,
-                             "skipped": "well-clustered"}
+                             "skipped": reason}
         else:
             out["zorder"] = rewrite_zorder(
                 t, zcols,

@@ -127,19 +127,16 @@ def rolling_maintenance(
         )
     if zorder_cols:
         if zorder_overlap_threshold is not None:
-            ov = clustering_overlap(table, version=snap.version, buckets=buckets)
-            scores = [
-                ov[c] for c in zorder_cols if ov.get(c) is not None
-            ]
-            worst = max(scores) if scores else None
-            # None = no scoreable pairs (single-file buckets / no stats):
-            # nothing a rewrite could improve — skip, don't rewrite blind
-            if worst is None or worst <= zorder_overlap_threshold:
+            needed, worst, reason = zorder_needed(
+                table, zorder_cols, zorder_overlap_threshold,
+                version=snap.version, buckets=buckets,
+            )
+            if not needed:
                 return {
                     "applied": False,
                     "buckets": buckets,
                     "overlap": worst,
-                    "skipped": "well-clustered",
+                    "skipped": reason,
                 }
         return rewrite_zorder(table, zorder_cols, buckets=buckets, commit_key=key)
     return rewrite_buckets(table, buckets=buckets, commit_key=key)
@@ -272,6 +269,55 @@ def clustering_overlap(
     return out
 
 
+def zorder_needed(
+    table: LakeTable,
+    zorder_cols: list[str],
+    threshold: float,
+    version: int | None = None,
+    buckets: list[int] | None = None,
+) -> tuple[bool, float | None, str | None]:
+    """Demand gate for a clustering rewrite — manifest math only, no Spark
+    job.  Returns ``(needed, worst_overlap, skip_reason)``; the ONE gate
+    shared by ``rolling_maintenance`` and the ``maintain`` CLI.
+
+    A rewrite fires when EITHER holds:
+
+    - some file in scope lacks [min, max] bounds for a zorder column.
+      Fresh appends/merges record bounds only for declared ``stats_cols``,
+      so uncovered files are unprunable on that column AND invisible to
+      the overlap metric — treating "no stats" as "well-clustered" would
+      (a) skip the bootstrap rewrite forever on a table whose zorder_cols
+      were never stats_cols, and (b) hide post-rewrite erosion, since the
+      metric would keep scoring only the old tight files while new
+      unbounded files accumulate.  ``rewrite_zorder`` records bounds for
+      its cols (``extra_stats_cols``), so a rewrite restores full coverage
+      and the gate goes quiet until new data arrives in the scope.
+    - the worst per-column overlap among covered files exceeds
+      ``threshold``.
+
+    A fully-covered scope with no scoreable pairs (single stats-carrying
+    file per bucket) is genuinely unimprovable and skips."""
+    snap = table.snapshot(version) if version is not None else table.current()
+    files = snap.files
+    if buckets is not None:
+        bset = set(buckets)
+        files = [f for f in files if f.bucket in bset]
+    if not files:
+        return False, None, "empty"
+    uncovered = sorted(
+        c for c in zorder_cols
+        if any(not f.stats or c not in f.stats for f in files)
+    )
+    ov = clustering_overlap(table, version=snap.version, buckets=buckets)
+    scores = [ov[c] for c in zorder_cols if ov.get(c) is not None]
+    worst = max(scores) if scores else None
+    if uncovered:
+        return True, worst, None
+    if worst is not None and worst > threshold:
+        return True, worst, None
+    return False, worst, "well-clustered"
+
+
 def delete_where(
     table: LakeTable,
     where: dict | None = None,
@@ -329,6 +375,7 @@ def delete_where(
     column unprunable but never breaks exactness (NULL never matches
     ``isin`` — NULL rows are always kept, same as ranges)."""
     from ton_etl_spark.lake.table import (
+        _encode_probe_lists,
         _file_may_match,
         _file_may_match_in,
         _stats_encode,
@@ -347,25 +394,28 @@ def delete_where(
             "delete_where needs at least one bounded range or a where_in "
             "probe list"
         )
-    if any(len(v) == 0 for v in where_in.values()):
-        # an empty probe list matches nothing; the delete is a no-op
-        return {"applied": False, "buckets": [], "deleted_rows": 0}
     snap = table.current()
+    if where_in:
+        from ton_etl_spark.lake.table import _conform_where_in
+
+        # same-typed probes before hashing/encoding/filtering — see
+        # _conform_where_in for why raw values are unsound under ANSI
+        where_in = _conform_where_in(snap.schema, where_in)
+    if any(len(v) == 0 for v in where_in.values()):
+        # an empty (or all-unrepresentable) probe list matches nothing;
+        # the delete is a no-op
+        return {"applied": False, "buckets": [], "deleted_rows": 0}
     if commit_key is not None and snap.has_commit_key(commit_key):
         return {"applied": False, "buckets": [], "deleted_rows": 0}
     enc = {
         c: (_stats_encode(lo), _stats_encode(hi))
         for c, (lo, hi) in table._session_tz_bounds(where).items()
     }
-    enc_in: dict[str, list] = {}
-    if where_in:
-        conv = table._session_tz_converter()
-        for c, vals in where_in.items():
-            ev = [_stats_encode(conv(v)) for v in vals]
-            try:
-                enc_in[c] = sorted(ev) if None not in ev else []
-            except TypeError:
-                enc_in[c] = []
+    enc_in: dict[str, list] = (
+        _encode_probe_lists(table._session_tz_converter(), where_in)
+        if where_in
+        else {}
+    )
     cand = table._probe_buckets(snap, where_in) if where_in else None
     buckets = sorted({
         f.bucket for f in snap.files

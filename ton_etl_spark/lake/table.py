@@ -215,6 +215,93 @@ def _file_may_match_in(f: DataFile, enc_in: dict[str, list]) -> bool:
     return True
 
 
+def _conform_where_in(
+    schema: T.StructType, where_in: dict[str, list]
+) -> dict[str, list]:
+    """Cast ``where_in`` probe values to their column's Spark type BEFORE
+    bucket hashing, manifest encoding, and the residual filter — dropping
+    values the type cannot represent (they can equal no stored row).
+
+    One conversion, three consumers.  The alternative — letting Spark
+    coerce inside ``isin`` — is unsound twice over: under ANSI mode (the
+    Spark 4 default) a string column probed with an int CASTS THE COLUMN
+    and throws CAST_INVALID_INPUT on the first non-numeric row, and the
+    coerced comparison ('07' = 7) would disagree with the bucket hash of
+    the stringified probe, silently missing rows in pruned reads.  After
+    conformance every comparison is same-type: no column cast, no ANSI
+    crash, hash and filter agree.  NULLs pass through (they never match
+    ``isin`` but the encoder's unprunable sentinel must see them);
+    unknown columns pass through so the filter raises Spark's own
+    unresolved-column error."""
+    import datetime as _dt
+    from decimal import Decimal, InvalidOperation
+
+    names = set(schema.fieldNames())
+    out: dict[str, list] = {}
+    for col, vals in where_in.items():
+        if col not in names:
+            out[col] = list(vals)
+            continue
+        dt = schema[col].dataType
+        conv: list = []
+        for v in vals:
+            if v is None:
+                conv.append(None)
+                continue
+            try:
+                if isinstance(
+                    dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+                ):
+                    if isinstance(v, bool):
+                        continue
+                    if isinstance(v, float) and not v.is_integer():
+                        continue  # 7.5 can equal no integral value
+                    conv.append(int(v))
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    if isinstance(v, bool):
+                        continue
+                    conv.append(float(v))
+                elif isinstance(dt, T.StringType):
+                    conv.append(v if isinstance(v, str) else str(v))
+                elif isinstance(dt, T.DecimalType):
+                    conv.append(v if isinstance(v, Decimal) else Decimal(str(v)))
+                elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                    conv.append(
+                        _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+                    )
+                elif isinstance(dt, T.DateType):
+                    conv.append(
+                        _dt.date.fromisoformat(v) if isinstance(v, str) else v
+                    )
+                elif isinstance(dt, T.BooleanType):
+                    if not isinstance(v, bool):
+                        continue
+                    conv.append(v)
+                else:
+                    conv.append(v)  # binary/nested: as-given
+            except (TypeError, ValueError, InvalidOperation):
+                continue  # unrepresentable in the column type
+        out[col] = conv
+    return out
+
+
+def _encode_probe_lists(conv, where_in: dict[str, list]) -> dict[str, list]:
+    """Pre-encode ``where_in`` probe lists for ``_file_may_match_in`` —
+    the ONE implementation of the sentinel contract (sorted for the bisect;
+    ``[]`` marks a column unprunable when any probe value is NULL or
+    unencodable / unorderable), shared by ``LakeTable.read`` and
+    ``maintenance.delete_where``.  The skip test's exactness depends on
+    every call site encoding identically, so this must not be inlined."""
+    enc_in: dict[str, list] = {}
+    for c, vals in where_in.items():
+        ev = [_stats_encode(conv(v)) for v in vals]
+        try:
+            enc_in[c] = sorted(ev) if None not in ev else []
+        except TypeError:
+            enc_in[c] = []
+    return enc_in
+
+
 def _file_may_match(f: DataFile, enc_where: dict[str, tuple[Any, Any]]) -> bool:
     """Conservative skip test: False only when a file's stored [min, max]
     bounds PROVE no row can satisfy every range.  Missing stats (old
@@ -850,12 +937,25 @@ class LakeTable:
         where per-file bloom filters (``bloom_cols``) do the row-group
         work.  As with ``where``, skipping is an optimization and the
         residual filter is the truth — results are exact regardless of
-        which layers fire."""
+        which layers fire.
+
+        Probe values are conformed to the column's type first
+        (``_conform_where_in``): an int probe on a string column looks up
+        the string form, a string probe on a long column is parsed, and a
+        value the type cannot represent matches nothing — never an ANSI
+        runtime cast error, and never a hash/filter disagreement."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")
             version = self.resolve_tag(tag)
         snap = self.snapshot(version) if version is not None else self.current()
+        if where_in:
+            where_in = _conform_where_in(snap.schema, where_in)
+            if any(len(v) == 0 for v in where_in.values()):
+                # a probe list that is empty (or emptied by conformance —
+                # no value representable in the column type) matches
+                # nothing: skip the scan entirely
+                return self.spark.createDataFrame([], snap.schema)
         if where_in and buckets is None:
             buckets = self._probe_buckets(snap, where_in)
         if buckets is not None:
@@ -863,16 +963,7 @@ class LakeTable:
             self.check_bucket_fn(snap)
         files = snap.files_for(buckets)
         if where_in:
-            conv = self._session_tz_converter()
-            enc_in: dict[str, list] = {}
-            for c, vals in where_in.items():
-                enc = [_stats_encode(conv(v)) for v in vals]
-                # an unencodable probe value makes the column unprunable
-                # (empty-list sentinel understood by _file_may_match_in)
-                try:
-                    enc_in[c] = sorted(enc) if None not in enc else []
-                except TypeError:
-                    enc_in[c] = []
+            enc_in = _encode_probe_lists(self._session_tz_converter(), where_in)
             files = [f for f in files if _file_may_match_in(f, enc_in)]
         if where:
             # A NAIVE datetime bound means session-local time to the
@@ -932,9 +1023,19 @@ class LakeTable:
             # cast to the stored key schema before hashing
         )
         combos = list(itertools.product(*(where_in[k] for k in snap.key_cols)))
-        kdf = self.spark.createDataFrame(combos, key_fields)
-        expr = bucket_of(snap.key_cols, snap.n_buckets)
-        return sorted({r[0] for r in kdf.select(expr.alias("b")).distinct().collect()})
+        try:
+            kdf = self.spark.createDataFrame(combos, key_fields)
+            expr = bucket_of(snap.key_cols, snap.n_buckets)
+            return sorted(
+                {r[0] for r in kdf.select(expr.alias("b")).distinct().collect()}
+            )
+        except (TypeError, ValueError):
+            # a probe value that mismatches the key schema (wrong Python
+            # type, NULL against a non-nullable key field) cannot be hashed
+            # — fall back to the unpruned path rather than crashing the
+            # read/delete; the residual isin filter stays the truth, same
+            # as a probe on a non-key column
+            return None
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog between two snapshots (Iceberg

@@ -465,7 +465,13 @@ def read_avro(
     if use_datasource is None:
         use_datasource = _has_avro_datasource(spark)
     if use_datasource:
-        return spark.read.format("avro").load(path)
+        df = spark.read.format("avro").load(path)
+        if reader_schema is not None:
+            # honor the same reader-schema contract as the jar-less decoder
+            # — otherwise code written against it in the sandbox would
+            # silently change shape on a cluster with the jar
+            df = _conform_to_reader_schema(df, reader_schema)
+        return df
 
     if reader_schema is not None:
         spark_schema = reader_schema
@@ -500,6 +506,18 @@ def read_avro(
     return files.select("path", "content").mapInPandas(_decode, out_schema)
 
 
+def _conform_to_reader_schema(df: DataFrame, reader_schema: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``reader_schema``: absent columns -> typed NULL,
+    extra columns -> dropped, present columns -> cast to the reader type.
+    Keeps the datasource (jar) branch of ``read_avro`` on the same
+    reader-schema contract as the jar-less decoder."""
+    return df.select(*[
+        (F.col(f.name).cast(f.dataType) if f.name in df.columns
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in reader_schema.fields
+    ])
+
+
 def _list_avro_files(path: str) -> list[str]:
     import glob as _glob
 
@@ -513,31 +531,41 @@ def _list_avro_files(path: str) -> list[str]:
 def _file_schema_json(fpath: str) -> str:
     """Writer schema JSON of one OCF, reading only the header region.
 
-    Headers are KBs; read 4 MB first and fall back to the whole file on a
-    parse failure (a pathological multi-MB schema)."""
+    Headers are KBs, and schema discovery runs on the driver over EVERY
+    file of a migrated lake (10^4–10^5 files) — so read tiered: 64 KB
+    covers real headers, 4 MB a pathological multi-MB schema, whole-file
+    only as the last resort.  A flat multi-MB read per file would turn
+    plan time into tens of GB of driver I/O."""
     with open(fpath, "rb") as fh:
-        head = fh.read(4 << 20)
-        try:
-            sj, _ = _read_header_only(head)
-            json.loads(sj)
-            return sj
-        except Exception:
-            data = head + fh.read()
-    sj, _ = _read_header_only(data)
-    return sj
+        head = b""
+        for more in (64 << 10, (4 << 20) - (64 << 10), None):
+            head += fh.read(more) if more is not None else fh.read()
+            try:
+                sj, _ = _read_header_only(head)
+                json.loads(sj)
+                return sj
+            except Exception:
+                if more is None:
+                    raise
+    raise AssertionError("unreachable")
 
 
 def _union_file_schemas(files: list[str]) -> T.StructType:
     """Additive union of the files' writer schemas, first-seen field order.
 
     Driver-side header reads only (the jar-less path already assumes a
-    shared filesystem — see ``write_avro``); distinct schema JSONs are
-    memoised so an evolved lake with millions of files but a handful of
-    schema versions parses each version once."""
+    shared filesystem — see ``write_avro``), thread-pooled because each is
+    a small independent I/O wait; distinct schema JSONs are memoised so an
+    evolved lake with millions of files but a handful of schema versions
+    parses each version once.  ``ex.map`` preserves input order, keeping
+    the first-seen field order deterministic."""
+    from concurrent.futures import ThreadPoolExecutor
+
     fields: dict[str, T.StructField] = {}
     seen_json: set[str] = set()
-    for fpath in files:
-        sj = _file_schema_json(fpath)
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+        schema_jsons = list(ex.map(_file_schema_json, files))
+    for fpath, sj in zip(files, schema_jsons):
         if sj in seen_json:
             continue
         seen_json.add(sj)

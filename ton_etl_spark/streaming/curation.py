@@ -266,6 +266,7 @@ def start_curation_stream(
     max_files_per_trigger: int = 2,
     retain_epochs: int | None = None,
     retention_every: int = 8,
+    retention_groups: int = 4,
     keep_last_snapshots: int = 2,
     retention_grace_seconds: float = 600.0,
     **gates,
@@ -317,8 +318,15 @@ def start_curation_stream(
                     compact=True,
                 )
             # the curated table keeps every row; bound its FILE count
-            # (1 file/bucket/epoch of appends) and snapshot metadata
-            rolling_maintenance(t, batch_id, every=retention_every, groups=1)
+            # (1 file/bucket/epoch of appends) and snapshot metadata.
+            # ROLLING groups, never groups=1: the corpus is the unbounded
+            # product table, and compacting all of it every retention epoch
+            # would be a periodic full-table copy-on-write — exactly what
+            # rolling_maintenance exists to avoid (groups=1 is reserved for
+            # small-by-construction sidecars like lineage)
+            rolling_maintenance(
+                t, batch_id, every=retention_every, groups=retention_groups
+            )
             expire_snapshots(
                 t, keep_last=keep_last_snapshots,
                 grace_seconds=retention_grace_seconds,
