@@ -359,3 +359,41 @@ def test_where_in_mistyped_probes_conform_not_crash(spark, tmp_path):
     # all-unrepresentable probe: no-op, not a full-table rewrite
     res = delete_where(long_key, where_in={"k": ["nope"]})
     assert res == {"applied": False, "buckets": [], "deleted_rows": 0}
+
+
+def test_where_range_bounds_conform_to_column_type(spark, tmp_path):
+    """Range bounds go through the same type conformance as probes: string
+    bounds parse for numeric/temporal columns (the only form a JSON
+    surface can express), fractional bounds on integral columns round
+    INWARD (exactly equivalent), mistyped bounds on string columns raise
+    a clear ValueError instead of an ANSI CAST_INVALID_INPUT at runtime
+    — and conformed bounds keep manifest skipping live (same-type
+    comparisons against file stats)."""
+    import pytest
+
+    t = _make(spark, str(tmp_path / "rb1"), stats_cols=["lsn"],
+              sort_cols=["lsn"], target_file_rows=100)
+
+    want = {r["lsn"] for r in t.read(where={"lsn": (10, 20)}).collect()}
+    # string bounds parse to the long column's type
+    got = {r["lsn"] for r in t.read(where={"lsn": ("10", "20")}).collect()}
+    assert got == want
+    # fractional bounds round inward: (9.5, 20.5) == [10, 20]
+    got = {r["lsn"] for r in t.read(where={"lsn": (9.5, 20.5)}).collect()}
+    assert got == want
+    # a bound the column type cannot represent fails loudly at plan time
+    with pytest.raises(ValueError, match="not representable"):
+        t.read(where={"lsn": ("nope", None)})
+    # int bound on a string column: refuse (numeric vs lexicographic
+    # intent is ambiguous), never an ANSI runtime cast of the column
+    with pytest.raises(ValueError, match="not representable"):
+        t.read(where={"k": (7, None)}).collect()
+
+    # delete_where shares the contract
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    with pytest.raises(ValueError, match="not representable"):
+        delete_where(t, {"lsn": ("x", None)})
+    res = delete_where(t, {"lsn": ("990", None)})
+    assert res["deleted_rows"] == 10  # lsn 990..999
+    assert t.read().count() == 990

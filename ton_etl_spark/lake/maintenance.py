@@ -395,6 +395,10 @@ def delete_where(
             "probe list"
         )
     snap = table.current()
+    if where:
+        from ton_etl_spark.lake.table import _conform_where_bounds
+
+        where = _conform_where_bounds(snap.schema, where)
     if where_in:
         from ton_etl_spark.lake.table import _conform_where_in
 

@@ -285,6 +285,76 @@ def _conform_where_in(
     return out
 
 
+def _conform_where_bounds(
+    schema: T.StructType, where: dict[str, tuple]
+) -> dict[str, tuple]:
+    """Cast ``where`` range bounds to their column's Spark type, for the
+    same two reasons as ``_conform_where_in``: under ANSI a mistyped bound
+    CASTS THE COLUMN (a string column with an int bound throws
+    CAST_INVALID_INPUT on the first non-numeric row), and a raw-typed
+    bound compares as mixed-type against the manifest stats, silently
+    disabling file skipping.  Range semantics differ from point probes:
+
+    - a bound the type cannot represent RAISES ValueError (dropping it
+      would silently widen the range — the opposite of a probe value,
+      which can simply match nothing);
+    - a fractional bound on an integral column rounds INWARD (lo: ceil,
+      hi: floor), which is exactly equivalent;
+    - ISO-8601 strings conform to date/timestamp columns — the only form
+      a JSON surface like ``maintain --delete-where`` can express.
+
+    NULL bounds (open-ended) and unknown columns pass through."""
+    import datetime as _dt
+    import math
+    from decimal import Decimal, InvalidOperation
+
+    names = set(schema.fieldNames())
+
+    def one(col, v, is_lo: bool):
+        if v is None or col not in names:
+            return v
+        dt = schema[col].dataType
+        try:
+            if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                if isinstance(v, bool):
+                    raise ValueError
+                if isinstance(v, str):
+                    v = float(v) if ("." in v or "e" in v.lower()) else int(v)
+                if isinstance(v, int):
+                    return v
+                v = float(v)  # Decimal and friends round inward too
+                return math.ceil(v) if is_lo else math.floor(v)
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                if isinstance(v, bool):
+                    raise ValueError
+                return float(v)
+            if isinstance(dt, T.StringType):
+                if not isinstance(v, str):
+                    # int 7 -> "7" would silently switch the caller from
+                    # numeric to lexicographic order; make them choose
+                    raise ValueError
+                return v
+            if isinstance(dt, T.DecimalType):
+                return v if isinstance(v, Decimal) else Decimal(str(v))
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+            if isinstance(dt, T.DateType):
+                return _dt.date.fromisoformat(v) if isinstance(v, str) else v
+            return v
+        except (TypeError, ValueError, InvalidOperation):
+            raise ValueError(
+                f"where bound {v!r} is not representable in column "
+                f"{col!r} of type {dt.simpleString()}"
+            ) from None
+
+    return {
+        col: (one(col, lo, True), one(col, hi, False))
+        for col, (lo, hi) in where.items()
+    }
+
+
 def _encode_probe_lists(conv, where_in: dict[str, list]) -> dict[str, list]:
     """Pre-encode ``where_in`` probe lists for ``_file_may_match_in`` —
     the ONE implementation of the sentinel contract (sorted for the bisect;
@@ -949,6 +1019,8 @@ class LakeTable:
                 raise ValueError("pass version OR tag, not both")
             version = self.resolve_tag(tag)
         snap = self.snapshot(version) if version is not None else self.current()
+        if where:
+            where = _conform_where_bounds(snap.schema, where)
         if where_in:
             where_in = _conform_where_in(snap.schema, where_in)
             if any(len(v) == 0 for v in where_in.values()):
