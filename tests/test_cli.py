@@ -272,3 +272,33 @@ def test_cli_maintain_input_guards(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["delete"]["deleted_rows"] == 1
     assert sorted(r["user"] for r in t.read().collect()) == ["1", "7"]
+
+
+def test_cli_maintain_binpack(spark, tmp_path, capsys):
+    """maintain --binpack packs slivers without touching well-sized files;
+    --small-rows without --binpack fails loudly."""
+    import pytest
+
+    from ton_etl_spark.lake.table import LakeTable
+
+    schema = spark.createDataFrame([], "k long, v string").schema
+    table = str(tmp_path / "tbl")
+    t = LakeTable.create(spark, table, schema=schema, key_cols=["k"],
+                         n_buckets=2, target_file_rows=200)
+    t.append(spark.range(500).selectExpr("id AS k", "concat('v', id) AS v"),
+             commit_key="big")
+    for i in range(3):
+        t.append(spark.range(500 + i, 501 + i)
+                 .selectExpr("id AS k", "concat('v', id) AS v"),
+                 commit_key=f"s{i}")
+
+    with pytest.raises(SystemExit, match="requires --binpack"):
+        main(["maintain", "--table", table, "--small-rows", "100"])
+
+    n_before = len(t.current().files)
+    assert main(["maintain", "--table", table, "--binpack",
+                 "--small-rows", "100", "--commit-key", "bp"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["binpack"]["applied"] is True and out["binpack"]["packed_files"] >= 3
+    assert len(t.current().files) < n_before
+    assert t.read().count() == 503

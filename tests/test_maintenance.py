@@ -752,3 +752,91 @@ def test_delete_where_in_composes_with_range(spark, tmp_path):
     want = {(k, tag) for k, lsn, tag in rows
             if not (lsn is not None and 100 <= lsn <= 300 and tag == "t3")}
     assert got == want
+
+
+def test_binpack_never_opens_wellsized_files(spark, tmp_path):
+    """Bin-pack compaction coalesces only the small files; well-sized
+    files are carried by reference — proven by CORRUPTING every
+    above-threshold file on disk before packing.  Maintenance I/O is then
+    proportional to the new data, not the bucket size (the 100 TB
+    write-amplification fix over rewrite_buckets)."""
+    from ton_etl_spark.lake.maintenance import compact_small_files
+
+    schema = spark.createDataFrame([], "k long, v string").schema
+    t = LakeTable.create(spark, str(tmp_path / "bp"), schema=schema,
+                         key_cols=["k"], n_buckets=2, target_file_rows=200)
+    # one big commit (≈250 rows/bucket => files ≥ 100-row threshold) ...
+    t.append(spark.range(500).selectExpr("id AS k", "concat('v', id) AS v"),
+             commit_key="big")
+    # ... then sliver appends, one small file per bucket per epoch
+    for i in range(4):
+        t.append(spark.range(500 + i * 10, 510 + i * 10)
+                 .selectExpr("id AS k", "concat('v', id) AS v"),
+                 commit_key=f"sliver-{i}")
+    snap = t.current()
+    big = [f for f in snap.files if f.rows >= 100]
+    small = [f for f in snap.files if f.rows < 100]
+    assert big and len(small) >= 4
+    want = sorted((r["k"], r["v"]) for r in t.read().collect())
+
+    for f in big:  # corrupt: packing must never open these
+        with open(os.path.join(t.root, f.path), "wb") as fh:
+            fh.write(b"corrupt")
+    res = compact_small_files(t, small_rows=100, commit_key="bp1")
+    assert res["applied"] and res["packed_files"] == len(small)
+
+    snap2 = t.current()
+    # big files survive by reference in the new manifests
+    assert {f.path for f in big} <= {f.path for f in snap2.files}
+    small_after = [f for f in snap2.files if f.path not in {g.path for g in big}]
+    assert len(small_after) < len(small)  # slivers coalesced
+    # content equality end-to-end on an un-corrupted twin:
+    t2 = LakeTable.create(spark, str(tmp_path / "bp2"), schema=schema,
+                          key_cols=["k"], n_buckets=2, target_file_rows=200)
+    t2.append(spark.range(500).selectExpr("id AS k", "concat('v', id) AS v"),
+              commit_key="big")
+    for i in range(4):
+        t2.append(spark.range(500 + i * 10, 510 + i * 10)
+                  .selectExpr("id AS k", "concat('v', id) AS v"),
+                  commit_key=f"sliver-{i}")
+    res2 = compact_small_files(t2, small_rows=100, commit_key="bp1")
+    assert res2["applied"]
+    got = sorted((r["k"], r["v"]) for r in t2.read().collect())
+    assert got == want
+    # idempotent on commit_key; quiet table packs nothing
+    assert compact_small_files(t2, small_rows=100, commit_key="bp1")["applied"] is False
+    res3 = compact_small_files(t2, small_rows=100, commit_key="bp2")
+    assert res3["applied"] is False and res3["packed_files"] == 0
+
+
+def test_rolling_maintenance_binpack_strategy(spark, tmp_path):
+    """rolling_maintenance(binpack_small_rows=) packs one rolling group's
+    slivers per cycle and refuses to combine with strategies that must
+    rewrite every file."""
+    from ton_etl_spark.lake.maintenance import compact_small_files, rolling_maintenance
+
+    schema = spark.createDataFrame([], "k long, v string").schema
+    t = LakeTable.create(spark, str(tmp_path / "rbp"), schema=schema,
+                         key_cols=["k"], n_buckets=4, target_file_rows=200)
+    t.append(spark.range(1000).selectExpr("id AS k", "concat('v', id) AS v"),
+             commit_key="big")
+    for i in range(3):
+        t.append(spark.range(1000 + i * 20, 1020 + i * 20)
+                 .selectExpr("id AS k", "concat('v', id) AS v"),
+                 commit_key=f"s{i}")
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        rolling_maintenance(t, epoch=7, every=8, groups=2,
+                            zorder_cols=["k"], binpack_small_rows=100)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        rolling_maintenance(t, epoch=7, every=8, groups=2,
+                            tombstone_horizon_lsn=5, binpack_small_rows=100)
+
+    before = dict(t.current().manifests)
+    r = rolling_maintenance(t, epoch=7, every=8, groups=2,
+                            binpack_small_rows=100)
+    assert r["applied"] and set(r["buckets"]) <= {0, 2}  # group 0 of 2
+    snap = t.current()
+    assert snap.manifests[1] == before[1]  # other group untouched
+    assert snap.manifests[3] == before[3]
+    assert t.read().count() == 1060

@@ -121,6 +121,7 @@ def _cmd_multi_stream(args) -> int:
 
 def _cmd_maintain(args) -> int:
     from ton_etl_spark.lake.maintenance import (
+        compact_small_files,
         delete_where,
         expire_snapshots,
         gc_tombstones,
@@ -175,6 +176,13 @@ def _cmd_maintain(args) -> int:
             )
             if worst is not None:
                 out["zorder"]["overlap"] = worst
+    if args.small_rows is not None and not args.binpack:
+        raise SystemExit("--small-rows requires --binpack")
+    if args.binpack:
+        out["binpack"] = compact_small_files(
+            t, small_rows=args.small_rows,
+            commit_key=(args.commit_key + "-bp") if args.commit_key else None,
+        )
     if args.compact:
         out["compact"] = rewrite_buckets(t, commit_key=args.commit_key)
     if args.gc_tombstones_below is not None:
@@ -411,6 +419,13 @@ def build_parser() -> argparse.ArgumentParser:
     mt = sub.add_parser("maintain", help="compaction / GC / snapshot expiry")
     mt.add_argument("--table", required=True)
     mt.add_argument("--compact", action="store_true")
+    mt.add_argument("--binpack", action="store_true",
+                    help="bin-pack compaction: coalesce only SMALL files, "
+                    "never rewriting well-sized ones (I/O proportional to "
+                    "new data, not table size)")
+    mt.add_argument("--small-rows", type=int, default=None,
+                    help="with --binpack: files under this many rows are "
+                    "pack candidates (default: half target_file_rows)")
     mt.add_argument("--gc-tombstones-below", type=int, default=None)
     mt.add_argument("--expire-keep-last", type=int, default=None)
     mt.add_argument("--zorder", default=None, metavar="COL,COL[,...]",

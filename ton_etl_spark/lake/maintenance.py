@@ -65,6 +65,78 @@ def gc_tombstones(
     return rewrite_buckets(table, buckets=buckets, predicate=keep, commit_key=commit_key)
 
 
+def compact_small_files(
+    table: LakeTable,
+    buckets: list[int] | None = None,
+    small_rows: int | None = None,
+    min_input_files: int = 2,
+    commit_key: str | None = None,
+) -> dict:
+    """Bin-pack compaction (the Iceberg ``rewrite_data_files`` binpack
+    strategy role): per bucket, coalesce only the files BELOW the size
+    threshold into fresh packed files, leaving well-sized files
+    byte-untouched — they are carried into the new manifest by reference
+    (``overwrite_buckets(keep_files=)``), never opened, never rewritten.
+
+    This is the write-amplification fix for a streaming ingest loop at
+    100 TB: each epoch appends one small file per touched bucket, so after
+    the first full compaction a bucket is one big file plus a few slivers
+    — ``rewrite_buckets`` would re-copy the big file every maintenance
+    cycle (full bucket I/O for a few thousand new rows), while bin-pack
+    I/O is proportional to the NEW data only.  Tombstones ride along
+    unfiltered (row GC stays ``gc_tombstones``' contract).
+
+    ``small_rows``: files with fewer rows are pack candidates (default:
+    half the table's ``target_file_rows``).  ``min_input_files``: a bucket
+    packs only when it has at least this many candidates — packing one
+    small file into one small file is pure churn.  Idempotent on
+    ``commit_key``; concurrency follows ``overwrite_buckets`` (bucket-
+    granular conflicts, metadata-only rebase when disjoint)."""
+    snap = table.current()
+    if commit_key is not None and snap.has_commit_key(commit_key):
+        return {"applied": False, "buckets": [], "packed_files": 0}
+    if buckets is None:
+        buckets = sorted(snap.manifests)
+    if small_rows is not None:
+        threshold = small_rows
+    else:
+        target = table._target_file_rows(snap)
+        if target is None:
+            raise ValueError(
+                "compact_small_files needs a threshold: pass small_rows= "
+                "or create the table with target_file_rows (without one "
+                "there is no definition of 'small')"
+            )
+        threshold = max(1, target // 2)
+    by_bucket: dict[int, list] = {}
+    for f in snap.files:
+        if f.bucket in set(buckets):
+            by_bucket.setdefault(f.bucket, []).append(f)
+    keep_files: dict[int, list] = {}
+    small_paths: list[str] = []
+    touched: list[int] = []
+    n_packed = 0
+    for b in buckets:
+        fs = by_bucket.get(b, [])
+        small = [f for f in fs if f.rows < threshold]
+        if len(small) < min_input_files:
+            continue
+        touched.append(b)
+        keep_files[b] = [f for f in fs if f.rows >= threshold]
+        small_paths += [os.path.join(table.root, f.path) for f in small]
+        n_packed += len(small)
+    if not touched:
+        return {"applied": False, "buckets": [], "packed_files": 0}
+    # explicit snapshot schema: old slivers NULL-fill late-added columns,
+    # exactly like read()
+    df = table.spark.read.schema(snap.schema).parquet(*small_paths)
+    ok = table.overwrite_buckets(
+        df, touched, commit_key=commit_key, schema=snap.schema,
+        base_version=snap.version, keep_files=keep_files,
+    )
+    return {"applied": ok, "buckets": touched, "packed_files": n_packed}
+
+
 def rolling_maintenance(
     table: LakeTable,
     epoch: int,
@@ -73,6 +145,7 @@ def rolling_maintenance(
     tombstone_horizon_lsn: int | None = None,
     zorder_cols: list[str] | None = None,
     zorder_overlap_threshold: float | None = None,
+    binpack_small_rows: int | None = None,
 ) -> dict | None:
     """Automated maintenance policy for a long-running ingest loop: every
     ``every`` epochs, compact ONE rolling group of buckets (group id cycles
@@ -105,13 +178,29 @@ def rolling_maintenance(
     table pays zero rewrite I/O while a degrading ingest stream still
     self-heals.  Without it, every cycle rewrites its group
     unconditionally — correct but wasteful at 100 TB, where most cycles
-    follow appends that touched few buckets."""
+    follow appends that touched few buckets.
+
+    ``binpack_small_rows``: compact the group with ``compact_small_files``
+    (threshold = this many rows) instead of a full collapse — maintenance
+    I/O becomes proportional to the NEW data in the group, not the
+    group's total size; a quiet group pays zero rewrites.  Mutually
+    exclusive with the other strategies (tombstone GC must rewrite every
+    file that may hold an expired tombstone; a z-order rewrite must
+    rewrite every file to interleave)."""
     if zorder_cols and tombstone_horizon_lsn is not None:
         # validate BEFORE the epoch gate: a misconfigured ingest loop must
         # fail on its first call, not epochs later inside foreachBatch
         raise ValueError("pass zorder_cols OR tombstone_horizon_lsn, not both")
     if zorder_overlap_threshold is not None and not zorder_cols:
         raise ValueError("zorder_overlap_threshold requires zorder_cols")
+    if binpack_small_rows is not None and (
+        zorder_cols or tombstone_horizon_lsn is not None
+    ):
+        raise ValueError(
+            "binpack_small_rows is mutually exclusive with zorder_cols / "
+            "tombstone_horizon_lsn — bin-pack never opens well-sized files, "
+            "which both of those strategies must rewrite"
+        )
     if every <= 0 or (epoch + 1) % every != 0:
         return None
     snap = table.current()
@@ -139,6 +228,11 @@ def rolling_maintenance(
                     "skipped": reason,
                 }
         return rewrite_zorder(table, zorder_cols, buckets=buckets, commit_key=key)
+    if binpack_small_rows is not None:
+        return compact_small_files(
+            table, buckets=buckets, small_rows=binpack_small_rows,
+            commit_key=key,
+        )
     return rewrite_buckets(table, buckets=buckets, commit_key=key)
 
 

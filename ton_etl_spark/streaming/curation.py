@@ -267,6 +267,7 @@ def start_curation_stream(
     retain_epochs: int | None = None,
     retention_every: int = 8,
     retention_groups: int = 4,
+    retention_binpack_rows: int | None = None,
     keep_last_snapshots: int = 2,
     retention_grace_seconds: float = 600.0,
     **gates,
@@ -323,9 +324,13 @@ def start_curation_stream(
             # product table, and compacting all of it every retention epoch
             # would be a periodic full-table copy-on-write — exactly what
             # rolling_maintenance exists to avoid (groups=1 is reserved for
-            # small-by-construction sidecars like lineage)
+            # small-by-construction sidecars like lineage).  The corpus is
+            # append-only, so retention_binpack_rows= makes each cycle
+            # coalesce only the per-epoch sliver files — I/O proportional
+            # to newly admitted docs, never re-copying settled files.
             rolling_maintenance(
-                t, batch_id, every=retention_every, groups=retention_groups
+                t, batch_id, every=retention_every, groups=retention_groups,
+                binpack_small_rows=retention_binpack_rows,
             )
             expire_snapshots(
                 t, keep_last=keep_last_snapshots,
