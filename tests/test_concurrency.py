@@ -462,3 +462,42 @@ def test_racing_disjoint_replacements_all_commit(spark, tmp_path):
         .withColumn("b", bucket_of(["k"], 4)).collect()
     }
     assert got == {f"k{i}": i + 1000 * (buckets[f"k{i}"] + 1) for i in range(40)}
+
+
+def test_binpack_conflicts_when_sliver_lands_in_packed_bucket(spark, tmp_path):
+    """Bin-pack's keep_files list is computed from its base snapshot, so a
+    concurrent append landing a NEW sliver in a bucket it is replacing
+    must CONFLICT — a metadata rebase would silently drop that sliver.
+    The re-derived pack against the new base then sees every row."""
+    import pytest
+
+    from ton_etl_spark.lake.maintenance import compact_small_files
+    from ton_etl_spark.lake.table import CommitConflictError, LakeTable
+
+    schema = spark.createDataFrame([], "k long, v string").schema
+    t = LakeTable.create(spark, str(tmp_path / "bpr"), schema=schema,
+                         key_cols=["k"], n_buckets=2, target_file_rows=200)
+    t.append(spark.range(500).selectExpr("id AS k", "concat('v', id) AS v"),
+             commit_key="big")
+    for i in range(3):  # 10-row slivers: each spreads over both buckets
+        t.append(spark.range(500 + i * 10, 510 + i * 10)
+                 .selectExpr("id AS k", "concat('v', id) AS v"),
+                 commit_key=f"s{i}")
+    assert all(  # every bucket has pack candidates => binpack replaces both
+        sum(1 for f in t.current().files if f.bucket == b and f.rows < 100) >= 2
+        for b in (0, 1)
+    )
+
+    def interleave():
+        t2 = LakeTable.load(spark, t.root)
+        t2.append(spark.createDataFrame([(9999, "late")], schema),
+                  commit_key="late")
+
+    _hooked_publish(t, interleave)
+    with pytest.raises(CommitConflictError):
+        compact_small_files(t, small_rows=100, commit_key="bp")
+    # nothing lost: the late sliver and every original row survive
+    assert t.read().count() == 531
+    # re-derive against the new base: packs cleanly, rows unchanged
+    res = compact_small_files(t, small_rows=100, commit_key="bp2")
+    assert res["applied"] and t.read().count() == 531
