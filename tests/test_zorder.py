@@ -257,11 +257,11 @@ def test_rolling_maintenance_zorder_threshold_autotrigger(spark, tmp_path):
 def test_zorder_gate_fires_without_declared_stats(spark, tmp_path):
     """Round-6 review fix: zorder_cols that were never declared stats_cols
     have no manifest bounds, so the overlap metric is blind to them — the
-    gate must read missing coverage as 'needs clustering' (bootstrapping
-    the bounds via the rewrite's extra_stats_cols), not 'well-clustered
-    forever'; and fresh ingest, whose files carry no bounds for those
-    cols, must re-arm the gate even while the OLD files' overlap stays
-    low (post-rewrite erosion would otherwise be invisible)."""
+    gate must read missing coverage as 'needs clustering' (bootstrap),
+    not 'well-clustered forever'.  The bootstrap rewrite then PROMOTES
+    the cols into stats_cols, so fresh ingest keeps recording (wide)
+    bounds and post-rewrite erosion re-arms the gate through the honest
+    overlap signal with coverage intact."""
     from ton_etl_spark.lake.maintenance import (
         clustering_overlap,
         rolling_maintenance,
@@ -296,12 +296,15 @@ def test_zorder_gate_fires_without_declared_stats(spark, tmp_path):
     assert s["skipped"] == "well-clustered"
     assert dict(t.current().manifests) == before
 
-    # fresh ingest writes files with NO a/b bounds; old tight files keep
-    # the overlap low, but lost coverage re-arms the gate
+    # the bootstrap promoted a/b into stats_cols: fresh ingest now records
+    # their (wide, unclustered) bounds, so coverage stays complete and the
+    # erosion surfaces through the overlap metric itself
     t.append(_rows(4000, 8000), commit_key="more")
+    assert set(LakeTable._prop_cols(t.current(), "stats_cols")) >= {"a", "b"}
+    new_files = [f for f in t.current().files if f.rows and f.stats]
+    assert all("a" in f.stats and "b" in f.stats for f in new_files)
     m = clustering_overlap(t)
-    # on the gate's own columns, overlap alone would say "skip"
-    assert all(m[c] is not None and m[c] <= 0.6 for c in ("a", "b"))
+    assert max(m[c] for c in ("a", "b")) > 0.6  # honest erosion signal
     r1 = rolling_maintenance(t, epoch=23, **kw)
     assert r1["applied"]
     assert zorder_needed(t, ["a", "b"], 0.6)[0] is False

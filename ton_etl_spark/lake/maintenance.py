@@ -377,17 +377,16 @@ def zorder_needed(
     A rewrite fires when EITHER holds:
 
     - some file in scope lacks [min, max] bounds for a zorder column.
-      Fresh appends/merges record bounds only for declared ``stats_cols``,
-      so uncovered files are unprunable on that column AND invisible to
-      the overlap metric — treating "no stats" as "well-clustered" would
-      (a) skip the bootstrap rewrite forever on a table whose zorder_cols
-      were never stats_cols, and (b) hide post-rewrite erosion, since the
-      metric would keep scoring only the old tight files while new
-      unbounded files accumulate.  ``rewrite_zorder`` records bounds for
-      its cols (``extra_stats_cols``), so a rewrite restores full coverage
-      and the gate goes quiet until new data arrives in the scope.
+      Uncovered files are unprunable on that column AND invisible to the
+      overlap metric — treating "no stats" as "well-clustered" would skip
+      the bootstrap rewrite forever on a table whose zorder_cols were
+      never stats_cols.  This rule fires the FIRST rewrite (and covers
+      pre-promotion history); ``rewrite_zorder`` then promotes its cols
+      into ``stats_cols``, so every later commit records their bounds,
+      coverage stays complete, and the gate runs on the second rule:
     - the worst per-column overlap among covered files exceeds
-      ``threshold``.
+      ``threshold`` — post-rewrite erosion shows up here directly,
+      because fresh merge/append files carry (wide) recorded bounds.
 
     A fully-covered scope with no scoreable pairs (single stats-carrying
     file per bucket) is genuinely unimprovable and skips."""
@@ -701,12 +700,20 @@ def rewrite_zorder(
 
     Runs on the existing copy-on-write path: same CAS commit, same rebase
     rules, same bucket layout (z-ordering changes clustering WITHIN
-    buckets, never row→bucket routing), and bounds for ``cols`` are
-    harvested via ``extra_stats_cols`` even when not declared as
-    ``stats_cols``.  Later merge commits sort by the table's declared
-    ``sort_cols`` again — z-order locality decays as buckets take new
-    writes, so schedule this like compaction (it IS a compaction, one
-    rolling bucket group at a time at 100 TB — the ``buckets`` arg)."""
+    buckets, never row→bucket routing).  Bounds for ``cols`` are
+    harvested even when not declared as ``stats_cols`` — and the commit
+    PROMOTES them into the ``stats_cols`` property, so every later
+    merge/append keeps recording their bounds too.  Without the
+    promotion, post-rewrite commits drop the bounds again: the files are
+    unprunable on those columns, the overlap metric is blind to them,
+    and ``zorder_needed``'s coverage rule would fire EVERY cycle on a
+    merge-heavy table (merges rewrite whole buckets) — always-on full
+    rewrites disguised as a demand gate.  With it, coverage stays 1 and
+    the gate keys on the honest signal: measured overlap of the recorded
+    bounds.  Later merge commits still sort by the declared ``sort_cols``
+    — z-order locality decays as buckets take new writes, so schedule
+    this like compaction (it IS a compaction, one rolling bucket group
+    at a time at 100 TB — the ``buckets`` arg)."""
     snap = table.current()
     if commit_key is not None and snap.has_commit_key(commit_key):
         return {"applied": False, "buckets": []}
@@ -715,9 +722,14 @@ def rewrite_zorder(
     df = table.read(buckets=buckets)
     bounds = zorder_boundaries(df, cols, bits=bits)
     z = zorder_value(df, bounds, bits=bits)
+    declared = LakeTable._prop_cols(snap, "stats_cols")
+    promoted = list(dict.fromkeys(declared + list(cols)))
     ok = table.overwrite_buckets(
         df, buckets, commit_key=commit_key, schema=snap.schema,
         base_version=snap.version, sort_exprs=[z], extra_stats_cols=cols,
+        properties_update=(
+            {"stats_cols": ",".join(promoted)} if promoted != declared else None
+        ),
     )
     return {"applied": ok, "buckets": buckets,
             "bins": {c: len(b) + 1 for c, b in bounds.items()}}

@@ -1350,6 +1350,7 @@ class LakeTable:
         sort_exprs: list | None = None,
         extra_stats_cols: list[str] | None = None,
         keep_files: dict[int, list["DataFile"]] | None = None,
+        properties_update: dict[str, str] | None = None,
     ) -> bool:
         """Copy-on-write commit: replace all files of ``buckets`` with ``df``
         (which must contain exactly the surviving rows for those buckets).
@@ -1394,7 +1395,12 @@ class LakeTable:
         caller owns the exactness argument (e.g. a range delete keeps
         exactly the files whose bounds exclude the range).  Conflict
         granularity stays the bucket — kept files ride in the bucket's
-        rewritten manifest."""
+        rewritten manifest.
+
+        ``properties_update``: table properties merged into the published
+        snapshot (e.g. z-order promoting its columns into ``stats_cols``
+        so LATER commits keep recording their bounds).  Rides the same
+        CAS; keys not listed keep their current values."""
         snap = (
             self.snapshot(base_version) if base_version is not None else self.current()
         )
@@ -1474,7 +1480,11 @@ class LakeTable:
                 manifests=manifests,
                 commit_watermarks=wm,
                 recent_commit_keys=recent,
-                properties=snap.properties,
+                properties=(
+                    {**snap.properties, **properties_update}
+                    if properties_update
+                    else snap.properties
+                ),
             )
             new_snap._root = self.root
             try:
