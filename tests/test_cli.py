@@ -302,3 +302,8 @@ def test_cli_maintain_binpack(spark, tmp_path, capsys):
     assert out["binpack"]["applied"] is True and out["binpack"]["packed_files"] >= 3
     assert len(t.current().files) < n_before
     assert t.read().count() == 503
+
+    # describe surfaces the binpack demand signal (dual of --clustering)
+    assert main(["describe", "--table", table]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["small_files"] < 3  # slivers were packed away

@@ -397,3 +397,34 @@ def test_where_range_bounds_conform_to_column_type(spark, tmp_path):
     res = delete_where(t, {"lsn": ("990", None)})
     assert res["deleted_rows"] == 10  # lsn 990..999
     assert t.read().count() == 990
+
+
+def test_where_in_decimal_and_epoch_probes_conform(spark, tmp_path):
+    """Review-fix lock: a fractional Decimal probe on an integral column
+    matches NOTHING (int() would truncate 7.5 -> 7 and hit the wrong
+    key); an epoch-int probe on a timestamp column matches nothing
+    instead of raising an ANSI analysis error (unit guessing would be a
+    silent wrong match); an int bound on a timestamp RANGE raises."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest
+
+    schema = spark.createDataFrame([], "k long, ts timestamp").schema
+    t = LakeTable.create(spark, str(tmp_path / "cf1"), schema=schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["ts"])
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    t.append(spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i)) for i in range(20)], schema),
+        commit_key="seed")
+
+    assert t.read(where_in={"k": [Decimal("7.5")]}).count() == 0  # not k=7!
+    assert t.read(where_in={"k": [Decimal("7.00")]}).count() == 1  # integral ok
+    assert t.read(where_in={"ts": [int(base.timestamp())]}).count() == 0
+    got = t.read(where_in={"ts": [base + dt.timedelta(hours=3)]}).count()
+    assert got == 1
+    # ISO string probes conform on temporal columns
+    iso = (base + dt.timedelta(hours=4)).isoformat()
+    assert t.read(where_in={"ts": [iso]}).count() == 1
+    with pytest.raises(ValueError, match="not representable"):
+        t.read(where={"ts": (int(base.timestamp()), None)})

@@ -309,3 +309,48 @@ def test_zorder_gate_fires_without_declared_stats(spark, tmp_path):
     assert r1["applied"]
     assert zorder_needed(t, ["a", "b"], 0.6)[0] is False
     assert t.read().count() == 8000
+
+
+def test_zorder_gate_degenerate_columns_do_not_fire_forever(spark, tmp_path):
+    """Review-fix lock: the blindness rule must not degenerate into an
+    always-on rewrite.  (a) A column whose type can never carry manifest
+    bounds (decimal — _stats_encode returns None) is excluded from the
+    blind check; (b) a stray bounds-less file (all-NULL column values)
+    does not re-trigger while other files carry bounds — overlap governs;
+    (c) a typo'd column fails loudly instead of silently never firing."""
+    from decimal import Decimal
+
+    from ton_etl_spark.lake.maintenance import zorder_needed
+
+    schema = spark.createDataFrame([], "k long, d decimal(10,2), v long").schema
+    t = LakeTable.create(spark, str(tmp_path / "zdg"), schema=schema,
+                         key_cols=["k"], n_buckets=2, target_file_rows=50)
+    # batch 1: v all-NULL => its files record NO v bounds
+    t.append(spark.range(200).selectExpr(
+        "id AS k", "CAST(id AS decimal(10,2)) AS d", "CAST(NULL AS long) AS v"),
+        commit_key="b1")
+    # (a) decimal-only gate: zero coverage but unencodable type => skip
+    needed, worst, reason = zorder_needed(t, ["d"], 0.5)
+    assert needed is False and reason == "well-clustered" and worst is None
+
+    # (c) unknown column: loud
+    with pytest.raises(ValueError, match="not in schema"):
+        zorder_needed(t, ["nope"], 0.5)
+
+    # v IS encodable and fully blind here => bootstrap fires once
+    assert zorder_needed(t, ["v"], 0.5)[0] is True
+    r = rewrite_zorder(t, ["v"], commit_key="z1")
+    assert r["applied"]
+    # the all-NULL rows still record no v bounds on their files...
+    assert all(not f.stats or "v" not in f.stats for f in t.current().files)
+    # ...but batch 2 brings covered files; partial coverage must not
+    # re-fire the blind rule — only measured overlap can
+    t.append(spark.range(200, 400).selectExpr(
+        "id AS k", "CAST(id AS decimal(10,2)) AS d", "CAST(id % 7 AS long) AS v"),
+        commit_key="b2")
+    covered = [f for f in t.current().files if f.stats and "v" in f.stats]
+    blind_files = [f for f in t.current().files
+                   if not f.stats or "v" not in f.stats]
+    assert covered  # some files carry v bounds
+    needed, worst, reason = zorder_needed(t, ["v"], 1.1)  # threshold no one beats
+    assert needed is False, (worst, reason, len(blind_files))

@@ -136,8 +136,12 @@ def _cmd_maintain(args) -> int:
     if args.zorder_if_overlap is not None and not args.zorder:
         # fail on misconfiguration, matching rolling_maintenance's
         # ValueError — a silently-ignored gate flag looks like "maintenance
-        # ran" while the table never re-clusters
+        # ran" while the table never re-clusters.  Validate BEFORE any
+        # action block: a config error must not leave a half-executed
+        # maintenance run behind.
         raise SystemExit("--zorder-if-overlap requires --zorder")
+    if args.small_rows is not None and not args.binpack:
+        raise SystemExit("--small-rows requires --binpack")
     if args.delete_where or args.delete_in:
         ranges = {
             c: (lo, hi) for c, (lo, hi) in json.loads(args.delete_where).items()
@@ -176,8 +180,6 @@ def _cmd_maintain(args) -> int:
             )
             if worst is not None:
                 out["zorder"]["overlap"] = worst
-    if args.small_rows is not None and not args.binpack:
-        raise SystemExit("--small-rows requires --binpack")
     if args.binpack:
         out["binpack"] = compact_small_files(
             t, small_rows=args.small_rows,
@@ -223,12 +225,15 @@ def _cmd_describe(args) -> int:
 
     from ton_etl_spark.lake.table import LakeTable
 
+    from ton_etl_spark.lake.maintenance import default_small_rows
+
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
     snap = t.current()
     files = snap.files
     per_bucket = Counter(f.bucket for f in files)
     stats_cols = sorted({c for f in files if f.stats for c in f.stats})
+    small_thr = default_small_rows(t, snap)
     out = {
         "cmd": "describe",
         "root": t.root,
@@ -243,6 +248,14 @@ def _cmd_describe(args) -> int:
         "stats_columns": stats_cols,
         "stats_coverage": (
             round(sum(1 for f in files if f.stats) / len(files), 4) if files else None
+        ),
+        # the binpack demand signal, dual of --clustering for z-order:
+        # sliver files pile up one per append epoch; a high count says
+        # schedule maintain --binpack.  Threshold comes from the SAME
+        # helper --binpack acts on, so signal and action can't drift.
+        "small_files": (
+            sum(1 for f in files if f.rows < small_thr)
+            if small_thr is not None else None
         ),
         "commit_watermarks": snap.commit_watermarks,
         "tags": t.tags(),

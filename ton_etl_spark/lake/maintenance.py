@@ -65,6 +65,16 @@ def gc_tombstones(
     return rewrite_buckets(table, buckets=buckets, predicate=keep, commit_key=commit_key)
 
 
+def default_small_rows(table: LakeTable, snap: Snapshot) -> int | None:
+    """The ONE definition of a 'small' (pack-candidate) file — half the
+    table's ``target_file_rows``, None when no target is declared.
+    Shared by ``compact_small_files`` and the ``describe`` CLI's
+    ``small_files`` demand signal so the metric an operator watches and
+    the threshold ``--binpack`` acts on can never drift apart."""
+    target = table._target_file_rows(snap)
+    return max(1, target // 2) if target else None
+
+
 def compact_small_files(
     table: LakeTable,
     buckets: list[int] | None = None,
@@ -100,17 +110,17 @@ def compact_small_files(
     if small_rows is not None:
         threshold = small_rows
     else:
-        target = table._target_file_rows(snap)
-        if target is None:
+        threshold = default_small_rows(table, snap)
+        if threshold is None:
             raise ValueError(
                 "compact_small_files needs a threshold: pass small_rows= "
                 "or create the table with target_file_rows (without one "
                 "there is no definition of 'small')"
             )
-        threshold = max(1, target // 2)
+    bset_all = set(buckets)
     by_bucket: dict[int, list] = {}
     for f in snap.files:
-        if f.bucket in set(buckets):
+        if f.bucket in bset_all:
             by_bucket.setdefault(f.bucket, []).append(f)
     keep_files: dict[int, list] = {}
     small_paths: list[str] = []
@@ -315,6 +325,8 @@ def clustering_overlap(
     table: LakeTable,
     version: int | None = None,
     buckets: list[int] | None = None,
+    files: list | None = None,
+    cols: list[str] | None = None,
 ) -> dict:
     """Per-column clustering quality from manifest metadata alone: the
     fraction of same-bucket file pairs whose [min, max] bounds overlap.
@@ -330,14 +342,19 @@ def clustering_overlap(
     null.  Buckets with a single stats-carrying file contribute no pairs.
     ``buckets`` restricts the metric to one bucket group — how
     ``rolling_maintenance``'s auto-z-order gate scores just the group it
-    would rewrite this cycle.
+    would rewrite this cycle.  ``files`` lets a caller that already
+    loaded the manifest entries (``zorder_needed``) pass them in instead
+    of re-reading every manifest from disk; ``cols`` restricts the
+    scoring to the columns actually consumed.
     """
-    snap = table.snapshot(version) if version is not None else table.current()
-    files = snap.files
-    if buckets is not None:
-        bset = set(buckets)
-        files = [f for f in files if f.bucket in bset]
-    cols = sorted({c for f in files if f.stats for c in f.stats})
+    if files is None:
+        snap = table.snapshot(version) if version is not None else table.current()
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f.bucket in bset]
+    seen = {c for f in files if f.stats for c in f.stats}
+    cols = sorted(seen if cols is None else (seen & set(cols)))
     out: dict[str, float | None] = {}
     for c in cols:
         overlaps = 0
@@ -376,20 +393,26 @@ def zorder_needed(
 
     A rewrite fires when EITHER holds:
 
-    - some file in scope lacks [min, max] bounds for a zorder column.
-      Uncovered files are unprunable on that column AND invisible to the
-      overlap metric — treating "no stats" as "well-clustered" would skip
-      the bootstrap rewrite forever on a table whose zorder_cols were
-      never stats_cols.  This rule fires the FIRST rewrite (and covers
-      pre-promotion history); ``rewrite_zorder`` then promotes its cols
-      into ``stats_cols``, so every later commit records their bounds,
-      coverage stays complete, and the gate runs on the second rule:
-    - the worst per-column overlap among covered files exceeds
+    - a zorder column whose type CAN carry manifest bounds
+      (``_stats_encodable``) has bounds on NO file in scope — the metric
+      is completely blind to it, which happens exactly once per table:
+      before the first rewrite on undeclared stats cols (treating that as
+      "well-clustered" would skip the bootstrap forever).
+      ``rewrite_zorder`` promotes its cols into ``stats_cols``, so after
+      the bootstrap every commit records bounds and the gate runs on:
+    - the worst per-column overlap among bounds-carrying files exceeds
       ``threshold`` — post-rewrite erosion shows up here directly,
       because fresh merge/append files carry (wide) recorded bounds.
 
-    A fully-covered scope with no scoreable pairs (single stats-carrying
-    file per bucket) is genuinely unimprovable and skips."""
+    The blindness rule deliberately requires ZERO coverage, not full
+    coverage: a column that can never encode (boolean/decimal/binary —
+    excluded by type), or a stray all-NULL file that records no bounds,
+    must not re-trigger a full rewrite every cycle — a rewrite cannot
+    manufacture bounds for either.  A fully-covered scope with no
+    scoreable pairs (single stats-carrying file per bucket) is genuinely
+    unimprovable and skips."""
+    from ton_etl_spark.lake.table import _stats_encodable
+
     snap = table.snapshot(version) if version is not None else table.current()
     files = snap.files
     if buckets is not None:
@@ -397,14 +420,21 @@ def zorder_needed(
         files = [f for f in files if f.bucket in bset]
     if not files:
         return False, None, "empty"
-    uncovered = sorted(
+    field_types = {f.name: f.dataType for f in snap.schema.fields}
+    unknown = sorted(set(zorder_cols) - set(field_types))
+    if unknown:
+        # same loud-misconfig contract as create()'s stats_cols check: a
+        # typo'd column would otherwise just never fire the gate
+        raise ValueError(f"zorder_cols not in schema: {unknown}")
+    blind = sorted(
         c for c in zorder_cols
-        if any(not f.stats or c not in f.stats for f in files)
+        if _stats_encodable(field_types[c])
+        and not any(f.stats and c in f.stats for f in files)
     )
-    ov = clustering_overlap(table, version=snap.version, buckets=buckets)
+    ov = clustering_overlap(table, files=files, cols=list(zorder_cols))
     scores = [ov[c] for c in zorder_cols if ov.get(c) is not None]
     worst = max(scores) if scores else None
-    if uncovered:
+    if blind:
         return True, worst, None
     if worst is not None and worst > threshold:
         return True, worst, None

@@ -188,6 +188,23 @@ def _stats_encode(v: Any) -> Any:
     return None
 
 
+def _stats_encodable(dt: "T.DataType") -> bool:
+    """Whether ``_stats_encode`` can ever produce bounds for values of this
+    Spark type — the TYPE-level twin of the value-level encoder.  Callers
+    that reason about missing bounds (e.g. ``zorder_needed``'s coverage
+    rule) must not treat a column that can NEVER carry bounds (boolean,
+    decimal, binary, nested) as 'needs a rewrite to record them' — the
+    rewrite would record nothing and the check would fire forever."""
+    return isinstance(
+        dt,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.StringType,
+            T.TimestampType, T.TimestampNTZType, T.DateType,
+        ),
+    )
+
+
 def _file_may_match_in(f: DataFile, enc_in: dict[str, list]) -> bool:
     """Conservative in-list skip test: False only when the file's [min,
     max] bounds prove NO probe value can be present.  ``enc_in`` values
@@ -256,6 +273,8 @@ def _conform_where_in(
                         continue
                     if isinstance(v, float) and not v.is_integer():
                         continue  # 7.5 can equal no integral value
+                    if isinstance(v, Decimal) and v % 1 != 0:
+                        continue  # int() would TRUNCATE Decimal('7.5') to 7
                     conv.append(int(v))
                 elif isinstance(dt, (T.FloatType, T.DoubleType)):
                     if isinstance(v, bool):
@@ -266,13 +285,19 @@ def _conform_where_in(
                 elif isinstance(dt, T.DecimalType):
                     conv.append(v if isinstance(v, Decimal) else Decimal(str(v)))
                 elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-                    conv.append(
-                        _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
-                    )
+                    if isinstance(v, str):
+                        conv.append(_dt.datetime.fromisoformat(v))
+                    elif isinstance(v, _dt.datetime):
+                        conv.append(v)
+                    # anything else (epoch int/float) is dropped: guessing
+                    # the unit (s/ms/us) risks a silent wrong match, and
+                    # passing it raw is an ANSI analysis error — the
+                    # contract is "unrepresentable matches nothing"
                 elif isinstance(dt, T.DateType):
-                    conv.append(
-                        _dt.date.fromisoformat(v) if isinstance(v, str) else v
-                    )
+                    if isinstance(v, str):
+                        conv.append(_dt.date.fromisoformat(v))
+                    elif isinstance(v, _dt.date):
+                        conv.append(v)  # datetime is a date subclass: ok
                 elif isinstance(dt, T.BooleanType):
                     if not isinstance(v, bool):
                         continue
@@ -339,9 +364,17 @@ def _conform_where_bounds(
             if isinstance(dt, T.DecimalType):
                 return v if isinstance(v, Decimal) else Decimal(str(v))
             if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-                return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+                if isinstance(v, str):
+                    return _dt.datetime.fromisoformat(v)
+                if isinstance(v, _dt.datetime):
+                    return v
+                raise ValueError  # epoch ints: unit guess = silent wrong range
             if isinstance(dt, T.DateType):
-                return _dt.date.fromisoformat(v) if isinstance(v, str) else v
+                if isinstance(v, str):
+                    return _dt.date.fromisoformat(v)
+                if isinstance(v, _dt.date):
+                    return v
+                raise ValueError
             return v
         except (TypeError, ValueError, InvalidOperation):
             raise ValueError(

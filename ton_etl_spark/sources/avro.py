@@ -558,30 +558,33 @@ def _union_file_schemas(files: list[str]) -> T.StructType:
     a small independent I/O wait; distinct schema JSONs are memoised so an
     evolved lake with millions of files but a handful of schema versions
     parses each version once.  ``ex.map`` preserves input order, keeping
-    the first-seen field order deterministic."""
+    the first-seen field order deterministic; its results are consumed
+    AS THEY ARRIVE (each yielded schema string is dropped right after the
+    dedup check) — collecting them into a list first would hold 10^6
+    multi-KB strings on the driver at once for a lake with a handful of
+    distinct versions."""
     from concurrent.futures import ThreadPoolExecutor
 
     fields: dict[str, T.StructField] = {}
     seen_json: set[str] = set()
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
-        schema_jsons = list(ex.map(_file_schema_json, files))
-    for fpath, sj in zip(files, schema_jsons):
-        if sj in seen_json:
-            continue
-        seen_json.add(sj)
-        sc = parse_schema(sj)
-        if sc.kind != "record":
-            raise ValueError("top-level Avro schema must be a record")
-        for f in avro_to_spark_type(sc).fields:
-            prev = fields.get(f.name)
-            if prev is None:
-                fields[f.name] = T.StructField(f.name, f.dataType, True)
-            elif prev.dataType != f.dataType:
-                raise ValueError(
-                    f"conflicting Avro types for column {f.name!r}: "
-                    f"{prev.dataType} vs {f.dataType} (in {fpath}); pass "
-                    "reader_schema= to resolve explicitly"
-                )
+        for fpath, sj in zip(files, ex.map(_file_schema_json, files)):
+            if sj in seen_json:
+                continue
+            seen_json.add(sj)
+            sc = parse_schema(sj)
+            if sc.kind != "record":
+                raise ValueError("top-level Avro schema must be a record")
+            for f in avro_to_spark_type(sc).fields:
+                prev = fields.get(f.name)
+                if prev is None:
+                    fields[f.name] = T.StructField(f.name, f.dataType, True)
+                elif prev.dataType != f.dataType:
+                    raise ValueError(
+                        f"conflicting Avro types for column {f.name!r}: "
+                        f"{prev.dataType} vs {f.dataType} (in {fpath}); pass "
+                        "reader_schema= to resolve explicitly"
+                    )
     return T.StructType(list(fields.values()))
 
 
