@@ -1868,6 +1868,58 @@ WHERE doc_id IN ({", ".join(str(p) for p in _PL_PROBES)})
 
 
 # --------------------------------------------------------------------------
+# Engine round-trip: bin-pack compaction preserves content exactly.  One
+# big seed commit plus three per-epoch sliver appends (disjoint doc_id
+# residues unioning to the whole table), compact_small_files packs only
+# the slivers (kept files ride by reference — lake/maintenance.py), and
+# the full read-back hash-gates against DuckDB over the same input rows.
+def q_lake_binpack_roundtrip(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.maintenance import compact_small_files
+    from ton_etl_spark.lake.table import LakeTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="lake_bp_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=docs.schema,
+            key_cols=["doc_id"], n_buckets=4, stats_cols=["doc_id"],
+            target_file_rows=256,
+        )
+        # seed: 7/8 of the table; slivers: the doc_id % 24 in {0, 8, 16}
+        # residues — together exactly the %8==0 complement, each row once
+        t.append(docs.where(F.col("doc_id") % 8 != 0), commit_key="seed")
+        for r in range(3):
+            t.append(
+                docs.where(F.col("doc_id") % 24 == r * 8), commit_key=f"s{r}"
+            )
+        n_before = len(t.current().files)
+        res = compact_small_files(t, small_rows=128, commit_key="bp")
+        if not res["applied"] or len(t.current().files) >= n_before:
+            raise RuntimeError(f"binpack did not fire: {res}")
+        out = (
+            t.read()
+            .select(
+                "doc_id", "lang", "source",
+                F.md5(F.col("text")).alias("text_md5"),
+            )
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_LAKE_BINPACK = """
+SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # 50. Segment-level (CCNet line-dedup shape) boilerplate removal — strip
 #     every 3-word segment occurring in >= 3 distinct documents, re-emit
 #     the cleaned text.  Hash-gated end to end: the oracle re-derives the
@@ -2024,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-backed but past the driver's 50-row cap (local mirror covers it):
     "label_centroid_norm": q_label_centroid_norm,
     "lake_point_lookup": q_lake_point_lookup,
+    "lake_binpack_roundtrip": q_lake_binpack_roundtrip,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -2089,4 +2142,5 @@ ORACLES: dict[str, str] = {
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "pii_redaction": SQL_PII,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
+    "lake_binpack_roundtrip": SQL_LAKE_BINPACK,
 }
