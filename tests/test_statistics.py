@@ -11,6 +11,8 @@ import json
 import os
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ton_etl_spark.lake.table import DataFile, LakeTable
@@ -428,3 +430,75 @@ def test_where_in_decimal_and_epoch_probes_conform(spark, tmp_path):
     assert t.read(where_in={"ts": [iso]}).count() == 1
     with pytest.raises(ValueError, match="not representable"):
         t.read(where={"ts": (int(base.timestamp()), None)})
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROBE_VALUES = st.one_of(
+    st.integers(min_value=-5, max_value=30),
+    st.floats(min_value=-5, max_value=30, allow_nan=False),
+    st.decimals(min_value=-5, max_value=30, allow_nan=False, places=1),
+    st.text(alphabet="k0123456789.", min_size=0, max_size=4),
+    st.none(),
+    st.booleans(),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(probes=st.lists(_PROBE_VALUES, min_size=1, max_size=6),
+       target=st.sampled_from(["k", "lsn", "tag"]))
+def test_where_in_conformance_property(spark, shared_probe_table, probes, target):
+    """Property: for ANY mix of probe value types against ANY column
+    (string key / long / string tag), read(where_in=) must return exactly
+    the rows whose column value equals a conformed probe — no crash (ANSI
+    column casts, createDataFrame verification), no wrong-key match
+    (coercion/truncation), and bucket/stats pruning never changes the
+    answer."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    t, rows = shared_probe_table
+    schema_types = {"k": str, "lsn": int, "tag": str}
+    py_t = schema_types[target]
+
+    # reference semantics: the documented conformance contract in Python
+    def conform(v):
+        if v is None or isinstance(v, bool):
+            return None
+        try:
+            if py_t is int:
+                if isinstance(v, float) and not v.is_integer():
+                    return None
+                if isinstance(v, Decimal) and v % 1 != 0:
+                    return None
+                return int(v)
+            return v if isinstance(v, str) else str(v)
+        except (ValueError, TypeError):
+            return None
+
+    want = sorted(
+        r for r in rows
+        if r[{"k": 0, "lsn": 1, "tag": 2}[target]]
+        in {c for c in map(conform, probes) if c is not None}
+    )
+    got = sorted(
+        (r["k"], r["lsn"], r["tag"])
+        for r in t.read(where_in={target: list(probes)}).collect()
+    )
+    assert got == want, (probes, target, got[:5], want[:5])
+
+
+@pytest.fixture(scope="module")
+def shared_probe_table(spark, tmp_path_factory):
+    import pytest as _pytest  # noqa: F401
+
+    root = str(tmp_path_factory.mktemp("probeprop") / "t")
+    schema = spark.createDataFrame([], "k string, lsn long, tag string").schema
+    t = LakeTable.create(spark, root, schema=schema, key_cols=["k"],
+                         n_buckets=2, stats_cols=["lsn"], sort_cols=["lsn"],
+                         target_file_rows=10)
+    rows = [(f"k{i}", i, f"{i}") for i in range(20)]
+    rows += [("7", 77, "7.5"), ("07", 78, "x"), ("", 79, "")]
+    t.append(spark.createDataFrame(rows, schema), commit_key="seed")
+    return t, rows
