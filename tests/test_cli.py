@@ -307,3 +307,45 @@ def test_cli_maintain_binpack(spark, tmp_path, capsys):
     assert main(["describe", "--table", table]) == 0
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d["small_files"] < 3  # slivers were packed away
+
+
+def test_cli_lookup_is_live_state_on_cdc_tables(spark, tmp_path, capsys):
+    """Round-6 fix: `lookup` on a CDC table answers the LIVE state (the
+    reference's online SELECT semantics) — a deleted key returns nothing,
+    not its tombstone; --raw exposes the storage view; read_state grows a
+    matching where_in= fast path."""
+    from ton_etl_spark.cdc.apply import (
+        apply_cdc_batch,
+        make_sequences_table,
+        read_state,
+    )
+    from ton_etl_spark.cdc.generator import generate_cdc_log
+
+    table = str(tmp_path / "seq")
+    t = make_sequences_table(spark, table, n_buckets=4)
+    log = generate_cdc_log(spark, 2000, seed=41)
+    apply_cdc_batch(t, log, epoch=0)
+    live = {r["doc_id"] for r in read_state(t).collect()}
+    stored = {r["doc_id"] for r in t.read().collect()}
+    dead = sorted(stored - live)
+    assert dead, "generator should produce deleted keys"
+    victim, alive = dead[0], sorted(live)[0]
+
+    # live-state default: the deleted key yields no row, the live one does
+    assert main(["lookup", "--table", table,
+                 "--in", json.dumps({"doc_id": [victim, alive]}),
+                 "--columns", "doc_id"]) == 0
+    got = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in got] == [alive]
+
+    # --raw: storage view still shows the tombstone
+    assert main(["lookup", "--table", table, "--raw",
+                 "--in", json.dumps({"doc_id": [victim]}),
+                 "--columns", "doc_id,op"]) == 0
+    raw = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert raw and raw[0]["op"] == "d"
+
+    # read_state(where_in=) == read_state().isin (pruned = truth)
+    a = {r["doc_id"]
+         for r in read_state(t, where_in={"doc_id": [victim, alive]}).collect()}
+    assert a == {alive}

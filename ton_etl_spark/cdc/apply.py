@@ -54,6 +54,7 @@ def read_state(
     lsn_range: tuple[int | None, int | None] | None = None,
     version: int | None = None,
     tag: str | None = None,
+    where_in: dict | None = None,
 ) -> DataFrame:
     """Consumer view of a sequences table: live rows only (tombstones are
     retained in storage for out-of-order protection; see lake/merge.py).
@@ -64,10 +65,18 @@ def read_state(
     ("give me keys changed since LSN x") reads O(matching files), not the
     full 100 TB state.
 
+    ``where_in`` point-probes the STATE (reference analog: the online
+    per-key SELECTs, ``parser/db.py:112-256``): same bucket/stats/bloom
+    pruning as ``LakeTable.read(where_in=)``, but a deleted key returns
+    no row instead of its tombstone — online lookups answer "what is the
+    value now", not "what does storage hold".
+
     ``version``/``tag`` time-travel the view (``tag`` = a named pinned
     snapshot, e.g. the exact training set of a past run)."""
     where = {LSN_COL: lsn_range} if lsn_range is not None else None
-    return table.read(where=where, version=version, tag=tag).where(F.col(OP_COL) != "d")
+    return table.read(
+        where=where, version=version, tag=tag, where_in=where_in
+    ).where(F.col(OP_COL) != "d")
 
 
 def make_sequences_table(

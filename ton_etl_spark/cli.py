@@ -201,7 +201,12 @@ def _cmd_maintain(args) -> int:
 def _cmd_lookup(args) -> int:
     """Online point lookup (reference analog: the per-key SELECT helpers in
     ``parser/db.py:112-256``): bucket-pruned + stats-pruned + bloom-assisted
-    via ``LakeTable.read(where_in=)``; rows print as JSON lines."""
+    via ``LakeTable.read(where_in=)``; rows print as JSON lines.
+
+    On a CDC table (an ``op`` column exists) the view is the LIVE STATE —
+    a deleted key returns nothing, matching what the reference's SELECTs
+    answer; ``--raw`` switches to storage view (tombstones included)."""
+    from ton_etl_spark.cdc.schema import OP_COL
     from ton_etl_spark.lake.table import LakeTable
 
     spark = _spark(args)
@@ -212,6 +217,10 @@ def _cmd_lookup(args) -> int:
     ):
         raise SystemExit('--in must be a JSON object of {"col": [values...]}')
     df = t.read(where_in=probes)
+    if not args.raw and OP_COL in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.where(F.col(OP_COL) != "d")
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",") if c.strip()])
     rows = df.limit(args.limit).collect()
@@ -479,6 +488,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "their buckets)")
     lk.add_argument("--columns", default=None, metavar="COL,COL[,...]")
     lk.add_argument("--limit", type=int, default=1000)
+    lk.add_argument("--raw", action="store_true",
+                    help="storage view: include delete tombstones (default "
+                    "is the live state — a deleted key returns nothing)")
     lk.set_defaults(fn=_cmd_lookup)
 
     de = sub.add_parser("describe", help="table metadata: version, layout, file/stats coverage")
