@@ -1920,6 +1920,61 @@ SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
 
 
 # --------------------------------------------------------------------------
+# Engine incremental changelog: changes(v1 -> head) after a per-key delete
+# and a fresh append must emit exactly the victims as 'delete' rows (their
+# OLD payload) and the appended keys as 'insert' rows — the Iceberg
+# incremental-read role (reference analog: datalake_daily_sync.py's
+# newer-than-last-sync export), hash-gated against DuckDB re-deriving the
+# same diff from the input table.
+_CH_VICTIMS = [1, 2, 4, 5]  # all % 3 != 0, so inside the seeded subset
+
+
+def q_lake_changes_diff(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.maintenance import delete_where
+    from ton_etl_spark.lake.table import LakeTable
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="lake_ch_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=docs.schema,
+            key_cols=["doc_id"], n_buckets=4, stats_cols=["doc_id"],
+            target_file_rows=128,
+        )
+        t.append(docs.where(F.col("doc_id") % 3 != 0), commit_key="seed")
+        v1 = t.current_version()
+        delete_where(t, where_in={"doc_id": _CH_VICTIMS}, commit_key="del")
+        t.append(
+            docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60)),
+            commit_key="late",
+        )
+        out = (
+            t.changes(v1)
+            .select(
+                "doc_id",
+                F.md5(F.col("text")).alias("text_md5"),
+                "_change_type",
+            )
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_LAKE_CHANGES = f"""
+SELECT doc_id, md5(text) AS text_md5, 'delete' AS _change_type
+FROM documents WHERE doc_id IN ({", ".join(str(v) for v in _CH_VICTIMS)})
+UNION ALL
+SELECT doc_id, md5(text) AS text_md5, 'insert' AS _change_type
+FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60
+"""
+
+
+# --------------------------------------------------------------------------
 # 50. Segment-level (CCNet line-dedup shape) boilerplate removal — strip
 #     every 3-word segment occurring in >= 3 distinct documents, re-emit
 #     the cleaned text.  Hash-gated end to end: the oracle re-derives the
@@ -2077,6 +2132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_norm": q_label_centroid_norm,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_binpack_roundtrip": q_lake_binpack_roundtrip,
+    "lake_changes_diff": q_lake_changes_diff,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -2143,4 +2199,5 @@ ORACLES: dict[str, str] = {
     "pii_redaction": SQL_PII,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "lake_binpack_roundtrip": SQL_LAKE_BINPACK,
+    "lake_changes_diff": SQL_LAKE_CHANGES,
 }
