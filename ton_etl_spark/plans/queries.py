@@ -1975,6 +1975,54 @@ FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60
 
 
 # --------------------------------------------------------------------------
+# Engine time-travel + tag retention: tag the seeded snapshot, delete keys
+# at head, expire old snapshots — the TAGGED version must still read as
+# the full original dataset (the reproducible-training-set contract) while
+# head reads the post-delete state.  One result frame unions both views,
+# hash-gated against DuckDB deriving each from the input table.
+def q_lake_time_travel(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.maintenance import delete_where, expire_snapshots
+    from ton_etl_spark.lake.table import LakeTable
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="lake_tt_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=docs.schema,
+            key_cols=["doc_id"], n_buckets=4, stats_cols=["doc_id"],
+            target_file_rows=128,
+        )
+        t.append(docs, commit_key="seed")
+        t.tag("train-run", t.current_version())
+        delete_where(t, where_in={"doc_id": _CH_VICTIMS}, commit_key="del")
+        # expiry must spare the tagged snapshot's files (tag retention)
+        expire_snapshots(t, keep_last=1, grace_seconds=0.0)
+        pinned = t.read(tag="train-run").select(
+            F.lit("pinned").alias("view"), "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+        head = t.read().select(
+            F.lit("head").alias("view"), "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+        out = pinned.unionByName(head).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_LAKE_TIME_TRAVEL = f"""
+SELECT 'pinned' AS view, doc_id, md5(text) AS text_md5 FROM documents
+UNION ALL
+SELECT 'head' AS view, doc_id, md5(text) AS text_md5 FROM documents
+WHERE doc_id NOT IN ({", ".join(str(v) for v in _CH_VICTIMS)})
+"""
+
+
+# --------------------------------------------------------------------------
 # 50. Segment-level (CCNet line-dedup shape) boilerplate removal — strip
 #     every 3-word segment occurring in >= 3 distinct documents, re-emit
 #     the cleaned text.  Hash-gated end to end: the oracle re-derives the
@@ -2133,6 +2181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_point_lookup": q_lake_point_lookup,
     "lake_binpack_roundtrip": q_lake_binpack_roundtrip,
     "lake_changes_diff": q_lake_changes_diff,
+    "lake_time_travel": q_lake_time_travel,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -2200,4 +2249,5 @@ ORACLES: dict[str, str] = {
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "lake_binpack_roundtrip": SQL_LAKE_BINPACK,
     "lake_changes_diff": SQL_LAKE_CHANGES,
+    "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
 }
