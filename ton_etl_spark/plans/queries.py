@@ -2023,6 +2023,54 @@ WHERE doc_id NOT IN ({", ".join(str(v) for v in _CH_VICTIMS)})
 
 
 # --------------------------------------------------------------------------
+# Engine schema evolution with type widening + online rebucketing: seed an
+# INT score column, append a LONG-scored batch (lossless int→bigint
+# promotion, metadata-only on the old files), rebucket 4→8 (full
+# copy-on-write under the new layout), and read back — values from both
+# eras must survive bit-exactly under the widened type and the new bucket
+# count.  DuckDB derives the same union with explicit casts.
+def q_lake_widen_rebucket(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.maintenance import rebucket
+    from ton_etl_spark.lake.table import LakeTable
+
+    base = load_table(spark, sf, "documents")
+    old = base.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", (F.col("doc_id") % 1000).cast("int").alias("score")
+    )
+    new = base.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        (F.col("doc_id") * F.lit(10_000_000_000)).cast("long").alias("score"),
+    )
+    tmp = tempfile.mkdtemp(prefix="lake_wr_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=old.schema,
+            key_cols=["doc_id"], n_buckets=4, type_widening=True,
+        )
+        t.append(old, commit_key="old-era")
+        t.append(new, commit_key="new-era")  # int -> bigint promotion
+        rebucket(t, 8, commit_key="grow")
+        if t.current().n_buckets != 8:
+            raise RuntimeError("rebucket did not apply")
+        out = t.read().localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_LAKE_WIDEN_REBUCKET = """
+SELECT doc_id, CAST(doc_id % 1000 AS BIGINT) AS score
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, CAST(doc_id * 10000000000 AS BIGINT) AS score
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # 50. Segment-level (CCNet line-dedup shape) boilerplate removal — strip
 #     every 3-word segment occurring in >= 3 distinct documents, re-emit
 #     the cleaned text.  Hash-gated end to end: the oracle re-derives the
@@ -2182,6 +2230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_binpack_roundtrip": q_lake_binpack_roundtrip,
     "lake_changes_diff": q_lake_changes_diff,
     "lake_time_travel": q_lake_time_travel,
+    "lake_widen_rebucket": q_lake_widen_rebucket,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
     # media_features/media_frames (stub decode kernels) are pytest-only
     # (tests/test_operators.py::test_multimodal_*) to keep registry slots
@@ -2250,4 +2299,5 @@ ORACLES: dict[str, str] = {
     "lake_binpack_roundtrip": SQL_LAKE_BINPACK,
     "lake_changes_diff": SQL_LAKE_CHANGES,
     "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
+    "lake_widen_rebucket": SQL_LAKE_WIDEN_REBUCKET,
 }
