@@ -209,3 +209,67 @@ def test_rolling_delay_gauges_empty_window_skips_update(spark):
     # fully-evicted: anchor far past every event
     assert rolling_delay_gauges(full, "delay", "ts", interval_sec=10,
                                 now_ts=10_000) == []
+
+
+def test_update_table_layout_gauges(spark, tmp_path):
+    """Layout-health gauges mirror describe's demand signals (shared
+    thresholds, no drift) and track live commits across refreshes —
+    small_files drops after a bin-pack, clustering overlap appears per
+    stats column."""
+    from ton_etl_spark.lake.maintenance import compact_small_files
+    from ton_etl_spark.lake.table import LakeTable
+    from ton_etl_spark.streaming.exporter import (
+        GaugeRegistry,
+        update_table_layout_gauges,
+    )
+
+    schema = spark.createDataFrame([], "k long, v long").schema
+    t = LakeTable.create(spark, str(tmp_path / "lay"), schema=schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["v"],
+                         target_file_rows=200)
+    t.append(spark.range(500).selectExpr("id AS k", "id AS v"),
+             commit_key="big")
+    for i in range(3):
+        t.append(spark.range(500 + i * 10, 510 + i * 10)
+                 .selectExpr("id AS k", "id AS v"), commit_key=f"s{i}")
+
+    reg = GaugeRegistry()
+    update_table_layout_gauges(reg, t)
+    lbl = {"table": "lay"}
+    assert reg.get("ton_etl_table_rows", lbl) == 530.0
+    assert reg.get("ton_etl_table_files", lbl) == float(len(t.current().files))
+    n_small = reg.get("ton_etl_table_small_files", lbl)
+    assert n_small is not None and n_small >= 6  # 3 sliver epochs x 2 buckets
+    ov = reg.get("ton_etl_table_clustering_overlap", {**lbl, "col": "v"})
+    assert ov is not None and 0.0 <= ov <= 1.0
+    assert "ton_etl_table_small_files" in reg.render()
+
+    # a refresh after maintenance reflects the new snapshot
+    compact_small_files(t, small_rows=100, commit_key="bp")
+    update_table_layout_gauges(reg, t)
+    assert reg.get("ton_etl_table_small_files", lbl) < n_small
+    assert reg.get("ton_etl_table_rows", lbl) == 530.0  # content untouched
+
+    # CLI surface: --layout-table rides the metrics command
+    import contextlib
+    import io
+
+    from ton_etl_spark.cli import main
+
+    mroot = str(tmp_path / "m")
+    mrows = spark.createDataFrame(
+        [("q", "r", 0, "2026-01-01T00:00:00.000Z", 10, 20, 15, 10, 0, 9)],
+        "query_id string, run_id string, batch_id long, batch_ts string, "
+        "num_input_rows long, trigger_ms long, add_batch_ms long, "
+        "events long, min_lsn long, max_lsn long",
+    )
+    mt = LakeTable.create(spark, mroot, schema=mrows.schema,
+                          key_cols=["batch_id"], n_buckets=2)
+    mt.append(mrows, commit_key="seed")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["metrics", "--metrics-root", mroot,
+                     "--layout-table", t.root]) == 0
+    text = buf.getvalue()
+    assert 'ton_etl_table_rows{table="lay"} 530' in text
+    assert "ton_etl_table_clustering_overlap" in text

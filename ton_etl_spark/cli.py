@@ -362,15 +362,23 @@ def _cmd_metrics(args) -> int:
         start_metrics_server,
         update_delivery_gauges,
         update_performance_gauges,
+        update_table_layout_gauges,
     )
 
     spark = _spark(args)
     t = LakeTable.load(spark, args.metrics_root)
     ev = LakeTable.load(spark, args.events_root) if args.events_root else None
+    layout = [
+        LakeTable.load(spark, root) for root in (args.layout_table or [])
+    ]
     reg = GaugeRegistry()
 
     def refresh():
         update_delivery_gauges(reg, t.read(), window_sec=args.window)
+        for lt in layout:
+            # manifest math only; .current() re-reads the pointer, so a
+            # long-serving exporter tracks live commits
+            update_table_layout_gauges(reg, lt)
         if ev is not None:
             # the reference's per-family delay gauges (average/p50/p75/
             # p95/tx_count under the `col` label), over the event lake
@@ -556,6 +564,12 @@ def build_parser() -> argparse.ArgumentParser:
     me.add_argument("--ts-col", default="ts")
     me.add_argument("--class-col", default=None,
                     help="event-family column -> `class` label per series")
+    me.add_argument("--layout-table", action="append", default=None,
+                    metavar="ROOT",
+                    help="also expose layout-health gauges for this lake "
+                    "table (files/rows/version, bin-pack small_files, "
+                    "per-column clustering overlap — manifest math only); "
+                    "repeatable")
     me.set_defaults(fn=_cmd_metrics)
     return p
 

@@ -43,8 +43,55 @@ __all__ = [
     "rolling_tps_gauge",
     "update_performance_gauges",
     "update_delivery_gauges",
+    "update_table_layout_gauges",
     "start_metrics_server",
 ]
+
+
+def update_table_layout_gauges(
+    reg: "GaugeRegistry", table, prefix: str = "ton_etl_table"
+) -> None:
+    """Layout-health gauges from manifest metadata alone — NO Spark job:
+    file/row/version counts, the bin-pack demand signal (small files
+    below the shared ``default_small_rows`` threshold) and the z-order
+    demand signal (per-column clustering overlap).  The same numbers
+    ``describe`` prints, continuously exposed so maintenance scheduling
+    can be alert-driven instead of operator-polled; on a 100 TB table
+    each refresh is O(files) driver math over the already-loaded
+    manifests."""
+    import os as _os
+
+    from ton_etl_spark.lake.maintenance import (
+        clustering_overlap,
+        default_small_rows,
+    )
+
+    snap = table.current()
+    files = snap.files
+    labels = {"table": _os.path.basename(table.root.rstrip("/"))}
+    reg.describe(f"{prefix}_files", "data files in the current snapshot")
+    reg.set(f"{prefix}_files", labels, float(len(files)))
+    reg.describe(f"{prefix}_rows", "stored rows in the current snapshot")
+    reg.set(f"{prefix}_rows", labels, float(sum(f.rows for f in files)))
+    reg.describe(f"{prefix}_version", "current snapshot version")
+    reg.set(f"{prefix}_version", labels, float(snap.version))
+    thr = default_small_rows(table, snap)
+    if thr is not None:
+        reg.describe(
+            f"{prefix}_small_files",
+            "bin-pack demand: files below half target_file_rows",
+        )
+        reg.set(
+            f"{prefix}_small_files", labels,
+            float(sum(1 for f in files if f.rows < thr)),
+        )
+    reg.describe(
+        f"{prefix}_clustering_overlap",
+        "z-order demand: same-bucket bounds-overlap fraction per column",
+    )
+    for c, v in clustering_overlap(table, files=files).items():
+        if v is not None:
+            reg.set(f"{prefix}_clustering_overlap", {**labels, "col": c}, v)
 
 
 def _escape_label(v: str) -> str:
