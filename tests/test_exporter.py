@@ -273,3 +273,78 @@ def test_update_table_layout_gauges(spark, tmp_path):
     text = buf.getvalue()
     assert 'ton_etl_table_rows{table="lay"} 530' in text
     assert "ton_etl_table_clustering_overlap" in text
+
+
+def test_layout_gauges_retire_stale_series_and_disambiguate(spark, tmp_path):
+    """Review fixes: (a) a series that becomes unscoreable (full rewrite
+    collapses buckets to single files => overlap None) must DISAPPEAR from
+    /metrics, not keep exporting its last value — label-scoped, leaving
+    other tables' series intact; (b) two monitored roots sharing a leaf
+    name get distinct labels via the CLI fallback."""
+    from ton_etl_spark.lake.maintenance import rewrite_buckets
+    from ton_etl_spark.lake.table import LakeTable
+    from ton_etl_spark.streaming.exporter import (
+        GaugeRegistry,
+        update_table_layout_gauges,
+    )
+
+    schema = spark.createDataFrame([], "k long, v long").schema
+
+    def mk(root, n):
+        t = LakeTable.create(spark, root, schema=schema, key_cols=["k"],
+                             n_buckets=2, stats_cols=["v"],
+                             target_file_rows=50)
+        t.append(spark.range(n).selectExpr("id AS k", "xxhash64(id) AS v"),
+                 commit_key="seed")
+        return t
+
+    t1 = mk(str(tmp_path / "a" / "docs"), 400)
+    t2 = mk(str(tmp_path / "b" / "docs"), 400)
+
+    reg = GaugeRegistry()
+    update_table_layout_gauges(reg, t1, label="a/docs")
+    update_table_layout_gauges(reg, t2, label="b/docs")
+    ov1 = reg.get("ton_etl_table_clustering_overlap",
+                  {"table": "a/docs", "col": "v"})
+    assert ov1 is not None  # unsorted v: many files, scoreable + overlapping
+
+    # shrink below one target file per bucket, then collapse: a single
+    # stats-carrying file per bucket has no pairs => overlap unscoreable
+    from ton_etl_spark.lake.maintenance import delete_where
+
+    delete_where(t1, where_in={"k": list(range(80, 400))}, commit_key="shrink")
+    rewrite_buckets(t1, commit_key="collapse")
+    assert all(
+        sum(1 for f in t1.current().files if f.bucket == b) == 1 for b in (0, 1)
+    )
+    update_table_layout_gauges(reg, t1, label="a/docs")
+    assert reg.get("ton_etl_table_clustering_overlap",
+                   {"table": "a/docs", "col": "v"}) is None  # retired
+    # the OTHER table's series survives the label-scoped clear
+    assert reg.get("ton_etl_table_clustering_overlap",
+                   {"table": "b/docs", "col": "v"}) is not None
+
+    # CLI duplicate-basename fallback: both roots end in .../docs
+    import contextlib
+    import io
+
+    from ton_etl_spark.cli import main
+
+    mrows = spark.createDataFrame(
+        [("q", "r", 0, "2026-01-01T00:00:00.000Z", 1, 2, 1, 1, 0, 1)],
+        "query_id string, run_id string, batch_id long, batch_ts string, "
+        "num_input_rows long, trigger_ms long, add_batch_ms long, "
+        "events long, min_lsn long, max_lsn long",
+    )
+    mroot = str(tmp_path / "m")
+    mt = LakeTable.create(spark, mroot, schema=mrows.schema,
+                          key_cols=["batch_id"], n_buckets=2)
+    mt.append(mrows, commit_key="seed")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["metrics", "--metrics-root", mroot,
+                     "--layout-table", t1.root,
+                     "--layout-table", t2.root]) == 0
+    text = buf.getvalue()
+    # full roots as labels: BOTH tables exported, no silent collision
+    assert f'table="{t1.root}"' in text and f'table="{t2.root}"' in text

@@ -491,8 +491,6 @@ def test_where_in_conformance_property(spark, shared_probe_table, probes, target
 
 @pytest.fixture(scope="module")
 def shared_probe_table(spark, tmp_path_factory):
-    import pytest as _pytest  # noqa: F401
-
     root = str(tmp_path_factory.mktemp("probeprop") / "t")
     schema = spark.createDataFrame([], "k string, lsn long, tag string").schema
     t = LakeTable.create(spark, root, schema=schema, key_cols=["k"],

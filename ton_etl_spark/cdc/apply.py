@@ -74,9 +74,27 @@ def read_state(
     ``version``/``tag`` time-travel the view (``tag`` = a named pinned
     snapshot, e.g. the exact training set of a past run)."""
     where = {LSN_COL: lsn_range} if lsn_range is not None else None
-    return table.read(
-        where=where, version=version, tag=tag, where_in=where_in
-    ).where(F.col(OP_COL) != "d")
+    return live_state(
+        table.read(where=where, version=version, tag=tag, where_in=where_in)
+    )
+
+
+def live_state(df: DataFrame) -> DataFrame:
+    """The ONE live-state rule — tombstones out — shared by ``read_state``
+    and the ``lookup`` CLI, so the two surfaces cannot drift (op is never
+    NULL in a CDC frame by construction; ``!= 'd'`` therefore keeps every
+    live row)."""
+    return df.where(F.col(OP_COL) != "d")
+
+
+def is_cdc_frame(df: DataFrame) -> bool:
+    """Heuristic for "this table holds CDC state": BOTH envelope columns
+    (op AND lsn) present.  Requiring the pair, not just an ``op`` column,
+    keeps a non-CDC table that merely has a column named ``op`` (opcode
+    data, say) from being silently tombstone-filtered by surfaces that
+    default to the live-state view."""
+    cols = set(df.columns)
+    return OP_COL in cols and LSN_COL in cols
 
 
 def make_sequences_table(

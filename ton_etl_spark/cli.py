@@ -203,10 +203,13 @@ def _cmd_lookup(args) -> int:
     ``parser/db.py:112-256``): bucket-pruned + stats-pruned + bloom-assisted
     via ``LakeTable.read(where_in=)``; rows print as JSON lines.
 
-    On a CDC table (an ``op`` column exists) the view is the LIVE STATE —
-    a deleted key returns nothing, matching what the reference's SELECTs
-    answer; ``--raw`` switches to storage view (tombstones included)."""
-    from ton_etl_spark.cdc.schema import OP_COL
+    On a CDC table (BOTH envelope columns op and lsn present) the view is
+    the LIVE STATE — a deleted key returns nothing, matching what the
+    reference's SELECTs answer; ``--raw`` switches to storage view
+    (tombstones included).  The rule and the detection are shared with
+    ``read_state`` (``cdc/apply.live_state`` / ``is_cdc_frame``) so the
+    CLI cannot drift from the library semantics."""
+    from ton_etl_spark.cdc.apply import is_cdc_frame, live_state
     from ton_etl_spark.lake.table import LakeTable
 
     spark = _spark(args)
@@ -217,10 +220,8 @@ def _cmd_lookup(args) -> int:
     ):
         raise SystemExit('--in must be a JSON object of {"col": [values...]}')
     df = t.read(where_in=probes)
-    if not args.raw and OP_COL in df.columns:
-        from pyspark.sql import functions as F
-
-        df = df.where(F.col(OP_COL) != "d")
+    if not args.raw and is_cdc_frame(df):
+        df = live_state(df)
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",") if c.strip()])
     rows = df.limit(args.limit).collect()
@@ -369,16 +370,27 @@ def _cmd_metrics(args) -> int:
     t = LakeTable.load(spark, args.metrics_root)
     ev = LakeTable.load(spark, args.events_root) if args.events_root else None
     layout = [
-        LakeTable.load(spark, root) for root in (args.layout_table or [])
+        (root, LakeTable.load(spark, root))
+        for root in (args.layout_table or [])
     ]
+    # two roots sharing a leaf directory name would collide into ONE
+    # {table=...} series (the second silently overwriting the first every
+    # refresh); duplicated basenames fall back to the full root as label
+    from collections import Counter
+
+    leaf = {root: os.path.basename(root.rstrip("/")) for root, _ in layout}
+    dup_leaves = {n for n, c in Counter(leaf.values()).items() if c > 1}
     reg = GaugeRegistry()
 
     def refresh():
         update_delivery_gauges(reg, t.read(), window_sec=args.window)
-        for lt in layout:
+        for root, lt in layout:
             # manifest math only; .current() re-reads the pointer, so a
             # long-serving exporter tracks live commits
-            update_table_layout_gauges(reg, lt)
+            update_table_layout_gauges(
+                reg, lt,
+                label=root if leaf[root] in dup_leaves else leaf[root],
+            )
         if ev is not None:
             # the reference's per-family delay gauges (average/p50/p75/
             # p95/tx_count under the `col` label), over the event lake

@@ -49,7 +49,8 @@ __all__ = [
 
 
 def update_table_layout_gauges(
-    reg: "GaugeRegistry", table, prefix: str = "ton_etl_table"
+    reg: "GaugeRegistry", table, prefix: str = "ton_etl_table",
+    label: str | None = None,
 ) -> None:
     """Layout-health gauges from manifest metadata alone — NO Spark job:
     file/row/version counts, the bin-pack demand signal (small files
@@ -58,7 +59,15 @@ def update_table_layout_gauges(
     ``describe`` prints, continuously exposed so maintenance scheduling
     can be alert-driven instead of operator-polled; on a 100 TB table
     each refresh is O(files) driver math over the already-loaded
-    manifests."""
+    manifests.
+
+    ``label`` overrides the ``table`` label (default: the root's
+    basename) — pass distinct labels when two monitored roots share a
+    leaf directory name, or their series silently collide.  This table's
+    stale series are retired each refresh (label-scoped, so other tables
+    on the shared registry are untouched): a maintenance rewrite that
+    collapses a bucket to one file makes a column's overlap unscoreable,
+    and the alert the metric drives must fall silent with it."""
     import os as _os
 
     from ton_etl_spark.lake.maintenance import (
@@ -68,7 +77,9 @@ def update_table_layout_gauges(
 
     snap = table.current()
     files = snap.files
-    labels = {"table": _os.path.basename(table.root.rstrip("/"))}
+    labels = {"table": label or _os.path.basename(table.root.rstrip("/"))}
+    reg.clear_matching(f"{prefix}_small_files", labels)
+    reg.clear_matching(f"{prefix}_clustering_overlap", labels)
     reg.describe(f"{prefix}_files", "data files in the current snapshot")
     reg.set(f"{prefix}_files", labels, float(len(files)))
     reg.describe(f"{prefix}_rows", "stored rows in the current snapshot")
@@ -152,6 +163,17 @@ class GaugeRegistry:
         with self._lock:
             doc, _ = self._gauges.get(name, ("", {}))
             self._gauges[name] = (doc, {})
+
+    def clear_matching(self, name: str, match: dict[str, str]) -> None:
+        """Drop only the series whose labels include every ``match`` pair —
+        how a multi-entity updater (one table of several on a shared
+        registry) retires ITS stale series without wiping the others'."""
+        want = set(match.items())
+        with self._lock:
+            doc, values = self._gauges.get(name, ("", {}))
+            self._gauges[name] = (
+                doc, {k: v for k, v in values.items() if not want <= set(k)}
+            )
 
     def render(self) -> str:
         out: list[str] = []
