@@ -134,3 +134,16 @@ def test_train_bpe_randomized_equivalence(spark, seed):
     docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                  "doc_id long, text string")
     assert train_bpe(docs, n_merges=15) == _ref_train(texts, 15)
+
+
+def test_train_bpe_reliable_checkpoint(spark, tmp_path):
+    """``checkpoint_dir=`` gives the trainer cluster-fault-tolerant lineage
+    cuts; merges must be identical to the localCheckpoint default."""
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                 "doc_id long, text string")
+    want = train_bpe(docs, n_merges=6, checkpoint_every=2)
+    ckpt = tmp_path / "bpe_ckpt"
+    got = train_bpe(docs, n_merges=6, checkpoint_every=2,
+                    checkpoint_dir=str(ckpt))
+    assert got == want
+    assert any(ckpt.rglob("*")), "no reliable checkpoint files written"

@@ -722,6 +722,65 @@ def test_connected_components_self_loop_only_nodes(spark):
     assert got == {3: 3, 9: 9}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """``checkpoint_dir=`` switches the per-round lineage cuts to RELIABLE
+    checkpoints (cluster fault tolerance: localCheckpoint blocks die with
+    their executor).  Same answer as the default path, and the checkpoint
+    files must actually land in the directory."""
+    import random
+
+    from ton_etl_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(30)] + [
+        (rng.randrange(50), rng.randrange(50)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    ckpt = tmp_path / "cc_ckpt"
+    stats: dict = {}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            df, checkpoint_dir=str(ckpt), stats=stats
+        ).collect()
+    }
+    assert got == want
+    assert stats["rounds"] >= 1
+    assert any(ckpt.rglob("*")), "no reliable checkpoint files written"
+
+
+def test_connected_components_one_job_per_round(spark):
+    """The convergence checksum is folded into the round's checkpoint
+    materialization: each alternation round costs exactly ONE Spark job
+    (plus the single setup job that materializes raw+canon) — the r6
+    two-jobs-per-round shape is a regression."""
+    from ton_etl_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE splits one query into several jobs; disable it so job count is
+    # a stable proxy for "actions run"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        sc.setJobGroup("cc_job_count", "counting CC jobs", True)
+        stats: dict = {}
+        res = connected_components(df, stats=stats)
+        jobs = sc.statusTracker().getJobIdsForGroup("cc_job_count")
+        assert stats["rounds"] >= 2  # a 41-node path needs real alternation
+        assert len(jobs) == stats["rounds"] + 1, (
+            f"{len(jobs)} jobs for {stats['rounds']} rounds — checksum no "
+            "longer folded into the round's materialization"
+        )
+        assert res.count() == 41  # plan still collectable after the cuts
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        sc.setJobGroup("", "")
+
+
 def test_pack_chunks_duplicate_order_values_still_tile(spark):
     """Duplicate (group, order) rows must get SEQUENTIAL stream offsets
     (ROWS frame), not peer-inclusive RANGE sums that would make them claim

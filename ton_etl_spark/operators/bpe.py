@@ -90,15 +90,27 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns them in
     order.  Ties on count break by (a, b) lexicographically — deterministic
     across partitionings and runs (the reference breaks ties by dict order,
     which is insertion-dependent; a distributed trainer needs a total
-    order)."""
-    vocab = word_counts(docs, text_col).select(
+    order).
+
+    ``checkpoint_dir`` switches the periodic lineage cuts from
+    ``localCheckpoint`` (executor-resident — an executor loss kills a
+    long training run) to reliable ``checkpoint`` into that directory,
+    the same fault-tolerance trade as ``connected_components``."""
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    vocab = _cut(word_counts(docs, text_col).select(
         _initial_symbols(F.col("word")).alias("symbols"), F.col("count")
-    ).localCheckpoint()
+    ))
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         best = (
@@ -115,7 +127,7 @@ def train_bpe(
             F.col("count"),
         )
         if (i + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
+            vocab = _cut(vocab)
     return merges
 
 
