@@ -392,22 +392,88 @@ def test_ivf_ann_recall_on_clustered_data(spark):
     assert sum(biggest_two) < len(X)
 
 
-def test_multimodal_plumbing(spark):
-    from ton_etl_spark.operators.multimodal import extract_features, synth_media
+def test_ppm_codec_roundtrip_and_errors():
+    """Pure-numpy PPM (P6) codec: bit-exact round-trip, header grammar
+    (comments, arbitrary whitespace), and loud failure on corruption."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ton_etl_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    # header with comments + extra whitespace is still valid PPM
+    raster = arr.tobytes()
+    weird = b"P6\n# a comment\n 17\t13 # trailing\n255\n" + raster
+    assert (decode_ppm(weird) == arr).all()
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # wrong magic (greyscale PGM)
+    with _pytest.raises(ValueError):
+        decode_ppm(encode_ppm(arr)[:-10])  # truncated raster
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 16-bit unsupported
+
+
+def test_multimodal_real_image_features(spark):
+    """extract_features on decodable images returns REAL pixel features
+    (dims + per-channel means + std), opaque payloads keep the histogram
+    fallback — the injectable-kernel seam."""
+    from ton_etl_spark.operators.multimodal import (
+        extract_features,
+        synth_image_array,
+        synth_media,
+    )
 
     media = synth_media(spark, n=32)
-    feats = extract_features(media).collect()
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
     assert len(feats) == 32
-    for r in feats:
+    for mid, r in feats.items():
         assert r["n_bytes"] > 0
-        assert len(r["feature"]) == 8
-        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+        if kinds[mid] == "image":
+            arr = synth_image_array(int(mid[1:])).astype("float64")
+            w, h = arr.shape[1], arr.shape[0]
+            got = [round(float(v), 3) for v in r["feature"]]
+            want = [w, h, 3.0] + [
+                round(float(arr[:, :, c].mean()), 3) for c in range(3)
+            ] + [round(float(arr.std()), 3)]
+            assert got == [round(v, 3) for v in want], mid
+        else:
+            assert len(r["feature"]) == 8
+            assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_multimodal_image_stats_closed_form(spark):
+    """image_stats from decoded pixels must equal the closed-form math the
+    DuckDB oracle uses (gradient content: mean_c = (w-1)/2 + (h-1)/2 + 10c,
+    var = (w^2-1)/12 + (h^2-1)/12 + 200/3)."""
+    import math
+
+    from ton_etl_spark.operators.multimodal import image_stats, synth_images
+
+    ids = spark.range(20).withColumnRenamed("id", "doc_id")
+    got = {r["media_id"]: r for r in image_stats(synth_images(ids)).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[f"m{i}"]
+        w, h = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        base = (w - 1) / 2 + (h - 1) / 2
+        assert r["mean_r"] == round(base, 4)
+        assert r["mean_g"] == round(base + 10, 4)
+        assert r["mean_b"] == round(base + 20, 4)
+        want_std = math.sqrt((w * w - 1) / 12 + (h * h - 1) / 12 + 200 / 3)
+        assert abs(r["px_std"] - want_std) < 1e-3
 
 
 def test_multimodal_resize_and_frames(spark):
     from ton_etl_spark.operators.multimodal import (
+        decode_ppm,
         resize_images,
+        resize_nearest,
         sample_frames,
+        synth_image_array,
         synth_media,
     )
 
@@ -419,9 +485,13 @@ def test_multimodal_resize_and_frames(spark):
     for r in resized:
         if r["kind"] == "image":
             assert r["width"] == 32 and r["height"] == 32
-            assert len(r["payload"]) == (32 * 32) // 64
+            px = decode_ppm(bytes(r["payload"]))
+            assert px.shape == (32, 32, 3)
+            # real nearest-neighbor: matches direct index-map resample
+            want = resize_nearest(synth_image_array(int(r["media_id"][1:])), 32, 32)
+            assert (px == want).all()
         else:
-            assert r["width"] == 64  # untouched
+            assert r["width"] == 64  # untouched (undecodable = seam)
 
     frames = sample_frames(media, every_ms=250).collect()
     n_videos = sum(1 for k in kinds.values() if k == "video")

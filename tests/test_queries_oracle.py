@@ -77,23 +77,21 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
-def test_oracle_backed_queries_precede_rows_only():
-    """The correctness driver records at most ~50 registry entries in
-    insertion order (round 4 silently dropped the last five, including
-    three oracle-backed ANN queries).  Guard the ordering invariant:
-    the 50 driver-visible slots are ALL oracle-backed and stay stable;
-    oracle-backed entries past the cap are allowed (this local mirror
-    hash-gates them), and every rows-only entry comes after every
-    oracle-backed one."""
+def test_driver_visible_census_composition():
+    """The correctness driver records the FIRST 50 registry entries in
+    insertion order (round 4 silently dropped oracle-backed entries past
+    the cap).  Under the round-7 rotation policy the visible 50 are: the
+    20 pinned engine-core entries, 28 rotating oracle-backed entries, and
+    2 rotating rows-only entries — never fewer than 48 hard oracle rows."""
+    from ton_etl_spark.plans.queries import _PINNED
+
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    assert all(n in oracles for n in names[:50])
-    # round-6 promotion: pii_redaction must hold a driver-visible slot
-    # (it was the only operator whose hard signal was dark in round 5).
-    assert "pii_redaction" in names[:50]
-    oracle_pos = [names.index(k) for k in oracles]
-    rows_only_pos = [i for i, n in enumerate(names) if n not in oracles]
-    assert not rows_only_pos or max(oracle_pos) < min(rows_only_pos)
+    visible = names[:50]
+    assert set(_PINNED) <= set(visible)
+    assert sum(1 for n in visible if n in oracles) == 48
+    # pii_redaction stays pinned (round-5 ask: its hard signal was dark)
+    assert "pii_redaction" in _PINNED
 
 
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
@@ -103,3 +101,58 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_rotation_policy_invariants():
+    """Standing driver-visibility rotation (r6 verdict ask #1): pinned core
+    always visible; every oracle-backed entry earns a driver row at least
+    every other round; the census partitions exactly into the 50-row cap."""
+    from ton_etl_spark.plans.queries import (
+        _ALL_QUERIES,
+        _DRIVER_CAP,
+        _ORACLE_SLOTS,
+        _PINNED,
+        _ROWS_ONLY_SLOTS,
+        _rotate,
+        ORACLES,
+    )
+
+    oracle_pool = sorted(k for k in _ALL_QUERIES if k in ORACLES and k not in _PINNED)
+    rows_only = sorted(k for k in _ALL_QUERIES if k not in ORACLES)
+    assert len(_PINNED) + _ORACLE_SLOTS + _ROWS_ONLY_SLOTS == _DRIVER_CAP
+    assert set(_PINNED) <= set(ORACLES)
+    # the sliding-window guarantee needs window >= dark count; when the
+    # census outgrows 2x the slots this fails loudly -> raise _ORACLE_SLOTS
+    # trade-offs consciously instead of silently weakening the cadence
+    assert len(oracle_pool) <= 2 * _ORACLE_SLOTS, "pool outgrew every-other-round guarantee"
+    for r in range(7, 40):
+        union = set(_rotate(oracle_pool, _ORACLE_SLOTS, r)) | set(
+            _rotate(oracle_pool, _ORACLE_SLOTS, r + 1)
+        )
+        assert union == set(oracle_pool), f"round {r}: oracle entry dark 2 rounds running"
+    # rows-only entries cycle through their 2 slots within ceil(n/slots) rounds
+    n, per = len(rows_only), -(-len(rows_only) // _ROWS_ONLY_SLOTS)
+    for r in range(7, 20):
+        seen: set = set()
+        for k in range(per):
+            seen |= set(_rotate(rows_only, _ROWS_ONLY_SLOTS, r + k))
+        assert seen == set(rows_only)
+
+
+def test_round7_census_includes_formerly_dark_oracles():
+    """The six r6-dark oracle entries + media_features hold hard driver rows
+    this round (r6 verdict done-criterion)."""
+    import ton_etl_spark.plans.queries as qm
+
+    visible = list(qm._build_registry())[:50]
+    for t in [
+        "label_centroid_norm",
+        "lake_point_lookup",
+        "lake_binpack_roundtrip",
+        "lake_changes_diff",
+        "lake_time_travel",
+        "lake_widen_rebucket",
+        "media_features",
+    ]:
+        if qm._current_round() == 7:
+            assert t in visible, t

@@ -682,6 +682,40 @@ FROM cent GROUP BY label
 
 
 # --------------------------------------------------------------------------
+# 26b. Multimodal image features — REAL pure-numpy PPM decode kernel over
+#     mapInPandas: each doc_id becomes a synthetic PPM payload whose pixel
+#     content is a closed-form function of the id (operators/multimodal.py
+#     synth_image_array), so dims / per-channel means / std computed from
+#     the DECODED pixels are SQL-derivable by the oracle.  The reference
+#     carries opaque binary cells the same way (athena_ddl.sql:182-185).
+def q_media_features(spark, sf: str) -> DataFrame:
+    from ton_etl_spark.operators.multimodal import image_stats, synth_images
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return image_stats(synth_images(docs))
+
+
+SQL_MEDIA_FEATURES = """
+WITH g AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         8 + (doc_id % 3) * 4 AS h
+  FROM documents
+)
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       ROUND((w - 1) / 2.0 + (h - 1) / 2.0, 4) AS mean_r,
+       ROUND((w - 1) / 2.0 + (h - 1) / 2.0 + 10, 4) AS mean_g,
+       ROUND((w - 1) / 2.0 + (h - 1) / 2.0 + 20, 4) AS mean_b,
+       ROUND(SQRT((w * w - 1) / 12.0 + (h * h - 1) / 12.0 + 200.0 / 3.0), 4)
+           AS px_std
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only entries (no SQL-expressible oracle; pytest covers their
 # semantics against brute-force checks)
 def q_minhash_near_dups(spark, sf: str) -> DataFrame:
@@ -918,17 +952,10 @@ ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
 SQL_ANN_IVF = _ann_ivf_sql()
 
 
-def q_media_features(spark, sf: str) -> DataFrame:
-    from ton_etl_spark.operators.multimodal import extract_features, synth_media
-
-    media = synth_media(spark, n=256)
-    feats = extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
-
-
 def q_media_frames(spark, sf: str) -> DataFrame:
-    # resize → frame-sample composition over opaque binary media columns
-    # (rows-only: synthesized media, stub kernels — plumbing is the subject)
+    # resize → frame-sample composition over binary media columns (rows-only:
+    # the resize is a REAL PPM decode + nearest-neighbor resample; the frame
+    # payloads are stub slices — video codecs absent, plumbing is the subject)
     from ton_etl_spark.operators.multimodal import resize_images, sample_frames, synth_media
 
     media = synth_media(spark, n=256)
@@ -2164,16 +2191,28 @@ FROM t
 """
 
 
-# rows in registry-insertion order, so every oracle-backed query MUST precede
-# the rows-only (sketch/hash-seeded) entries or it silently loses its hard
-# correctness signal (this dropped the ANN/embedding oracles in round 4).
-# The driver caps CORRECTNESS at 50 rows, so the first 50 entries are the
-# driver-visible census. Round 6: pii_redaction was promoted into the
-# visible 50 (it was the only operator whose hard signal was dark) and
-# label_centroid_norm — whose vector arithmetic is already exercised by
-# embedding_topk — moved past the cap. Every oracle-backed entry, visible
-# or not, is hash-gated by the local mirror (tests/test_queries_oracle.py).
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+# ---------------------------------------------------------------------------
+# Registry + standing driver-visibility rotation (round-6 verdict ask #1).
+#
+# The driver records CORRECTNESS rows for the FIRST 50 registry entries
+# only, and the oracle-backed census (57+) outgrew that cap — one-off
+# swaps stopped converging in round 5/6.  Standing policy instead:
+#
+#   * _PINNED (20): engine-core semantics (merge/window/join/set-op/PII
+#     representatives) hold PERMANENT driver rows.
+#   * remaining oracle-backed entries rotate through 28 slots; rows-only
+#     (sketch/hash-seeded) entries rotate through 2 slots.  Each pool is
+#     sorted by name and the visible window slides by exactly the dark
+#     count per round, so an entry dark in round N is visible in round
+#     N+1 — every oracle-backed entry earns a hard CORRECTNESS row at
+#     least every other round.
+#   * the round number derives from the CORRECTNESS_r*.json files the
+#     driver has already written (override: $SPARK_GRAFT_ROUND), so the
+#     rotation advances with zero per-round edits.
+#
+# Every oracle-backed entry, visible or dark, is hash-gated every session
+# by the local mirror (tests/test_queries_oracle.py runs the FULL dict).
+_ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "cdc_lww_snapshot": q_cdc_lww_snapshot,
     "first_event": q_first_event,
@@ -2224,24 +2263,87 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "avro_roundtrip_docs": q_avro_roundtrip_docs,
     "segment_dedup": q_segment_dedup,
-    # oracle-backed but past the driver's 50-row cap (local mirror covers it):
     "label_centroid_norm": q_label_centroid_norm,
+    "media_features": q_media_features,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_binpack_roundtrip": q_lake_binpack_roundtrip,
     "lake_changes_diff": q_lake_changes_diff,
     "lake_time_travel": q_lake_time_travel,
     "lake_widen_rebucket": q_lake_widen_rebucket,
-    # rows-only (non-SQL-expressible or sketch-based; pytest verifies).
-    # media_features/media_frames (stub decode kernels) are pytest-only
-    # (tests/test_operators.py::test_multimodal_*) to keep registry slots
-    # for oracle-backed queries under the driver's row cap.
+    # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "winnow_overlap_docs": q_winnow_overlap_docs,
     "approx_distinct_users": q_approx_distinct_users,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "dup_clusters_capped": q_dup_clusters_capped,
+    "media_frames": q_media_frames,
 }
+
+_PINNED = [
+    "pricing_summary",
+    "cdc_lww_snapshot",
+    "first_event",
+    "lag_transitions",
+    "daily_ratio",
+    "anti_join_customers",
+    "semi_join_customers",
+    "top_parts_by_revenue",
+    "asof_prev_view",
+    "union_dedup_users",
+    "except_users",
+    "json_extract",
+    "purchases_with_recent_views",
+    "exact_dedup_docs",
+    "embedding_topk",
+    "pii_redaction",
+    "funnel_pattern",
+    "purchase_installments",
+    "debezium_money_rollup",
+    "trace_2hop",
+]
+
+_DRIVER_CAP = 50
+_ORACLE_SLOTS = 28  # rotating oracle-backed slots
+_ROWS_ONLY_SLOTS = _DRIVER_CAP - len(_PINNED) - _ORACLE_SLOTS  # = 2
+_BASE_ROUND = 7  # round the rotation was introduced
+
+
+def _current_round() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob as _glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return len(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))) + 1
+
+
+def _rotate(pool: list[str], slots: int, round_no: int) -> list[str]:
+    """Deterministic sliding window over the name-sorted pool: the window
+    start advances by the dark count (len - slots) each round, so the
+    excluded slice of round N is exactly the head of round N+1's window."""
+    pool = sorted(pool)
+    n = len(pool)
+    if slots >= n:
+        return pool
+    off = ((round_no - _BASE_ROUND) * (n - slots)) % n
+    return [pool[(off + i) % n] for i in range(slots)]
+
+
+def _build_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    rows_only = [k for k in _ALL_QUERIES if k not in ORACLES]
+    oracle_pool = [k for k in _ALL_QUERIES if k in ORACLES and k not in _PINNED]
+    assert all(k in ORACLES for k in _PINNED), "pinned entry lost its oracle"
+    rnd = _current_round()
+    visible = (
+        list(_PINNED)
+        + _rotate(oracle_pool, _ORACLE_SLOTS, rnd)
+        + _rotate(rows_only, _ROWS_ONLY_SLOTS, rnd)
+    )
+    assert len(visible) == min(_DRIVER_CAP, len(_ALL_QUERIES))
+    dark = sorted(k for k in _ALL_QUERIES if k not in visible)
+    return {k: _ALL_QUERIES[k] for k in visible + dark}
 
 ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING,
@@ -2300,4 +2402,9 @@ ORACLES: dict[str, str] = {
     "lake_changes_diff": SQL_LAKE_CHANGES,
     "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
     "lake_widen_rebucket": SQL_LAKE_WIDEN_REBUCKET,
+    "media_features": SQL_MEDIA_FEATURES,
 }
+
+# built AFTER ORACLES exists — the rotation partitions the census by
+# oracle-backed vs rows-only membership
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = _build_registry()

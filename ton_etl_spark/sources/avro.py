@@ -85,10 +85,16 @@ class _Schema:
     """Resolved schema node: ``kind`` + kind-specific attrs.  Named types
     are registered so records can reference themselves / each other."""
 
-    __slots__ = ("kind", "fields", "items", "values", "symbols", "size", "branches", "name")
+    __slots__ = (
+        "kind", "fields", "items", "values", "symbols", "size", "branches",
+        "name", "logical", "precision", "scale",
+    )
 
     def __init__(self, kind: str):
         self.kind = kind
+        self.logical = None  # decimal | date | timestamp-millis | timestamp-micros
+        self.precision = None
+        self.scale = 0
 
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
@@ -113,9 +119,15 @@ def parse_schema(node, named: dict | None = None) -> _Schema:
         return sc
     t = node["type"]
     if t in _PRIMITIVES:
-        # {"type": "bytes", "logicalType": "decimal", ...} and Debezium's
-        # extra connect.* props ride the physical type untouched
-        return _Schema(t)
+        # {"type": "bytes", "logicalType": "decimal", ...}: the supported
+        # logical types (decimal / date / timestamp-millis / -micros, what
+        # the reference's decimal-heavy lake schemas use —
+        # datalake/athena_ddl.sql:348-354) annotate the physical type;
+        # unknown logicals and Debezium's extra connect.* props ride the
+        # physical type untouched per the Avro spec.
+        sc = _Schema(t)
+        _attach_logical(sc, node)
+        return sc
     if t == "record":
         sc = _Schema("record")
         sc.name = node["name"]
