@@ -289,3 +289,180 @@ def test_read_avro_conflicting_types_raise(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="conflicting Avro types.*n_tok"):
         read_avro(spark, root, use_datasource=False)
+
+
+# ---------------------------------------------------------------------------
+# logical types (round-7: decimal / date / timestamp-millis / -micros) —
+# jar-less reads must surface the same Spark types + values the spark-avro
+# datasource documents for the reference's decimal-heavy lake schemas
+# (datalake/athena_ddl.sql:348-354)
+# ---------------------------------------------------------------------------
+
+
+def test_logical_decimal_golden_wire_bytes():
+    """Decimal logical type: unscaled two's-complement big-endian bytes per
+    spec — golden byte checks both directions, bytes and fixed carriers."""
+    import decimal
+
+    from ton_etl_spark.sources.avro import decode_datum
+
+    sc = parse_schema(
+        {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}
+    )
+    out = bytearray()
+    encode_datum(sc, decimal.Decimal("123.45"), out)
+    # zigzag len(2)=4, then 0x3039 = 12345
+    assert bytes(out) == b"\x04\x30\x39"
+    v, _ = decode_datum(sc, bytes(out), 0)
+    assert v == decimal.Decimal("123.45")
+    neg = bytearray()
+    encode_datum(sc, decimal.Decimal("-0.07"), neg)
+    assert bytes(neg) == b"\x02\xf9"  # -7 two's complement, minimal length
+    v, _ = decode_datum(sc, bytes(neg), 0)
+    assert v == decimal.Decimal("-0.07")
+    # fixed carrier pads to the declared size
+    fx = parse_schema(
+        {"type": "fixed", "name": "d8", "size": 8,
+         "logicalType": "decimal", "precision": 18, "scale": 4}
+    )
+    out = bytearray()
+    encode_datum(fx, decimal.Decimal("-1.5000"), out)
+    assert bytes(out) == (-15000).to_bytes(8, "big", signed=True)
+    v, _ = decode_datum(fx, bytes(out), 0)
+    assert v == decimal.Decimal("-1.5")
+    # 38-digit decimal survives (no context rounding at Spark's max precision)
+    big = parse_schema(
+        {"type": "bytes", "logicalType": "decimal", "precision": 38, "scale": 0}
+    )
+    huge = decimal.Decimal(10**38 - 1)
+    out = bytearray()
+    encode_datum(big, huge, out)
+    v, _ = decode_datum(big, bytes(out), 0)
+    assert v == huge
+
+
+def test_logical_temporal_golden():
+    import datetime as dt
+
+    from ton_etl_spark.sources.avro import decode_datum
+
+    date_sc = parse_schema({"type": "int", "logicalType": "date"})
+    ms_sc = parse_schema({"type": "long", "logicalType": "timestamp-millis"})
+    us_sc = parse_schema({"type": "long", "logicalType": "timestamp-micros"})
+    d = dt.date(2023, 3, 14)
+    out = bytearray()
+    encode_datum(date_sc, d, out)
+    v, _ = decode_datum(date_sc, bytes(out), 0)
+    assert v == d
+    t = dt.datetime(2023, 3, 14, 1, 59, 26, 535000, tzinfo=dt.timezone.utc)
+    out = bytearray()
+    encode_datum(ms_sc, t, out)
+    v, _ = decode_datum(ms_sc, bytes(out), 0)
+    assert v == t
+    t_us = t.replace(microsecond=535897)
+    out = bytearray()
+    encode_datum(us_sc, t_us, out)
+    v, _ = decode_datum(us_sc, bytes(out), 0)
+    assert v == t_us
+    # pre-epoch instant: floor-division millis stay consistent
+    pre = dt.datetime(1969, 12, 31, 23, 59, 59, 499000, tzinfo=dt.timezone.utc)
+    out = bytearray()
+    encode_datum(ms_sc, pre, out)
+    v, _ = decode_datum(ms_sc, bytes(out), 0)
+    assert v == pre
+
+
+def test_unknown_or_misplaced_logical_ignored():
+    """Spec: unknown logical types and annotations on the wrong physical
+    type are ignored — the column stays its physical Spark type."""
+    from pyspark.sql import types as T
+
+    from ton_etl_spark.sources.avro import avro_to_spark_type
+
+    assert avro_to_spark_type(
+        parse_schema({"type": "string", "logicalType": "uuid"})
+    ) == T.StringType()
+    assert avro_to_spark_type(
+        parse_schema({"type": "string", "logicalType": "decimal", "precision": 9})
+    ) == T.StringType()
+    assert avro_to_spark_type(
+        parse_schema({"type": "long", "logicalType": "date"})
+    ) == T.LongType()
+    # decimal without precision is invalid per spec -> physical bytes
+    assert avro_to_spark_type(
+        parse_schema({"type": "bytes", "logicalType": "decimal"})
+    ) == T.BinaryType()
+
+
+def test_logical_types_jarless_spark_roundtrip(spark, tmp_path):
+    """write_avro → read_avro (both jar-less) round-trips DecimalType /
+    TimestampType / DateType with the schema the spark-avro datasource
+    would produce — the r6 'What's missing #3' fidelity gap."""
+    import datetime as dt
+    import decimal
+
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [
+            (1, decimal.Decimal("12345.6789"),
+             dt.datetime(2023, 5, 1, 12, 30, 45, 123456),
+             dt.date(2023, 5, 1),
+             dt.datetime(2023, 5, 1, 7, 0, 0, 5)),
+            (2, decimal.Decimal("-0.0001"),
+             dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+             dt.date(1969, 12, 31),
+             dt.datetime(1969, 12, 31, 1, 2, 3)),
+            (3, None, None, None, None),
+        ],
+        "id long, dec decimal(18,4), ts timestamp, d date, ntz timestamp_ntz",
+    )
+    path = str(tmp_path / "logical")
+    assert write_avro(df, path, use_datasource=False) == 3
+    back = read_avro(spark, path, use_datasource=False).drop("_source_file")
+    assert back.schema["dec"].dataType == T.DecimalType(18, 4)
+    assert back.schema["ts"].dataType == T.TimestampType()
+    assert back.schema["d"].dataType == T.DateType()
+    assert back.schema["ntz"].dataType == T.TimestampNTZType()
+    a = sorted([r.asDict() for r in back.collect()], key=lambda r: r["id"])
+    b = sorted([r.asDict() for r in df.collect()], key=lambda r: r["id"])
+    assert a == b
+
+
+def test_envelope_bridge_strips_logical_types(spark):
+    """A Debezium writer schema annotating bytes with logicalType decimal
+    must still surface base64 RAW bytes through avro_values_to_json — the
+    envelope path decodes money downstream (functions/debezium.py), so
+    pre-converted Decimals would break it."""
+    import base64
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": ["null", "string"], "default": None},
+            {"name": "amount",
+             "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                               "precision": 20, "scale": 2}],
+             "default": None},
+        ],
+    }
+    payload = json.dumps(
+        {"k": "a", "amount": base64.b64encode(b"\x30\x39").decode()}
+    ).encode()
+    frames = spark.createDataFrame([(payload,)], "value binary")
+    wired = encode_avro_values(frames, schema)
+    back = avro_values_to_json(wired, schema).collect()
+    doc = json.loads(bytes(back[0]["value"]).decode())
+    assert doc["amount"] == base64.b64encode(b"\x30\x39").decode()
+
+
+def test_file_schema_json_unparseable_raises_clear(tmp_path):
+    from ton_etl_spark.sources.avro import _file_schema_json, _union_file_schemas
+
+    bad = tmp_path / "junk.avro"
+    bad.write_bytes(b"\x00" * 4096)
+    with pytest.raises(ValueError, match="unparseable Avro header"):
+        _file_schema_json(str(bad))
+    with pytest.raises(ValueError, match="junk.avro"):
+        _union_file_schemas([str(bad)])

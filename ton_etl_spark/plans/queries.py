@@ -1844,6 +1844,57 @@ GROUP BY lang, source
 
 
 # --------------------------------------------------------------------------
+# 51b. Avro LOGICAL-TYPE round trip — the reference lake's money/time
+#     columns are decimal/timestamp/date (datalake/athena_ddl.sql:348-354);
+#     this writes typed columns through the jar-less OCF encoder
+#     (bytes+logicalType decimal, long timestamp-micros, int date) and
+#     reads them back distributed; the oracle aggregates the parquet
+#     directly, so any scale/instant/day the codec shifts breaks the hash.
+def q_avro_logical_roundtrip(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.sources.avro import read_avro, write_avro
+
+    o = load_table(spark, sf, "orders")
+    typed = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+        F.col("o_orderdate").alias("ots"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    tmp = tempfile.mkdtemp(prefix="avro_lt_")
+    try:
+        write_avro(typed.repartition(4), tmp, use_datasource=False)
+        back = (
+            read_avro(spark, tmp, use_datasource=False)
+            .drop("_source_file")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price_dec").cast("decimal(38,4)").cast("string").alias("sum_price"),
+        # wall-clock string: tz-independent compare for the NTZ column
+        F.date_format(F.min("ots"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.max("odate").cast("string").alias("max_date"),
+    )
+
+
+SQL_AVRO_LOGICAL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+            AS VARCHAR) AS sum_price,
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # 52. Lake point-lookup round trip — hash-gates the ENGINE read/delete path
 #     (reference analog: the per-key online SELECT/DELETE helpers,
 #     parser/db.py:112-256): documents land in a LakeTable, victims are
@@ -2262,6 +2313,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "avro_roundtrip_docs": q_avro_roundtrip_docs,
+    "avro_logical_roundtrip": q_avro_logical_roundtrip,
     "segment_dedup": q_segment_dedup,
     "label_centroid_norm": q_label_centroid_norm,
     "media_features": q_media_features,
@@ -2403,6 +2455,7 @@ ORACLES: dict[str, str] = {
     "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
     "lake_widen_rebucket": SQL_LAKE_WIDEN_REBUCKET,
     "media_features": SQL_MEDIA_FEATURES,
+    "avro_logical_roundtrip": SQL_AVRO_LOGICAL,
 }
 
 # built AFTER ORACLES exists — the rotation partitions the census by

@@ -32,6 +32,8 @@ their physical encoding (Debezium decimals stay bytes; decode with
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal
 import json
 import os
 import struct
@@ -99,6 +101,31 @@ class _Schema:
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
 
+# logical type → physical types it may annotate (Avro spec §Logical Types);
+# an annotation on the wrong physical type is IGNORED per spec, not an error
+_LOGICAL_CARRIERS = {
+    "decimal": ("bytes", "fixed"),
+    "date": ("int",),
+    "timestamp-millis": ("long",),
+    "timestamp-micros": ("long",),
+    # wall-clock-without-zone (Spark TimestampNTZType)
+    "local-timestamp-millis": ("long",),
+    "local-timestamp-micros": ("long",),
+}
+
+
+def _attach_logical(sc: _Schema, node: dict) -> None:
+    lt = node.get("logicalType")
+    if lt not in _LOGICAL_CARRIERS or sc.kind not in _LOGICAL_CARRIERS[lt]:
+        return
+    if lt == "decimal":
+        prec = node.get("precision")
+        if prec is None:
+            return  # spec: decimal without precision is invalid → ignore
+        sc.precision = int(prec)
+        sc.scale = int(node.get("scale", 0))
+    sc.logical = lt
+
 
 def parse_schema(node, named: dict | None = None) -> _Schema:
     """Avro schema JSON (already-loaded value or JSON string) → resolved tree."""
@@ -152,13 +179,40 @@ def parse_schema(node, named: dict | None = None) -> _Schema:
         sc = _Schema("fixed")
         sc.name = node["name"]
         sc.size = int(node["size"])
+        _attach_logical(sc, node)
         named[sc.name] = sc
         return sc
     return parse_schema(t, named)  # {"type": {...}} wrapper
 
 
+def _logical_encode(sc: _Schema, v):
+    """Python Decimal/date/datetime → the logical type's physical value."""
+    lt = sc.logical
+    if lt == "decimal":
+        n = _decimal_to_unscaled(v, sc.scale)
+        if sc.kind == "fixed":
+            return n.to_bytes(sc.size, "big", signed=True)
+        return n.to_bytes(max(1, (n.bit_length() + 8) // 8), "big", signed=True)
+    if lt == "date":
+        d = v.date() if isinstance(v, _dt.datetime) else v
+        return (d - _EPOCH_DATE).days
+    if lt == "timestamp-millis":
+        # floor division: spec millis, consistent for pre-epoch instants
+        return _timestamp_to_micros(v) // 1000
+    if lt == "timestamp-micros":
+        return _timestamp_to_micros(v)
+    if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+        # wall-clock semantics: take the naive clock reading as-is
+        naive = v.replace(tzinfo=None) if v.tzinfo is not None else v
+        us = (naive - _EPOCH_NAIVE) // _US
+        return us // 1000 if lt.endswith("millis") else us
+    return v
+
+
 def encode_datum(sc: _Schema, v, out: bytearray) -> None:
     k = sc.kind
+    if sc.logical is not None:
+        v = _logical_encode(sc, v)
     if k == "null":
         return
     if k == "boolean":
@@ -224,6 +278,57 @@ def _union_branch(sc: _Schema, v) -> int:
     raise ValueError("union has no non-null branch")
 
 
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_US = _dt.timedelta(microseconds=1)
+_DEC_CTX = decimal.Context(prec=100)  # scaleb must never round a 38-digit unscaled
+
+
+def _decimal_from_unscaled(raw: bytes, scale: int) -> decimal.Decimal:
+    return decimal.Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(
+        -scale, _DEC_CTX
+    )
+
+
+def _decimal_to_unscaled(v, scale: int) -> int:
+    d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+    scaled = d.scaleb(scale, _DEC_CTX)
+    unscaled = int(scaled)
+    if scaled != unscaled:
+        raise ValueError(f"decimal {d} does not fit scale {scale}")
+    return unscaled
+
+
+def _timestamp_to_micros(v) -> int:
+    # naive datetimes are UTC instants (Spark session tz is pinned UTC and
+    # the spark-avro datasource stores instants); exact integer arithmetic —
+    # float .timestamp() loses microseconds past 2^53 ns
+    if isinstance(v, _dt.datetime):
+        aware = v if v.tzinfo is not None else v.replace(tzinfo=_dt.timezone.utc)
+        return (aware - _EPOCH_UTC) // _US
+    raise ValueError(f"timestamp logical type expects datetime, got {type(v)}")
+
+
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+
+
+def _logical_decode(sc: _Schema, v):
+    lt = sc.logical
+    if lt == "decimal":
+        return _decimal_from_unscaled(v, sc.scale)
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=v)
+    if lt == "timestamp-millis":
+        return _EPOCH_UTC + _dt.timedelta(milliseconds=v)
+    if lt == "timestamp-micros":
+        return _EPOCH_UTC + _dt.timedelta(microseconds=v)
+    if lt == "local-timestamp-millis":
+        return _EPOCH_NAIVE + _dt.timedelta(milliseconds=v)
+    if lt == "local-timestamp-micros":
+        return _EPOCH_NAIVE + _dt.timedelta(microseconds=v)
+    return v
+
+
 def decode_datum(sc: _Schema, buf: bytes, pos: int) -> tuple[object, int]:
     k = sc.kind
     if k == "null":
@@ -231,7 +336,8 @@ def decode_datum(sc: _Schema, buf: bytes, pos: int) -> tuple[object, int]:
     if k == "boolean":
         return buf[pos] != 0, pos + 1
     if k in ("int", "long"):
-        return _read_long(buf, pos)
+        v, pos = _read_long(buf, pos)
+        return (v if sc.logical is None else _logical_decode(sc, v)), pos
     if k == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if k == "double":
@@ -239,9 +345,16 @@ def decode_datum(sc: _Schema, buf: bytes, pos: int) -> tuple[object, int]:
     if k in ("bytes", "string"):
         n, pos = _read_long(buf, pos)
         raw = buf[pos : pos + n]
-        return (raw.decode("utf-8") if k == "string" else bytes(raw)), pos + n
+        if k == "string":
+            return raw.decode("utf-8"), pos + n
+        if sc.logical == "decimal":
+            return _decimal_from_unscaled(raw, sc.scale), pos + n
+        return bytes(raw), pos + n
     if k == "fixed":
-        return bytes(buf[pos : pos + sc.size]), pos + sc.size
+        raw = bytes(buf[pos : pos + sc.size])
+        if sc.logical == "decimal":
+            return _decimal_from_unscaled(raw, sc.scale), pos + sc.size
+        return raw, pos + sc.size
     if k == "enum":
         i, pos = _read_long(buf, pos)
         return sc.symbols[i], pos
@@ -371,6 +484,20 @@ _AVRO_TO_SPARK = {
 
 
 def avro_to_spark_type(sc: _Schema) -> T.DataType:
+    # logical types first — what the spark-avro datasource returns for the
+    # reference's decimal-heavy schemas (datalake/athena_ddl.sql:348-354)
+    if sc.logical == "decimal":
+        if sc.precision > 38:
+            raise ValueError(
+                f"decimal precision {sc.precision} exceeds Spark's max 38"
+            )
+        return T.DecimalType(sc.precision, sc.scale)
+    if sc.logical == "date":
+        return T.DateType()
+    if sc.logical in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType()
+    if sc.logical in ("local-timestamp-millis", "local-timestamp-micros"):
+        return T.TimestampNTZType()
     if sc.kind in _AVRO_TO_SPARK:
         return _AVRO_TO_SPARK[sc.kind]
     if sc.kind in ("fixed",):
@@ -411,6 +538,20 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "row", _path: str = "") -> 
     the reference's generated schemas — ``datalake/generate_schema.py``)."""
     if dt in _SPARK_TO_AVRO:
         return _SPARK_TO_AVRO[dt]
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.TimestampType):
+        # micros: Spark's native timestamp resolution (lossless round-trip)
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.StructType):
         return {
             "type": "record",
@@ -545,21 +686,26 @@ def _file_schema_json(fpath: str) -> str:
 
     Headers are KBs, and schema discovery runs on the driver over EVERY
     file of a migrated lake (10^4–10^5 files) — so read tiered: 64 KB
-    covers real headers, 4 MB a pathological multi-MB schema, whole-file
-    only as the last resort.  A flat multi-MB read per file would turn
-    plan time into tens of GB of driver I/O."""
+    covers real headers, 4 MB a pathological multi-MB schema, 64 MB as
+    the hard last tier.  A flat multi-MB read per file would turn plan
+    time into tens of GB of driver I/O — and the final tier is CAPPED
+    because a corrupt or non-OCF file must raise a clear error, not pull
+    a multi-GB file into driver RAM across the 16-thread discovery pool."""
     with open(fpath, "rb") as fh:
         head = b""
-        for more in (64 << 10, (4 << 20) - (64 << 10), None):
-            head += fh.read(more) if more is not None else fh.read()
+        last_err: Exception | None = None
+        for more in (64 << 10, (4 << 20) - (64 << 10), (64 << 20) - (4 << 20)):
+            head += fh.read(more)
             try:
                 sj, _ = _read_header_only(head)
                 json.loads(sj)
                 return sj
-            except Exception:
-                if more is None:
-                    raise
-    raise AssertionError("unreachable")
+            except Exception as e:
+                last_err = e
+    raise ValueError(
+        f"unparseable Avro header in {fpath} (no valid OCF header within "
+        f"the first 64 MB): {last_err}"
+    )
 
 
 def _union_file_schemas(files: list[str]) -> T.StructType:
@@ -658,7 +804,7 @@ def _to_py(v):
     """Arrow/pandas cell → plain Python for the datum encoder."""
     import numpy as np
 
-    if v is None or (isinstance(v, float) and v != v):
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
         return None
     if isinstance(v, np.generic):
         return v.item()
@@ -674,6 +820,18 @@ def _to_py(v):
 # ---------------------------------------------------------------------------
 # envelope bridge: Avro-framed CDC values → the JSON envelope path
 # ---------------------------------------------------------------------------
+
+
+def _strip_logical(node):
+    """Schema JSON value with every ``logicalType`` annotation removed —
+    the envelope bridge decodes physical values only."""
+    if isinstance(node, dict):
+        return {
+            k: _strip_logical(v) for k, v in node.items() if k != "logicalType"
+        }
+    if isinstance(node, list):
+        return [_strip_logical(v) for v in node]
+    return node
 
 
 def avro_values_to_json(
@@ -693,10 +851,20 @@ def avro_values_to_json(
     (magic 0x00 + 4-byte schema id) the standard Debezium+Avro deployment
     prepends.  ``bytes`` fields become base64 strings (what Spark's
     ``from_json`` expects for a binary column); undecodable values become
-    NULL and fall into the envelope's corrupt-record drop."""
+    NULL and fall into the envelope's corrupt-record drop.
+
+    Logical-type annotations are STRIPPED before decoding: the envelope
+    path owns its value semantics downstream (Debezium decimals decode
+    via ``functions/debezium.py`` from the base64 bytes+scale, matching
+    the reference ``datalake/converters/converter.py:41-47``), so the
+    wire bytes must arrive raw, not pre-converted to Python Decimals."""
     import base64
 
-    sj = writer_schema if isinstance(writer_schema, str) else json.dumps(writer_schema)
+    sj = json.dumps(
+        _strip_logical(
+            json.loads(writer_schema) if isinstance(writer_schema, str) else writer_schema
+        )
+    )
 
     @F.pandas_udf("string")
     def _datum_to_json(vals: pd.Series) -> pd.Series:
@@ -738,8 +906,14 @@ def encode_avro_values(
 ) -> DataFrame:
     """Test/bench twin of :func:`avro_values_to_json`: JSON-valued Kafka
     frames → single-datum Avro values (optionally Confluent-framed), i.e.
-    what a Debezium+Avro producer would put on the wire."""
-    sj = writer_schema if isinstance(writer_schema, str) else json.dumps(writer_schema)
+    what a Debezium+Avro producer would put on the wire.  Logical types
+    are stripped symmetrically with the decoder — the wire carries
+    physical values."""
+    sj = json.dumps(
+        _strip_logical(
+            json.loads(writer_schema) if isinstance(writer_schema, str) else writer_schema
+        )
+    )
 
     @F.pandas_udf("binary")
     def _json_to_datum(vals: pd.Series) -> pd.Series:
