@@ -333,3 +333,92 @@ def test_mart_correct_under_adversarial_maintenance_interleaving(spark, tmp_path
         assert _mart_rows(mart) == _full_rows(t), f"seed={seed} epoch={epoch} post"
     # the schedule really exercised the expiry-fallback path at least once
     assert saw_rebuild_fallback, f"seed={seed} never hit the rebuild fallback"
+
+
+def test_follow_changes_tail_equals_changes_with_crash(spark, tmp_path):
+    """follow_changes contract (r6 verdict ask #6): the concatenation of
+    followed interval batches equals changes(v0, head) under writes racing
+    the follower, and a crash between process() and the cursor write
+    re-delivers the SAME interval row-identically (at-least-once,
+    exactly-once after interval-key dedup)."""
+    from ton_etl_spark.lake.incremental import follow_changes, read_follow_cursor
+
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    v0 = t.current_version()
+    cursor = str(tmp_path / "cursor.json")
+    dirs = write_cdc_log(
+        generate_cdc_log(spark, 1500, seed=47), str(tmp_path / "log"),
+        n_batches=4, dup_pct=10, seed=47,
+    )
+    batches_all = [spark.read.parquet(d) for d in dirs]
+    apply_cdc_batch(t, batches_all[0], epoch=0)
+
+    got: dict[tuple, list] = {}  # interval -> rows (dedup by interval key)
+
+    def _rows(df):
+        return sorted((r.asDict() for r in df.collect()), key=repr)
+
+    def consume(df, fv, tv):
+        got[(fv, tv)] = _rows(df)
+        # a write RACES the cursor update: lands after changes() was read
+        if len(got) == 1:
+            apply_cdc_batch(t, batches_all[1], epoch=1)
+
+    r = follow_changes(t, consume, cursor, start_version=v0, max_batches=1)
+    assert r["batches"] == 1 and len(got) == 1
+    # the racing write is NOT lost: next poll picks it up from the cursor
+    r = follow_changes(t, consume, cursor, start_version=v0, max_batches=1)
+    assert r["batches"] == 1 and len(got) == 2
+
+    # crash injection: process succeeds, cursor write never happens
+    apply_cdc_batch(t, batches_all[2], epoch=2)
+    first_delivery: dict = {}
+
+    def crashing(df, fv, tv):
+        first_delivery[(fv, tv)] = _rows(df)
+        raise RuntimeError("crash after processing, before cursor write")
+
+    with pytest.raises(RuntimeError):
+        follow_changes(t, crashing, cursor, start_version=v0, max_batches=1)
+    pre_crash_cursor = read_follow_cursor(cursor, v0)
+
+    # restart: the SAME interval is re-delivered row-identically
+    r = follow_changes(t, consume, cursor, start_version=v0, max_batches=1)
+    assert r["batches"] == 1
+    (interval,) = first_delivery.keys()
+    assert interval[0] == pre_crash_cursor
+    assert got[interval] == first_delivery[interval]
+
+    # tail to head over one more write, then idle-stop
+    apply_cdc_batch(t, batches_all[3], epoch=3)
+    follow_changes(t, consume, cursor, start_version=v0, idle_polls=1)
+    head = t.current_version()
+    assert read_follow_cursor(cursor, v0) == head
+
+    # gap-free + exactly-once after interval dedup: the changelog algebra
+    # must compose — per-row signed net (+insert/-delete) of the interval
+    # concatenation equals the net of ONE changes() sweep over the whole
+    # range (intermediate states appear in per-interval batches and cancel;
+    # plain row-list equality would be the wrong contract)
+    intervals = sorted(got)
+    assert intervals[0][0] == v0 and intervals[-1][1] == head
+    assert all(a[1] == b[0] for a, b in zip(intervals, intervals[1:]))
+
+    # each batch is conformed to ITS interval's head schema; under additive
+    # evolution the consumer conforms to the final schema (absent column =
+    # NULL) — the documented changelog contract — before netting
+    head_cols = [f.name for f in t.current().schema.fields]
+
+    def _net(rows):
+        from collections import Counter
+
+        net: Counter = Counter()
+        for r in rows:
+            key = repr([(c, r.get(c)) for c in head_cols if c != "_change_type"])
+            net[key] += 1 if r["_change_type"] == "insert" else -1
+        return {k: v for k, v in net.items() if v}
+
+    concat_net = _net([r for iv in intervals for r in got[iv]])
+    assert concat_net == _net(_rows(t.changes(v0, head)))
+    # and intermediate batches were non-trivial (the test saw real churn)
+    assert sum(len(v) for v in got.values()) > len(concat_net)

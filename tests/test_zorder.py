@@ -343,6 +343,13 @@ def test_zorder_gate_degenerate_columns_do_not_fire_forever(spark, tmp_path):
     assert r["applied"]
     # the all-NULL rows still record no v bounds on their files...
     assert all(not f.stats or "v" not in f.stats for f in t.current().files)
+    # (d) r6-advice lock: the rewrite PROMOTED v into stats_cols, which
+    # exempts it from the blind rule — an all-NULL scope stays at zero
+    # coverage forever, and without the exemption the gate would schedule
+    # an unconditional full-group rewrite every maintenance cycle
+    assert "v" in t.current().properties.get("stats_cols", "")
+    needed, worst, reason = zorder_needed(t, ["v"], 0.5)
+    assert needed is False and reason == "well-clustered", (needed, worst, reason)
     # ...but batch 2 brings covered files; partial coverage must not
     # re-fire the blind rule — only measured overlap can
     t.append(spark.range(200, 400).selectExpr(

@@ -23,6 +23,11 @@ state at vN, and re-running a refresh interval is a commit-key no-op.
 
 from __future__ import annotations
 
+import json
+import os
+import time
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -197,3 +202,83 @@ def refresh_agg_mart(
     finally:
         delta.unpersist()
     return {"applied": applied, "from": from_version, "to": to_version, "buckets": buckets}
+
+
+# ---------------------------------------------------------------------------
+# follow_changes: the changelog as a TAIL (round-6 verdict ask #6)
+# ---------------------------------------------------------------------------
+
+
+def read_follow_cursor(cursor_path: str, start_version: int = 0) -> int:
+    """Recover the follower's cursor (last fully-processed source version).
+    Missing file → ``start_version`` (a never-started follower)."""
+    try:
+        with open(cursor_path) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        return start_version
+
+
+def _write_follow_cursor(cursor_path: str, version: int) -> None:
+    tmp = f"{cursor_path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, cursor_path)  # atomic publish, same as manifest CAS
+
+
+def follow_changes(
+    table: LakeTable,
+    process: Callable[[DataFrame, int, int], None],
+    cursor_path: str,
+    start_version: int = 0,
+    max_batches: int | None = None,
+    idle_polls: int = 1,
+    poll_interval_s: float = 0.0,
+) -> dict:
+    """Follow a LakeTable's changelog as a stream of interval batches — the
+    engine-native form of the reference's re-published normalized live
+    stream (``datalake/streaming.py:99-191``), generalized from the mart
+    refresher's one-consumer cursor (:func:`last_synced_version`).
+
+    Each poll reads the snapshot head; if it moved past the cursor, the
+    interval's :meth:`LakeTable.changes` frame (``_change_type`` ∈
+    {insert, delete}) is handed to ``process(df, from_v, to_v)`` and the
+    cursor is atomically persisted AFTER ``process`` returns.
+
+    Delivery contract — AT-LEAST-ONCE with interval-keyed replays: a crash
+    between ``process`` and the cursor write re-delivers exactly the same
+    ``(from_v, to_v]`` interval on restart (snapshots are immutable, so
+    the replayed frame is row-identical).  A consumer that keys its writes
+    by the interval — e.g. a LakeTable sink with
+    ``commit_key=f"follow={from_v}-{to_v}"``, the ``martsync=`` pattern —
+    upgrades this to exactly-once.  The interval sequence is gap-free
+    (each batch starts where the persisted cursor ends) and its per-row
+    signed net (+insert / -delete) equals ``changes(start_version,
+    head)``'s — intermediate states a single sweep never sees appear in
+    the tail and retract.  Each batch is conformed to ITS interval's head
+    schema; under additive evolution a consumer comparing across batches
+    conforms to the final schema (absent column = NULL).
+
+    Scale shape: each poll is one manifest-head read (O(1) metadata); each
+    batch costs O(changed buckets) like any ``changes`` read — the
+    follower never rescans the table.  Stops after ``max_batches``
+    processed batches or ``idle_polls`` consecutive empty polls (run it
+    under a supervisor loop for an unbounded tail); returns
+    ``{"batches", "cursor"}``.
+    """
+    batches = 0
+    idle = 0
+    while (max_batches is None or batches < max_batches) and idle < idle_polls:
+        cursor = read_follow_cursor(cursor_path, start_version)
+        head = table.current_version()
+        if head <= cursor:
+            idle += 1
+            if poll_interval_s and idle < idle_polls:
+                time.sleep(poll_interval_s)
+            continue
+        idle = 0
+        ch = table.changes(cursor, head)
+        process(ch, cursor, head)
+        _write_follow_cursor(cursor_path, head)
+        batches += 1
+    return {"batches": batches, "cursor": read_follow_cursor(cursor_path, start_version)}

@@ -408,10 +408,16 @@ def zorder_needed(
     coverage: a column that can never encode (boolean/decimal/binary —
     excluded by type), or a stray all-NULL file that records no bounds,
     must not re-trigger a full rewrite every cycle — a rewrite cannot
-    manufacture bounds for either.  A fully-covered scope with no
+    manufacture bounds for either.  Columns already PROMOTED into the
+    ``stats_cols`` property are likewise exempt from the blind rule:
+    promotion proves a bootstrap rewrite (or declared harvesting) already
+    ran, so zero coverage there means the data records no bounds (e.g. a
+    column that is all-NULL across the scored scope) — unimprovable, and
+    without the exemption the gate would degenerate into an unconditional
+    full-group rewrite every cycle.  A fully-covered scope with no
     scoreable pairs (single stats-carrying file per bucket) is genuinely
     unimprovable and skips."""
-    from ton_etl_spark.lake.table import _stats_encodable
+    from ton_etl_spark.lake.table import LakeTable, _stats_encodable
 
     snap = table.snapshot(version) if version is not None else table.current()
     files = snap.files
@@ -426,9 +432,11 @@ def zorder_needed(
         # same loud-misconfig contract as create()'s stats_cols check: a
         # typo'd column would otherwise just never fire the gate
         raise ValueError(f"zorder_cols not in schema: {unknown}")
+    declared = set(LakeTable._prop_cols(snap, "stats_cols"))
     blind = sorted(
         c for c in zorder_cols
         if _stats_encodable(field_types[c])
+        and c not in declared
         and not any(f.stats and c in f.stats for f in files)
     )
     ov = clustering_overlap(table, files=files, cols=list(zorder_cols))
