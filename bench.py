@@ -179,6 +179,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # round-over-round trend signal: the fixed 15-query HEADLINE
+        # subtotal, comparable across rounds 1-5 walls; the headline
+        # `value` additionally carries the r6+ dup_clusters_graph CC
+        # benchmark, which those earlier walls did not include
+        "comparable_subtotal_sec": round(sum(queries[n] for n in HEADLINE), 3),
         "sf": _sf_label(SF_DIR),
         "cdc_ingest": ingest,
     }

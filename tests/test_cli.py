@@ -349,3 +349,46 @@ def test_cli_lookup_is_live_state_on_cdc_tables(spark, tmp_path, capsys):
     a = {r["doc_id"]
          for r in read_state(t, where_in={"doc_id": [victim, alive]}).collect()}
     assert a == {alive}
+
+
+def test_cli_maintain_purge_tombstones(spark, tmp_path, capsys):
+    """r6-advice fix: `maintain --delete-in` on a CDC table keeps the
+    victims' op='d' tombstones by default (two-step compliance delete);
+    `--purge-tombstones` drops them in the same pass, and the flag
+    without a delete fails loudly."""
+    import pytest
+
+    from ton_etl_spark.cdc.apply import apply_cdc_batch, make_sequences_table
+    from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
+
+    table = str(tmp_path / "tbl")
+    t = make_sequences_table(spark, table, n_buckets=4)
+    apply_cdc_batch(t, spark.createDataFrame(
+        [
+            ("k1", "c", 10, 10, [1, 2], 2, "web"),
+            ("k2", "d", 20, 20, None, None, "web"),
+            ("k3", "u", 40, 40, [7], 1, "web"),
+        ],
+        schema=CDC_EVENT_SCHEMA,
+    ), epoch=0)
+
+    with pytest.raises(SystemExit, match="purge-tombstones requires"):
+        main(["maintain", "--table", table, "--purge-tombstones"])
+
+    # default: k2's tombstone row is NOT deleted by the per-key delete
+    assert main(["maintain", "--table", table,
+                 "--delete-in", '{"doc_id": ["k2"]}',
+                 "--commit-key", "c1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delete"]["deleted_rows"] == 0
+    assert t.read().where("doc_id = 'k2' AND op = 'd'").count() == 1
+
+    # one-step compliance delete: tombstone purged in the same pass
+    assert main(["maintain", "--table", table,
+                 "--delete-in", '{"doc_id": ["k2"]}', "--purge-tombstones",
+                 "--commit-key", "c2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delete"]["deleted_rows"] == 1
+    assert t.read().where("doc_id = 'k2'").count() == 0
+    # bystanders untouched
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["k1", "k3"]

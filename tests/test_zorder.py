@@ -361,3 +361,47 @@ def test_zorder_gate_degenerate_columns_do_not_fire_forever(spark, tmp_path):
     assert covered  # some files carry v bounds
     needed, worst, reason = zorder_needed(t, ["v"], 1.1)  # threshold no one beats
     assert needed is False, (worst, reason, len(blind_files))
+
+
+def test_clustering_overlap_pair_count_matches_bruteforce():
+    """Property: the O(n log n) sorted-endpoint pair count equals the
+    brute-force all-pairs overlap count across random bucketed range
+    sets (r6-advice fix: the old active-list sweep was O(n x
+    concurrently-overlapping) — quadratic exactly on the badly
+    clustered tables the gauge exists to flag)."""
+    import random
+    from types import SimpleNamespace
+
+    from ton_etl_spark.lake.maintenance import clustering_overlap
+
+    rnd = random.Random(13)
+    for trial in range(40):
+        files = []
+        for i in range(rnd.randint(0, 30)):
+            lo = rnd.randint(-20, 20)
+            hi = lo + rnd.choice([0, 0, 1, 2, 5, 40])  # duplicates + spans
+            files.append(SimpleNamespace(
+                bucket=rnd.randint(0, 2), rows=1,
+                stats={"c": [lo, hi]} if rnd.random() > 0.1 else None,
+            ))
+        got = clustering_overlap(None, files=files, cols=["c"])
+        # brute force over same-bucket unordered pairs
+        by_b: dict = {}
+        for f in files:
+            if f.stats and "c" in f.stats:
+                by_b.setdefault(f.bucket, []).append(f.stats["c"])
+        ov = tot = 0
+        for rs in by_b.values():
+            for i in range(len(rs)):
+                for j in range(i + 1, len(rs)):
+                    tot += 1
+                    if rs[i][0] <= rs[j][1] and rs[j][0] <= rs[i][1]:
+                        ov += 1
+        want = round(ov / tot, 4) if tot else None
+        assert got.get("c", None) == want, (trial, got, want)
+    # mixed-type bounds (schema evolution) still report null, not raise
+    mixed = [
+        SimpleNamespace(bucket=0, rows=1, stats={"c": [1, 5]}),
+        SimpleNamespace(bucket=0, rows=1, stats={"c": ["a", "z"]}),
+    ]
+    assert clustering_overlap(None, files=mixed, cols=["c"]) == {"c": None}

@@ -142,6 +142,8 @@ def _cmd_maintain(args) -> int:
         raise SystemExit("--zorder-if-overlap requires --zorder")
     if args.small_rows is not None and not args.binpack:
         raise SystemExit("--small-rows requires --binpack")
+    if args.purge_tombstones and not (args.delete_where or args.delete_in):
+        raise SystemExit("--purge-tombstones requires --delete-where/--delete-in")
     if args.delete_where or args.delete_in:
         ranges = {
             c: (lo, hi) for c, (lo, hi) in json.loads(args.delete_where).items()
@@ -161,6 +163,7 @@ def _cmd_maintain(args) -> int:
             where_in=probes,
             commit_key=(args.commit_key + "-del") if args.commit_key else None,
             file_granular=args.file_granular,
+            protect_tombstones=not args.purge_tombstones,
         )
     if args.zorder:
         zcols = [c.strip() for c in args.zorder.split(",") if c.strip()]
@@ -485,7 +488,20 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--delete-in", default=None, metavar="JSON",
                     help='per-key delete, e.g. \'{"doc_id": [1, 7]}\' '
                     "(GDPR-style; key-covering probes prune to their "
-                    "buckets; ANDs with --delete-where)")
+                    "buckets; ANDs with --delete-where). On a CDC table "
+                    "the victims' op='d' tombstone rows — payload "
+                    "included — are KEPT by default so stale "
+                    "redeliveries cannot resurrect them: a compliance "
+                    "delete is two steps (this, then "
+                    "--gc-tombstones-below once the redelivery horizon "
+                    "passes) unless you add --purge-tombstones")
+    mt.add_argument("--purge-tombstones", action="store_true",
+                    help="with --delete-where/--delete-in: also drop "
+                    "matching op='d' tombstone rows in the SAME pass "
+                    "(one-step compliance delete). Only safe once the "
+                    "source's redelivery horizon has passed the deleted "
+                    "keys/range — earlier, a stale redelivery can "
+                    "resurrect the key (the gc_tombstones contract)")
     mt.add_argument("--file-granular", action="store_true",
                     help="with --delete-where: rewrite only the files whose "
                     "bounds intersect the range, carrying the rest unchanged")

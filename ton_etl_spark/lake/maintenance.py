@@ -335,8 +335,12 @@ def clustering_overlap(
     one file per bucket — what ``sort_cols`` / ``rewrite_zorder`` produce
     fresh); 1.0 = every pair overlaps (bounds span the domain, skipping
     never fires — the signal to schedule a clustering rewrite).  Driver
-    side over O(files) stats, no Spark job; pairs counted per bucket
-    because skipping competes only within a bucket's file set.
+    side over the manifest stats, no Spark job; O(files log files) per
+    column even on a fully-overlapping table (pairs are counted via a
+    sorted-endpoint identity, never enumerated), so a metrics refresh on
+    a badly clustered table — exactly when the gauge matters — costs the
+    same as on a healthy one.  Pairs counted per bucket because skipping
+    competes only within a bucket's file set.
 
     Columns with mixed-type bounds (schema evolution) or no stats report
     null.  Buckets with a single stats-carrying file contribute no pairs.
@@ -364,15 +368,27 @@ def clustering_overlap(
                 if f.stats and c in f.stats:
                     by_bucket.setdefault(f.bucket, []).append(tuple(f.stats[c]))
             for ranges in by_bucket.values():
-                # sweep over lo-sorted ranges: an earlier range overlaps the
-                # current one iff its hi >= current lo; each overlapping
-                # pair is counted exactly once
-                ranges.sort()
-                active: list = []  # his of still-open earlier ranges
-                for lo, hi in ranges:
-                    active = [h for h in active if h >= lo]
-                    overlaps += len(active)
-                    active.append(hi)
+                # sorted-endpoint identity: closed intervals i, j DON'T
+                # overlap iff hi_i < lo_j or hi_j < lo_i, and since
+                # hi >= lo at most one direction can hold — so each
+                # non-overlapping unordered pair is counted exactly once
+                # by sum_j |{i : hi_i < lo_j}| (i = j never qualifies).
+                # Two sorts + a merge: O(n log n) regardless of how many
+                # pairs overlap, vs the naive sweep's O(n * overlapping)
+                # which goes quadratic exactly on the badly-clustered
+                # tables the metric exists to flag.
+                if len(ranges) < 2:
+                    continue
+                los = sorted(lo for lo, _ in ranges)
+                his = sorted(hi for _, hi in ranges)
+                disjoint = 0
+                h = 0
+                for lo in los:
+                    while h < len(his) and his[h] < lo:
+                        h += 1
+                    disjoint += h
+                n = len(ranges)
+                overlaps += n * (n - 1) // 2 - disjoint
             total = sum(len(v) * (len(v) - 1) // 2 for v in by_bucket.values())
             out[c] = round(overlaps / total, 4) if total else None
         except TypeError:

@@ -58,8 +58,11 @@ def update_table_layout_gauges(
     demand signal (per-column clustering overlap).  The same numbers
     ``describe`` prints, continuously exposed so maintenance scheduling
     can be alert-driven instead of operator-polled; on a 100 TB table
-    each refresh is O(files) driver math over the already-loaded
-    manifests.
+    each refresh is O(files log files) driver math over the
+    already-loaded manifests — the overlap count uses a sorted-endpoint
+    identity (``clustering_overlap``), so the refresh does NOT go
+    quadratic on a badly clustered table, which is exactly when the
+    gauge is consulted.
 
     ``label`` overrides the ``table`` label (default: the root's
     basename) — pass distinct labels when two monitored roots share a
