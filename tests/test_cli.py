@@ -392,3 +392,60 @@ def test_cli_maintain_purge_tombstones(spark, tmp_path, capsys):
     assert t.read().where("doc_id = 'k2'").count() == 0
     # bystanders untouched
     assert sorted(r["doc_id"] for r in t.read().collect()) == ["k1", "k3"]
+
+
+def test_cli_follow_mirror_and_report(spark, tmp_path, capsys):
+    """`follow`: report mode prints one JSON line per interval; `--sink`
+    mirrors the changelog exactly-once into a LakeTable, resuming from
+    the cursor across invocations."""
+    from ton_etl_spark.cdc.apply import apply_cdc_batch, make_sequences_table
+    from ton_etl_spark.lake.table import LakeTable
+
+    table = str(tmp_path / "src")
+    t = make_sequences_table(spark, table, n_buckets=4)
+    v0 = t.current_version()
+    dirs = write_cdc_log(
+        generate_cdc_log(spark, 800, seed=77), str(tmp_path / "log"),
+        n_batches=2, dup_pct=10, seed=77,
+    )
+    cursor = str(tmp_path / "cur.json")
+    sink_root = str(tmp_path / "mirror")
+
+    apply_cdc_batch(t, spark.read.parquet(dirs[0]), epoch=0)
+    assert main(["follow", "--table", table, "--cursor", cursor,
+                 "--sink", sink_root, "--start-version", str(v0)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batches"] == 1 and out["sink_rows"] > 0
+
+    # second invocation resumes from the cursor: only the new epoch flows
+    apply_cdc_batch(t, spark.read.parquet(dirs[1]), epoch=1)
+    assert main(["follow", "--table", table, "--cursor", cursor,
+                 "--sink", sink_root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batches"] == 1 and out["cursor"] == t.current_version()
+
+    # the mirror's signed net equals one changes() sweep
+    sink = LakeTable.load(spark, sink_root)
+    head = t.current_version()
+    cols = [f.name for f in t.current().schema.fields]
+
+    def _net(df):
+        from collections import Counter
+
+        net: Counter = Counter()
+        for r in df.collect():
+            d = r.asDict()
+            net[repr([(c, d.get(c)) for c in cols])] += (
+                1 if d["_change_type"] == "insert" else -1)
+        return {k: v for k, v in net.items() if v}
+
+    assert _net(sink.read()) == _net(t.changes(v0, head))
+
+    # report mode on a fresh cursor prints per-interval counts
+    cursor2 = str(tmp_path / "cur2.json")
+    assert main(["follow", "--table", table, "--cursor", cursor2,
+                 "--start-version", str(v0)]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["cmd"] == "follow" and lines[-1]["batches"] == 1
+    assert lines[0]["interval"] == [v0, head]
+    assert lines[0]["insert"] > 0

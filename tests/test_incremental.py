@@ -422,3 +422,130 @@ def test_follow_changes_tail_equals_changes_with_crash(spark, tmp_path):
     assert concat_net == _net(_rows(t.changes(v0, head)))
     # and intermediate batches were non-trivial (the test saw real churn)
     assert sum(len(v) for v in got.values()) > len(concat_net)
+
+
+def test_mirror_changes_exactly_once_through_maintenance_and_lost_cursor(
+    spark, tmp_path
+):
+    """mirror_changes: the changelog mirror is exactly-once (interval
+    commit keys absorb a lost-cursor replay), pure maintenance on the
+    source delivers EMPTY intervals that still advance the chain, and the
+    mirror's signed net equals one changes() sweep of the whole range."""
+    from ton_etl_spark.lake.incremental import (
+        make_changelog_sink,
+        mirror_changes,
+        read_follow_cursor,
+    )
+    from ton_etl_spark.lake.maintenance import rewrite_buckets
+
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    v0 = t.current_version()
+    cursor = str(tmp_path / "cursor.json")
+    dirs = write_cdc_log(
+        generate_cdc_log(spark, 1200, seed=53), str(tmp_path / "log"),
+        n_batches=3, dup_pct=10, seed=53,
+    )
+    batches = [spark.read.parquet(d) for d in dirs]
+    sink = make_changelog_sink(spark, str(tmp_path / "mirror"), t)
+
+    apply_cdc_batch(t, batches[0], epoch=0)
+    assert mirror_changes(t, sink, cursor, start_version=v0)["batches"] == 1
+    rows_after_1 = sink.read().count()
+    assert rows_after_1 > 0
+
+    # lost cursor write: reset the cursor to v0 and re-run — the interval
+    # replays, but the sink commit key makes it a row-level no-op
+    saved = read_follow_cursor(cursor, v0)
+    import json as _json
+
+    with open(cursor, "w") as fh:
+        _json.dump({"version": v0}, fh)
+    assert mirror_changes(t, sink, cursor, start_version=v0)["batches"] == 1
+    assert sink.read().count() == rows_after_1, "replayed interval duplicated rows"
+    assert read_follow_cursor(cursor, v0) == saved
+
+    # pure maintenance: compaction moves the head without changing rows —
+    # the tail delivers an EMPTY interval and advances
+    apply_cdc_batch(t, batches[1], epoch=1)
+    mirror_changes(t, sink, cursor, start_version=v0)
+    r = rewrite_buckets(t, commit_key="bp")
+    assert r["applied"]
+    pre = sink.read().count()
+    assert mirror_changes(t, sink, cursor, start_version=v0)["batches"] == 1
+    assert sink.read().count() == pre, "maintenance-only interval emitted rows"
+    assert read_follow_cursor(cursor, v0) == t.current_version()
+
+    # final batch, then the algebra check: mirror net == one-sweep net
+    apply_cdc_batch(t, batches[2], epoch=2)
+    mirror_changes(t, sink, cursor, start_version=v0)
+    head = t.current_version()
+    assert read_follow_cursor(cursor, v0) == head
+    cols = [f.name for f in t.current().schema.fields]
+
+    def _net(df):
+        from collections import Counter
+
+        net: Counter = Counter()
+        for r in df.collect():
+            d = r.asDict()
+            key = repr([(c, d.get(c)) for c in cols])
+            net[key] += 1 if d["_change_type"] == "insert" else -1
+        return {k: v for k, v in net.items() if v}
+
+    assert _net(sink.read()) == _net(t.changes(v0, head))
+
+
+def test_follow_changes_expiry_raises_then_hook_recovers(spark, tmp_path):
+    """A follower down past snapshot expiry must NOT silently drop the
+    interval: default is a clear error naming the resync requirement;
+    on_expired= opts into in-loop recovery, after which the cursor lands
+    at head and tailing resumes incrementally."""
+    from ton_etl_spark.lake.incremental import follow_changes, read_follow_cursor
+    from ton_etl_spark.lake.maintenance import expire_snapshots
+
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_buckets=4)
+    v0 = t.current_version()
+    cursor = str(tmp_path / "cursor.json")
+    dirs = write_cdc_log(
+        generate_cdc_log(spark, 900, seed=61), str(tmp_path / "log"),
+        n_batches=3, dup_pct=10, seed=61,
+    )
+    batches = [spark.read.parquet(d) for d in dirs]
+
+    apply_cdc_batch(t, batches[0], epoch=0)
+    follow_changes(t, lambda df, fv, tv: df.count(), cursor, start_version=v0)
+    stuck_at = read_follow_cursor(cursor, v0)
+
+    # the follower goes dark; writes + expiry run past its cursor
+    apply_cdc_batch(t, batches[1], epoch=1)
+    apply_cdc_batch(t, batches[2], epoch=2)
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(RuntimeError, match="expired"):
+        follow_changes(t, lambda df, fv, tv: df.count(), cursor,
+                       start_version=v0)
+    # the failed poll moved nothing
+    assert read_follow_cursor(cursor, v0) == stuck_at
+
+    calls = []
+
+    def resync(table, cur, head):
+        # a real consumer rebuilds from table.read() here (the
+        # rebuild_agg_mart pattern); the contract under test is the
+        # hook invocation + cursor landing at head
+        calls.append((cur, head))
+
+    r = follow_changes(t, lambda df, fv, tv: df.count(), cursor,
+                       start_version=v0, on_expired=resync)
+    head = t.current_version()
+    assert calls == [(stuck_at, head)]
+    assert r["cursor"] == head and read_follow_cursor(cursor, v0) == head
+
+    # tailing resumes incrementally after the resync
+    extra = spark.createDataFrame(
+        [("zz1", "c", 10_000, 10_000, [1], 1, "web")], schema=CDC_EVENT_SCHEMA
+    )
+    apply_cdc_batch(t, extra, epoch=3)
+    seen = []
+    follow_changes(t, lambda df, fv, tv: seen.append(df.count()), cursor,
+                   start_version=v0)
+    assert seen == [1]

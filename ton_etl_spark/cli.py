@@ -233,6 +233,54 @@ def _cmd_lookup(args) -> int:
     return 0
 
 
+def _cmd_follow(args) -> int:
+    """Tail a table's changelog (reference analog: the re-published
+    normalized live stream, ``datalake/streaming.py:99-191``).  With
+    ``--sink``: exactly-once mirror into an append-only LakeTable
+    (``mirror_changes``, interval commit keys).  Without: print one JSON
+    line per interval batch (row counts by ``_change_type``).  The file
+    cursor makes restarts resume where the last fully-processed interval
+    ended; ``--until-idle`` + ``--poll-interval`` run an operational tail
+    that exits once the source goes quiet."""
+    from ton_etl_spark.lake.incremental import (
+        follow_changes,
+        make_changelog_sink,
+        mirror_changes,
+    )
+    from ton_etl_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    kw = dict(
+        cursor_path=args.cursor,
+        start_version=args.start_version,
+        max_batches=args.max_batches,
+        idle_polls=args.idle_polls,
+        poll_interval_s=args.poll_interval,
+    )
+    if args.sink:
+        sink = make_changelog_sink(spark, args.sink, t)
+        r = mirror_changes(t, sink, **kw)
+        out = {"cmd": "follow", "sink": args.sink,
+               "sink_rows": sink.read().count(), **r}
+    else:
+
+        def _report(ch, fv, tv):
+            from pyspark.sql import functions as F
+
+            counts = {row["_change_type"]: row["n"] for row in
+                      ch.groupBy("_change_type").agg(
+                          F.count(F.lit(1)).alias("n")).collect()}
+            print(json.dumps({"interval": [fv, tv],
+                              "insert": counts.get("insert", 0),
+                              "delete": counts.get("delete", 0)}))
+
+        r = follow_changes(t, _report, **kw)
+        out = {"cmd": "follow", **r}
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_describe(args) -> int:
     from collections import Counter
 
@@ -528,6 +576,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="storage view: include delete tombstones (default "
                     "is the live state — a deleted key returns nothing)")
     lk.set_defaults(fn=_cmd_lookup)
+
+    fw = sub.add_parser(
+        "follow",
+        help="tail the table changelog: print interval batches, or "
+        "--sink for an exactly-once LakeTable mirror",
+    )
+    fw.add_argument("--table", required=True)
+    fw.add_argument("--cursor", required=True,
+                    help="cursor file path (crash-safe restart point)")
+    fw.add_argument("--sink", default=None,
+                    help="mirror LakeTable root; created on first run "
+                    "(source schema + _change_type, source keys/buckets)")
+    fw.add_argument("--start-version", type=int, default=0)
+    fw.add_argument("--max-batches", type=int, default=None,
+                    help="stop after N processed intervals (default: "
+                    "until idle)")
+    fw.add_argument("--idle-polls", type=int, default=1,
+                    help="consecutive empty polls before exiting")
+    fw.add_argument("--poll-interval", type=float, default=0.0,
+                    help="seconds between polls while idle")
+    fw.set_defaults(fn=_cmd_follow)
 
     de = sub.add_parser("describe", help="table metadata: version, layout, file/stats coverage")
     de.add_argument("--table", required=True)

@@ -234,6 +234,7 @@ def follow_changes(
     max_batches: int | None = None,
     idle_polls: int = 1,
     poll_interval_s: float = 0.0,
+    on_expired: Callable[[LakeTable, int, int], None] | None = None,
 ) -> dict:
     """Follow a LakeTable's changelog as a stream of interval batches — the
     engine-native form of the reference's re-published normalized live
@@ -259,6 +260,23 @@ def follow_changes(
     schema; under additive evolution a consumer comparing across batches
     conforms to the final schema (absent column = NULL).
 
+    Maintenance commits compose: a pure compaction / bin-pack / z-order
+    rewrite moves the head without changing stored rows, so the interval
+    delivers an EMPTY batch (``changes``'s storage-content diff) and the
+    cursor advances past it — the tail never wedges on, or double-counts,
+    a maintenance epoch.  A ``gc_tombstones`` sweep IS a storage change
+    (tombstone rows leave) and is delivered as such — the documented
+    storage-level contract.
+
+    Snapshot expiry past the cursor (the follower was down longer than
+    the source's retention) makes the interval unreadable.  Default:
+    raise a clear error naming the resync requirement — silently jumping
+    the cursor would drop changes.  ``on_expired(table, cursor, head)``
+    opts into recovery: the hook must resync the consumer to the
+    source's CURRENT state (e.g. a mart full rebuild —
+    :func:`rebuild_agg_mart`'s role), after which the cursor is
+    persisted at ``head`` and the tail resumes incrementally.
+
     Scale shape: each poll is one manifest-head read (O(1) metadata); each
     batch costs O(changed buckets) like any ``changes`` read — the
     follower never rescans the table.  Stops after ``max_batches``
@@ -277,8 +295,72 @@ def follow_changes(
                 time.sleep(poll_interval_s)
             continue
         idle = 0
-        ch = table.changes(cursor, head)
-        process(ch, cursor, head)
+        try:
+            ch = table.changes(cursor, head)
+        except FileNotFoundError as e:
+            if on_expired is None:
+                raise RuntimeError(
+                    f"follow_changes: snapshot v{cursor} was expired while "
+                    f"the follower was down — the interval ({cursor}, "
+                    f"{head}] cannot be read incrementally. Resync the "
+                    "consumer from the source's current state and restart "
+                    "the cursor at head (or pass on_expired= to do it "
+                    "in-loop)."
+                ) from e
+            on_expired(table, cursor, head)
+        else:
+            process(ch, cursor, head)
         _write_follow_cursor(cursor_path, head)
         batches += 1
     return {"batches": batches, "cursor": read_follow_cursor(cursor_path, start_version)}
+
+
+def make_changelog_sink(
+    spark, root: str, source: LakeTable, n_buckets: int | None = None,
+) -> LakeTable:
+    """Create (or open) the mirror sink for :func:`mirror_changes`: the
+    source's schema plus ``_change_type``, bucketed by the source's keys
+    so a downstream join back to the source is co-located."""
+    snap = source.current()
+    schema = T.StructType(
+        list(snap.schema.fields)
+        + [T.StructField("_change_type", T.StringType(), True)]
+    )
+    return LakeTable.get_or_create(
+        spark, root, schema=schema, key_cols=list(snap.key_cols),
+        n_buckets=n_buckets or snap.n_buckets,
+    )
+
+
+def mirror_changes(
+    source: LakeTable,
+    sink: LakeTable,
+    cursor_path: str,
+    start_version: int = 0,
+    max_batches: int | None = None,
+    idle_polls: int = 1,
+    poll_interval_s: float = 0.0,
+) -> dict:
+    """Tail the source's changelog into an append-only LakeTable mirror —
+    the engine-native form of the reference's re-published normalized
+    stream (``datalake/streaming.py:99-191``), with EXACTLY-ONCE rows:
+    each interval batch lands under commit key ``follow=<from>-<to>``,
+    so a crash between the sink commit and the cursor write replays the
+    interval into a commit-key no-op instead of duplicate rows (the
+    ``martsync=`` pattern, applied to :func:`follow_changes`' documented
+    at-least-once replays).
+
+    Empty intervals (pure maintenance on the source) append zero rows
+    but still record the commit key — the mirror's history stays an
+    exact interval chain.  Additive source schema evolution flows
+    through ``append``'s schema merge; earlier mirror rows read back
+    with NULLs in the new columns, the changelog contract."""
+
+    def _sink_batch(ch: DataFrame, from_v: int, to_v: int) -> None:
+        sink.append(ch, commit_key=f"follow={from_v}-{to_v}")
+
+    return follow_changes(
+        source, _sink_batch, cursor_path, start_version=start_version,
+        max_batches=max_batches, idle_polls=idle_polls,
+        poll_interval_s=poll_interval_s,
+    )
