@@ -2149,6 +2149,79 @@ FROM documents WHERE doc_id % 2 = 1
 
 
 # --------------------------------------------------------------------------
+# Engine changelog TAIL (follow/mirror, round-7): seed evens, mirror the
+# first interval, then delete victims + append small odds + run a pure
+# compaction, mirror the second interval, and REPLAY that interval from a
+# reset cursor (the crash-between-commit-and-cursor contract) — the
+# interval commit key must absorb the replay or the duplicate rows break
+# the hash.  The compaction must contribute ZERO change rows.  The mirror
+# table's full content is then deterministic and DuckDB derives it
+# directly from the input table.
+def q_lake_follow_mirror(spark, sf: str) -> DataFrame:
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.incremental import (
+        make_changelog_sink,
+        mirror_changes,
+    )
+    from ton_etl_spark.lake.maintenance import delete_where, rewrite_buckets
+    from ton_etl_spark.lake.table import LakeTable
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="lake_fm_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=docs.schema,
+            key_cols=["doc_id"], n_buckets=4, stats_cols=["doc_id"],
+            target_file_rows=128,
+        )
+        v0 = t.current_version()
+        cursor = os.path.join(tmp, "cursor.json")
+        sink = make_changelog_sink(spark, os.path.join(tmp, "mirror"), t)
+
+        t.append(docs.where(F.col("doc_id") % 2 == 0), commit_key="seed")
+        mirror_changes(t, sink, cursor, start_version=v0)
+        v1 = t.current_version()
+
+        delete_where(t, where_in={"doc_id": _FM_VICTIMS}, commit_key="del")
+        t.append(
+            docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 50)),
+            commit_key="late",
+        )
+        rewrite_buckets(t, commit_key="compact")  # zero change rows
+        mirror_changes(t, sink, cursor, start_version=v0)
+
+        # crash replay: the cursor write was "lost" — same interval, same
+        # commit key, so the sink append must be a row-level no-op
+        with open(cursor, "w") as fh:
+            _json.dump({"version": v1}, fh)
+        mirror_changes(t, sink, cursor, start_version=v0)
+
+        out = sink.read().select(
+            "doc_id", F.md5(F.col("text")).alias("text_md5"), "_change_type"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_FM_VICTIMS = [2, 4, 8, 16, 32]  # all even: inside the seeded subset
+
+SQL_LAKE_FOLLOW_MIRROR = f"""
+SELECT doc_id, md5(text) AS text_md5, 'insert' AS _change_type
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, md5(text) AS text_md5, 'delete' AS _change_type
+FROM documents WHERE doc_id IN ({", ".join(str(v) for v in _FM_VICTIMS)})
+UNION ALL
+SELECT doc_id, md5(text) AS text_md5, 'insert' AS _change_type
+FROM documents WHERE doc_id % 2 = 1 AND doc_id < 50
+"""
+
+
+# --------------------------------------------------------------------------
 # 50. Segment-level (CCNet line-dedup shape) boilerplate removal — strip
 #     every 3-word segment occurring in >= 3 distinct documents, re-emit
 #     the cleaned text.  Hash-gated end to end: the oracle re-derives the
@@ -2322,6 +2395,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_changes_diff": q_lake_changes_diff,
     "lake_time_travel": q_lake_time_travel,
     "lake_widen_rebucket": q_lake_widen_rebucket,
+    "lake_follow_mirror": q_lake_follow_mirror,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2454,6 +2528,7 @@ ORACLES: dict[str, str] = {
     "lake_changes_diff": SQL_LAKE_CHANGES,
     "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
     "lake_widen_rebucket": SQL_LAKE_WIDEN_REBUCKET,
+    "lake_follow_mirror": SQL_LAKE_FOLLOW_MIRROR,
     "media_features": SQL_MEDIA_FEATURES,
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL,
 }
