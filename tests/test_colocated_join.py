@@ -1,0 +1,191 @@
+"""Storage-partitioned join (lake/join.py): zero-shuffle equi-join of
+co-bucketed LakeTables must equal a plain Spark join on the same frames —
+including NULL-key semantics, many-to-many keys, schema evolution, and
+type widening — with NO Exchange in the physical plan."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ton_etl_spark.lake.join import colocated_join
+from ton_etl_spark.lake.table import LakeTable
+
+
+def _pair(spark, tmp_path, n_buckets=8):
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id", "concat('d', id) AS text"
+    )
+    embs = spark.range(250).selectExpr(
+        "id AS doc_id",
+        "array(cast(id AS float), cast(id % 7 AS float)) AS emb",
+        "cast(id % 3 AS int) AS grp",
+    )
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=docs.schema,
+                         key_cols=["doc_id"], n_buckets=n_buckets)
+    r = LakeTable.create(spark, str(tmp_path / "r"), schema=embs.schema,
+                         key_cols=["doc_id"], n_buckets=n_buckets)
+    l.append(docs, commit_key="seed")
+    r.append(embs, commit_key="seed")
+    return l, r
+
+
+def _rows(df):
+    def norm(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return sorted(
+        (tuple(norm(v) for v in row) for row in df.collect()), key=repr
+    )
+
+
+def test_colocated_join_equals_spark_join_and_never_shuffles(spark, tmp_path):
+    l, r = _pair(spark, tmp_path)
+    for how in ("inner", "left"):
+        got = colocated_join(l, r, how=how)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{how} join shuffled:\n{plan}"
+        assert "MapInArrow" in plan
+        want = l.read().join(r.read(), "doc_id", how)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+def test_colocated_join_null_keys_and_duplicates(spark, tmp_path):
+    """SQL semantics under the adversarial cases: NULL keys match nothing
+    (inner) / survive unmatched (left); duplicate keys on both sides
+    produce the full many-to-many cross product."""
+    ldata = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "n1"), (2, "c"), (7, "x")],
+        "k long, lv string",
+    )
+    rdata = spark.createDataFrame(
+        [(1, "p"), (1, "q"), (None, "n2"), (2, "r")], "k long, rv string"
+    )
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=ldata.schema,
+                         key_cols=["k"], n_buckets=4)
+    r = LakeTable.create(spark, str(tmp_path / "r"), schema=rdata.schema,
+                         key_cols=["k"], n_buckets=4)
+    l.append(ldata, commit_key="s")
+    r.append(rdata, commit_key="s")
+    for how in ("inner", "left"):
+        got = colocated_join(l, r, how=how)
+        want = l.read().join(r.read(), "k", how)
+        assert _rows(got.select(*want.columns)) == _rows(want), how
+    # the k=1 block really is many-to-many: 2 x 2
+    assert colocated_join(l, r).where("k = 1").count() == 4
+
+
+def test_colocated_join_schema_evolution_and_widening(spark, tmp_path):
+    """Old files missing a late-added column yield typed NULLs, and an
+    int->long widened column casts per file — the same contract as
+    LakeTable.read, enforced inside the Arrow kernel."""
+    base = spark.createDataFrame([(i, i * 10) for i in range(100)],
+                                 "k long, v int")
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=base.schema,
+                         key_cols=["k"], n_buckets=4, type_widening=True)
+    l.append(base, commit_key="old-era")
+    evolved = spark.createDataFrame(
+        [(i, i * 10_000_000_000, f"s{i}") for i in range(100, 160)],
+        "k long, v long, extra string",
+    )
+    l.append(evolved, commit_key="new-era")  # widens v, adds extra
+    rdata = spark.range(160).selectExpr("id AS k", "id % 5 AS tag")
+    r = LakeTable.create(spark, str(tmp_path / "r"), schema=rdata.schema,
+                         key_cols=["k"], n_buckets=4)
+    r.append(rdata, commit_key="s")
+    got = colocated_join(l, r)
+    want = l.read().join(r.read(), "k")
+    assert got.schema["v"].dataType == T.LongType()
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    # old-era rows carry NULL extra, new-era the real value
+    assert got.where("k < 100 AND extra IS NULL").count() == 100
+    assert got.where("k >= 100 AND extra IS NOT NULL").count() == 60
+
+
+def test_colocated_join_column_selection_prunes_and_errors(spark, tmp_path):
+    l, r = _pair(spark, tmp_path)
+    out = colocated_join(l, r, right_columns=["grp"])
+    assert out.columns == ["doc_id", "text", "grp"]
+    want = l.read().join(r.read().select("doc_id", "grp"), "doc_id")
+    assert _rows(out) == _rows(want)
+    with pytest.raises(ValueError, match="not a right payload column"):
+        colocated_join(l, r, right_columns=["doc_id"])
+    with pytest.raises(ValueError, match="not a left payload column"):
+        colocated_join(l, r, left_columns=["nope"])
+
+
+def test_colocated_join_payload_overlap_errors(spark, tmp_path):
+    d = spark.range(10).selectExpr("id AS k", "id AS same")
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=d.schema,
+                         key_cols=["k"], n_buckets=2)
+    r = LakeTable.create(spark, str(tmp_path / "r"), schema=d.schema,
+                         key_cols=["k"], n_buckets=2)
+    l.append(d, commit_key="s")
+    r.append(d, commit_key="s")
+    with pytest.raises(ValueError, match="both sides"):
+        colocated_join(l, r)
+    out = colocated_join(l, r, right_columns=[])
+    assert out.columns == ["k", "same"] and out.count() == 10
+
+
+def test_colocated_join_layout_mismatch_errors(spark, tmp_path):
+    d = spark.range(10).selectExpr("id AS k", "id AS v")
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=d.schema,
+                         key_cols=["k"], n_buckets=4)
+    r8 = LakeTable.create(spark, str(tmp_path / "r8"), schema=d.schema,
+                          key_cols=["k"], n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets differ"):
+        colocated_join(l, r8)
+    rk = LakeTable.create(
+        spark, str(tmp_path / "rk"),
+        schema=spark.range(1).selectExpr("id AS v", "id AS k").schema,
+        key_cols=["v"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="key_cols differ"):
+        colocated_join(l, rk)
+    rt = LakeTable.create(
+        spark, str(tmp_path / "rt"),
+        schema=spark.range(1).selectExpr("cast(id AS string) AS k").schema,
+        key_cols=["k"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="types differ"):
+        colocated_join(l, rt)
+
+
+def test_colocated_join_refuses_raw_cdc_unless_opted_in(spark, tmp_path):
+    from ton_etl_spark.cdc.apply import apply_cdc_batch, make_sequences_table
+    from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
+
+    t = make_sequences_table(spark, str(tmp_path / "cdc"), n_buckets=4)
+    apply_cdc_batch(t, spark.createDataFrame(
+        [("k1", "c", 10, 10, [1], 1, "web")], schema=CDC_EVENT_SCHEMA
+    ), epoch=0)
+    d = spark.createDataFrame([("k1", 7)], "doc_id string, x long")
+    r = LakeTable.create(spark, str(tmp_path / "dim"), schema=d.schema,
+                         key_cols=["doc_id"], n_buckets=4)
+    r.append(d, commit_key="s")
+    with pytest.raises(ValueError, match="live state"):
+        colocated_join(t, r)
+    assert colocated_join(t, r, allow_cdc_raw=True).count() == 1
+
+
+def test_colocated_join_empty_sides_and_version_pinning(spark, tmp_path):
+    d = spark.range(50).selectExpr("id AS k", "id AS v")
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=d.schema,
+                         key_cols=["k"], n_buckets=4)
+    r = LakeTable.create(
+        spark, str(tmp_path / "r"),
+        schema=spark.range(1).selectExpr("id AS k", "id AS w").schema,
+        key_cols=["k"], n_buckets=4,
+    )
+    l.append(d, commit_key="s")
+    # right empty: inner -> 0 rows, left -> all left rows with NULL w
+    assert colocated_join(l, r).count() == 0
+    lo = colocated_join(l, r, how="left")
+    assert lo.count() == 50 and lo.where("w IS NULL").count() == 50
+    v_empty = r.current_version()
+    r.append(spark.range(20).selectExpr("id AS k", "id*2 AS w"),
+             commit_key="late")
+    assert colocated_join(l, r).count() == 20
+    # version pinning reads the co-bucketed PAST
+    assert colocated_join(l, r, right_version=v_empty).count() == 0

@@ -1,0 +1,267 @@
+"""Storage-partitioned (co-located) join between two LakeTables.
+
+Two tables bucketed by the SAME key columns, bucket count, and bucket
+function hold matching keys in matching buckets — so an equi-join on the
+keys never needs to move a row: bucket i of the left joins bucket i of
+the right, independently of every other bucket.  A plain Spark join
+cannot see that (the parquet files carry no partitioning Spark trusts)
+and plans ``Exchange hashpartitioning`` on BOTH sides — at the 100 TB
+operating point that shuffle of two full tables IS the query cost.
+
+``colocated_join`` is the Iceberg storage-partitioned-join role for this
+format: the driver pairs up the two manifests' per-bucket file lists
+(metadata only), and one ``mapInArrow`` task per bucket reads both
+sides' files with pyarrow and hash-joins them in Arrow — ZERO Exchange
+in the physical plan (plan-locked in tests), data moves only
+filesystem -> task.  The write side of the same idea is ``bucket_of``
+== ``HashPartitioning`` (lake/table.py:128-137); this is the read side.
+
+Semantics match Spark/ANSI SQL joins: NULL keys never match (Arrow's
+hash join implements SQL null semantics; verified in tests against a
+Spark join on identical frames).  Additive schema evolution and type
+widening are honored per file exactly like ``LakeTable.read`` (absent
+column -> typed NULL, old narrow values cast to the widened type).
+
+List/struct payload columns ride through a surrogate-index join (Arrow's
+hash join rejects nested non-key columns): the join runs on slim
+(keys + row-index) tables, then payloads are gathered by ``take`` —
+null right indices from a left join gather as NULL rows.
+
+Scale shape: one task per bucket; a task's memory is one bucket's
+selected columns of both sides (the same bound every bucket-level
+maintenance op already assumes — ``n_buckets`` is sized so a bucket
+fits an executor).  Column pruning happens at the pyarrow reader, so
+``left_columns``/``right_columns`` bound the I/O and the memory, not
+just the output width.
+
+Reference analog: the per-key enrichment SELECT-JOINs the reference's
+parsers issue against co-stored tables (``parser/db.py:112-256``),
+executed here as one distributed zero-shuffle pass instead of per-row
+lookups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ton_etl_spark.cdc.schema import LSN_COL, OP_COL
+from ton_etl_spark.lake.table import LakeTable
+
+__all__ = ["colocated_join"]
+
+
+def _is_cdc_schema(schema: T.StructType) -> bool:
+    names = set(schema.fieldNames())
+    return OP_COL in names and LSN_COL in names
+
+
+def colocated_join(
+    left: LakeTable,
+    right: LakeTable,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    left_version: int | None = None,
+    right_version: int | None = None,
+    allow_cdc_raw: bool = False,
+    batch_rows: int = 1 << 16,
+) -> DataFrame:
+    """Zero-shuffle equi-join of two co-bucketed LakeTables on their
+    shared key columns.  ``how`` ∈ {"inner", "left"}.
+
+    ``left_columns`` / ``right_columns`` select NON-KEY payload columns
+    (default: all of them); the key columns always appear once, typed
+    from the left schema.  Overlapping payload names raise — project or
+    rename first (there is no silent suffixing).
+
+    Layout preconditions (checked loudly): identical ``key_cols`` (same
+    order — the bucket hash is order-sensitive), identical ``n_buckets``,
+    identical key column TYPES (a long 5 and a string "5" hash to
+    different buckets — equality at the value level is not enough), and
+    the library's bucket function on both sides.  Tables with a
+    different layout need ``rebucket`` first, or a plain Spark join.
+
+    CDC tables (both ``op`` and ``lsn`` present) hold MULTIPLE stored
+    versions per key plus delete tombstones; joining raw storage rows is
+    almost never what a consumer wants, so it requires
+    ``allow_cdc_raw=True`` — join the LWW live state via
+    ``read_state``/a mart instead (a plain shuffle join), or snapshot
+    the live state into a plain table first.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lsnap = left.snapshot(left_version) if left_version is not None else left.current()
+    rsnap = (
+        right.snapshot(right_version) if right_version is not None else right.current()
+    )
+    left.check_bucket_fn(lsnap)
+    right.check_bucket_fn(rsnap)
+    if lsnap.key_cols != rsnap.key_cols:
+        raise ValueError(
+            f"key_cols differ (order matters to the bucket hash): "
+            f"{lsnap.key_cols} vs {rsnap.key_cols}"
+        )
+    if lsnap.n_buckets != rsnap.n_buckets:
+        raise ValueError(
+            f"n_buckets differ: {lsnap.n_buckets} vs {rsnap.n_buckets} — "
+            "rebucket one side or use a plain join"
+        )
+    keys = list(lsnap.key_cols)
+    ltypes = {f.name: f.dataType for f in lsnap.schema.fields}
+    rtypes = {f.name: f.dataType for f in rsnap.schema.fields}
+    for k in keys:
+        if ltypes[k] != rtypes[k]:
+            raise ValueError(
+                f"key column {k!r} types differ ({ltypes[k].simpleString()} "
+                f"vs {rtypes[k].simpleString()}): same values hash to "
+                "different buckets under different types"
+            )
+    for side, snap in (("left", lsnap), ("right", rsnap)):
+        if _is_cdc_schema(snap.schema) and not allow_cdc_raw:
+            raise ValueError(
+                f"{side} table stores raw CDC rows (multiple versions per "
+                "key + tombstones); join its live state instead, or pass "
+                "allow_cdc_raw=True if you really mean storage rows"
+            )
+
+    lcols = (
+        list(left_columns)
+        if left_columns is not None
+        else [f.name for f in lsnap.schema.fields if f.name not in keys]
+    )
+    rcols = (
+        list(right_columns)
+        if right_columns is not None
+        else [f.name for f in rsnap.schema.fields if f.name not in keys]
+    )
+    for c in lcols:
+        if c not in ltypes or c in keys:
+            raise ValueError(f"left_columns: {c!r} is not a left payload column")
+    for c in rcols:
+        if c not in rtypes or c in keys:
+            raise ValueError(f"right_columns: {c!r} is not a right payload column")
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(
+            f"payload columns appear on both sides: {sorted(overlap)} — "
+            "select/rename via left_columns/right_columns"
+        )
+
+    out_schema = T.StructType(
+        [T.StructField(k, ltypes[k], True) for k in keys]
+        + [T.StructField(c, ltypes[c], True) for c in lcols]
+        + [T.StructField(c, rtypes[c], True) for c in rcols]
+    )
+    l_read = T.StructType([T.StructField(c, ltypes[c], True) for c in keys + lcols])
+    r_read = T.StructType([T.StructField(c, rtypes[c], True) for c in keys + rcols])
+
+    # metadata only: per-bucket absolute file lists from both manifests
+    rows = []
+    for b in range(lsnap.n_buckets):
+        lf = [os.path.join(left.root, f.path) for f in lsnap.files_for([b])]
+        rf = [os.path.join(right.root, f.path) for f in rsnap.files_for([b])]
+        if not lf:
+            continue  # no left rows: contributes nothing to inner OR left
+        if not rf and how == "inner":
+            continue
+        rows.append((b, json.dumps(lf), json.dumps(rf)))
+    spark = left.spark
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+
+    # one RDD slice per surviving bucket => one mapInArrow task per bucket,
+    # and the plan stays Exchange-free (ExistingRDD -> MapInArrow)
+    src = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=len(rows)),
+        "bucket int, lf string, rf string",
+    )
+    kernel = _make_kernel(l_read, r_read, keys, lcols, rcols, how, batch_rows)
+    return src.mapInArrow(kernel, out_schema)
+
+
+def _make_kernel(
+    l_read: T.StructType,
+    r_read: T.StructType,
+    keys: list[str],
+    lcols: list[str],
+    rcols: list[str],
+    how: str,
+    batch_rows: int,
+):
+    """Build the per-bucket Arrow join kernel.  Captures only plain
+    picklable values (Spark StructTypes, name lists); every pyarrow
+    object is constructed inside the task."""
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        def arrow_schema(st: T.StructType) -> "pa.Schema":
+            return pa.schema([(f.name, to_arrow_type(f.dataType)) for f in st.fields])
+
+        l_schema, r_schema = arrow_schema(l_read), arrow_schema(r_read)
+
+        def read_conform(paths: list[str], schema: "pa.Schema") -> "pa.Table":
+            """Concat the bucket's files conformed to the current schema:
+            absent column -> typed NULLs, present column -> cast to the
+            (possibly widened) target type; unselected columns never
+            leave the parquet reader (column pruning at I/O level)."""
+            if not paths:
+                return schema.empty_table()
+            parts = []
+            for p in paths:
+                pf = pq.ParquetFile(p)
+                have = set(pf.schema_arrow.names)
+                want = [n for n in schema.names if n in have]
+                t = pf.read(columns=want)
+                arrays = []
+                for field in schema:
+                    if field.name in have:
+                        arrays.append(pc.cast(t.column(field.name), field.type))
+                    else:
+                        arrays.append(pa.nulls(t.num_rows, field.type))
+                parts.append(pa.table(arrays, schema=schema))
+            return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+        def gather(table: "pa.Table", cols: list[str], idx) -> list:
+            # take with null indices yields typed NULLs — exactly the
+            # left-outer contract for unmatched right payloads
+            return [pc.take(table.column(c), idx) for c in cols]
+
+        for rb in batches:
+            meta = rb.to_pylist()
+            for row in meta:
+                lt = read_conform(json.loads(row["lf"]), l_schema)
+                rt = read_conform(json.loads(row["rf"]), r_schema)
+                if lt.num_rows == 0 or (rt.num_rows == 0 and join_type == "inner"):
+                    continue
+                # surrogate-index join: Arrow's hash join rejects nested
+                # payload columns, so join slim (keys + index) tables and
+                # gather payloads afterwards
+                li = pa.array(range(lt.num_rows), pa.int64())
+                ri = pa.array(range(rt.num_rows), pa.int64())
+                lslim = lt.select(keys).append_column("__li", li)
+                rslim = rt.select(keys).append_column("__ri", ri)
+                j = lslim.join(
+                    rslim, keys=keys, join_type=join_type,
+                    left_suffix="_l", right_suffix="_r",
+                )
+                if j.num_rows == 0:
+                    continue
+                jli, jri = j.column("__li"), j.column("__ri")
+                out = pa.table(
+                    [pc.take(lt.column(k), jli) for k in keys]
+                    + gather(lt, lcols, jli)
+                    + gather(rt, rcols, jri),
+                    names=keys + lcols + rcols,
+                )
+                yield from out.to_batches(max_chunksize=batch_rows)
+
+    return kernel

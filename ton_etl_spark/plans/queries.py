@@ -2209,6 +2209,65 @@ def q_lake_follow_mirror(spark, sf: str) -> DataFrame:
 
 _FM_VICTIMS = [2, 4, 8, 16, 32]  # all even: inside the seeded subset
 
+
+# --------------------------------------------------------------------------
+# Engine storage-partitioned join (round 7): load documents and embeddings
+# into two LakeTables co-bucketed by doc_id, join them with ZERO exchange
+# (lake/join.py colocated_join — one Arrow task per bucket pairing both
+# manifests' files), and reduce the embedding to a deterministic scalar.
+# Embeddings cover only part of the docs, so the left join exercises the
+# unmatched path too; DuckDB derives the identical join from the inputs.
+def q_lake_colocated_join(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.join import colocated_join
+    from ton_etl_spark.lake.table import LakeTable
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    )
+    tmp = tempfile.mkdtemp(prefix="lake_cj_")
+    try:
+        lt = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=docs.schema,
+            key_cols=["doc_id"], n_buckets=8,
+        )
+        rt = LakeTable.create(
+            spark, os.path.join(tmp, "embs"), schema=embs.schema,
+            key_cols=["doc_id"], n_buckets=8,
+        )
+        lt.append(docs, commit_key="seed")
+        rt.append(embs, commit_key="seed")
+        joined = colocated_join(lt, rt, how="left")
+        out = joined.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+            F.col("label"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                ),
+                4,
+            ).alias("emb_sq_norm"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_LAKE_COLOCATED_JOIN = """
+SELECT d.doc_id,
+       md5(d.text) AS text_md5,
+       e.label,
+       round(list_sum(list_transform(
+           e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
+         AS emb_sq_norm
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
 SQL_LAKE_FOLLOW_MIRROR = f"""
 SELECT doc_id, md5(text) AS text_md5, 'insert' AS _change_type
 FROM documents WHERE doc_id % 2 = 0
@@ -2396,6 +2455,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_time_travel": q_lake_time_travel,
     "lake_widen_rebucket": q_lake_widen_rebucket,
     "lake_follow_mirror": q_lake_follow_mirror,
+    "lake_colocated_join": q_lake_colocated_join,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2427,10 +2487,13 @@ _PINNED = [
     "purchase_installments",
     "debezium_money_rollup",
     "trace_2hop",
+    # flagship multimodal entry: permanently visible like pii_redaction
+    # (round-6 ask #2 requires its hard CORRECTNESS row)
+    "media_features",
 ]
 
 _DRIVER_CAP = 50
-_ORACLE_SLOTS = 28  # rotating oracle-backed slots
+_ORACLE_SLOTS = 27  # rotating oracle-backed slots
 _ROWS_ONLY_SLOTS = _DRIVER_CAP - len(_PINNED) - _ORACLE_SLOTS  # = 2
 _BASE_ROUND = 7  # round the rotation was introduced
 
@@ -2529,6 +2592,7 @@ ORACLES: dict[str, str] = {
     "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
     "lake_widen_rebucket": SQL_LAKE_WIDEN_REBUCKET,
     "lake_follow_mirror": SQL_LAKE_FOLLOW_MIRROR,
+    "lake_colocated_join": SQL_LAKE_COLOCATED_JOIN,
     "media_features": SQL_MEDIA_FEATURES,
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL,
 }
