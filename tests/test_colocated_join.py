@@ -152,21 +152,57 @@ def test_colocated_join_layout_mismatch_errors(spark, tmp_path):
         colocated_join(l, rt)
 
 
-def test_colocated_join_refuses_raw_cdc_unless_opted_in(spark, tmp_path):
-    from ton_etl_spark.cdc.apply import apply_cdc_batch, make_sequences_table
-    from ton_etl_spark.cdc.schema import CDC_EVENT_SCHEMA
+def test_colocated_join_cdc_defaults_to_live_state(spark, tmp_path):
+    """A CDC side joins as its LIVE state by default — the same view
+    read_state and the lookup CLI answer: tombstoned keys vanish (inner)
+    or miss (left), op='d' rows never reach the output — and the result
+    equals read_state ⋈ dim on a real replayed log.  cdc='raw' opts back
+    into storage rows (tombstones included)."""
+    from ton_etl_spark.cdc.apply import (
+        apply_cdc_batch,
+        make_sequences_table,
+        read_state,
+    )
+    from ton_etl_spark.cdc.generator import generate_cdc_log, write_cdc_log
 
     t = make_sequences_table(spark, str(tmp_path / "cdc"), n_buckets=4)
-    apply_cdc_batch(t, spark.createDataFrame(
-        [("k1", "c", 10, 10, [1], 1, "web")], schema=CDC_EVENT_SCHEMA
-    ), epoch=0)
-    d = spark.createDataFrame([("k1", 7)], "doc_id string, x long")
-    r = LakeTable.create(spark, str(tmp_path / "dim"), schema=d.schema,
+    dirs = write_cdc_log(
+        generate_cdc_log(spark, 1500, seed=83), str(tmp_path / "log"),
+        n_batches=3, dup_pct=10, seed=83,
+    )
+    for epoch, d in enumerate(dirs):
+        apply_cdc_batch(t, spark.read.parquet(d), epoch=epoch)
+    state = read_state(t)
+    assert state.count() < t.read().count(), "log produced no tombstones"
+
+    dim = state.select("doc_id").withColumn(
+        "dim_tag", F.concat(F.lit("dim-"), F.col("doc_id"))
+    )
+    # dim covers live keys AND some tombstoned ones
+    dead = t.read().where("op = 'd'").select("doc_id").limit(5)
+    dimdf = dim.unionByName(
+        dead.withColumn("dim_tag", F.lit("dim-dead"))
+    ).distinct()
+    r = LakeTable.create(spark, str(tmp_path / "dim"), schema=dimdf.schema,
                          key_cols=["doc_id"], n_buckets=4)
-    r.append(d, commit_key="s")
-    with pytest.raises(ValueError, match="live state"):
-        colocated_join(t, r)
-    assert colocated_join(t, r, allow_cdc_raw=True).count() == 1
+    r.append(dimdf, commit_key="s")
+
+    got = colocated_join(t, r, left_columns=["n_tok"])
+    want = state.select("doc_id", "n_tok").join(
+        r.read().select("doc_id", "dim_tag"), "doc_id"
+    )
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    assert "op" not in got.columns  # the internal filter column never leaks
+
+    raw = colocated_join(t, r, left_columns=["n_tok", "op"], cdc="raw")
+    want_raw = t.read().select("doc_id", "n_tok", "op").join(
+        r.read().select("doc_id", "dim_tag"), "doc_id"
+    )
+    assert _rows(raw.select(*want_raw.columns)) == _rows(want_raw)
+    assert raw.where("op = 'd'").count() > 0
+
+    with pytest.raises(ValueError, match="cdc must be"):
+        colocated_join(t, r, cdc="nope")
 
 
 def test_colocated_join_empty_sides_and_version_pinning(spark, tmp_path):

@@ -67,7 +67,7 @@ def colocated_join(
     right_columns: list[str] | None = None,
     left_version: int | None = None,
     right_version: int | None = None,
-    allow_cdc_raw: bool = False,
+    cdc: str = "live",
     batch_rows: int = 1 << 16,
 ) -> DataFrame:
     """Zero-shuffle equi-join of two co-bucketed LakeTables on their
@@ -85,15 +85,21 @@ def colocated_join(
     the library's bucket function on both sides.  Tables with a
     different layout need ``rebucket`` first, or a plain Spark join.
 
-    CDC tables (both ``op`` and ``lsn`` present) hold MULTIPLE stored
-    versions per key plus delete tombstones; joining raw storage rows is
-    almost never what a consumer wants, so it requires
-    ``allow_cdc_raw=True`` — join the LWW live state via
-    ``read_state``/a mart instead (a plain shuffle join), or snapshot
-    the live state into a plain table first.
+    ``cdc`` controls CDC sides (both ``op`` and ``lsn`` present — the
+    shared ``is_cdc_frame`` rule): ``"live"`` (default) joins the LIVE
+    STATE — tombstone rows (``op='d'``) are filtered inside the kernel,
+    the same default view ``read_state`` and the ``lookup`` CLI answer.
+    The LWW MERGE already stores at most one row per key (the write path
+    collapses versions — ``lake/merge.py``), so the filter alone yields
+    the live state on any merge-maintained table; a CDC-schema table fed
+    by plain ``append`` (a raw event log) still holds every version and
+    needs ``cdc="raw"``, which joins storage rows as stored.  Non-CDC
+    tables are unaffected by the flag.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if cdc not in ("live", "raw"):
+        raise ValueError(f"cdc must be 'live' or 'raw', got {cdc!r}")
     lsnap = left.snapshot(left_version) if left_version is not None else left.current()
     rsnap = (
         right.snapshot(right_version) if right_version is not None else right.current()
@@ -120,13 +126,8 @@ def colocated_join(
                 f"vs {rtypes[k].simpleString()}): same values hash to "
                 "different buckets under different types"
             )
-    for side, snap in (("left", lsnap), ("right", rsnap)):
-        if _is_cdc_schema(snap.schema) and not allow_cdc_raw:
-            raise ValueError(
-                f"{side} table stores raw CDC rows (multiple versions per "
-                "key + tombstones); join its live state instead, or pass "
-                "allow_cdc_raw=True if you really mean storage rows"
-            )
+    l_live = cdc == "live" and _is_cdc_schema(lsnap.schema)
+    r_live = cdc == "live" and _is_cdc_schema(rsnap.schema)
 
     lcols = (
         list(left_columns)
@@ -156,8 +157,16 @@ def colocated_join(
         + [T.StructField(c, ltypes[c], True) for c in lcols]
         + [T.StructField(c, rtypes[c], True) for c in rcols]
     )
-    l_read = T.StructType([T.StructField(c, ltypes[c], True) for c in keys + lcols])
-    r_read = T.StructType([T.StructField(c, rtypes[c], True) for c in keys + rcols])
+    # a live-filtered CDC side needs op in the scan even when the caller
+    # did not select it as payload; it never reaches the output
+    l_scan = keys + lcols + (
+        [OP_COL] if l_live and OP_COL not in keys + lcols else []
+    )
+    r_scan = keys + rcols + (
+        [OP_COL] if r_live and OP_COL not in keys + rcols else []
+    )
+    l_read = T.StructType([T.StructField(c, ltypes[c], True) for c in l_scan])
+    r_read = T.StructType([T.StructField(c, rtypes[c], True) for c in r_scan])
 
     # metadata only: per-bucket absolute file lists from both manifests
     rows = []
@@ -179,7 +188,9 @@ def colocated_join(
         spark.sparkContext.parallelize(rows, numSlices=len(rows)),
         "bucket int, lf string, rf string",
     )
-    kernel = _make_kernel(l_read, r_read, keys, lcols, rcols, how, batch_rows)
+    kernel = _make_kernel(
+        l_read, r_read, keys, lcols, rcols, how, batch_rows, l_live, r_live
+    )
     return src.mapInArrow(kernel, out_schema)
 
 
@@ -191,6 +202,8 @@ def _make_kernel(
     rcols: list[str],
     how: str,
     batch_rows: int,
+    l_live: bool = False,
+    r_live: bool = False,
 ):
     """Build the per-bucket Arrow join kernel.  Captures only plain
     picklable values (Spark StructTypes, name lists); every pyarrow
@@ -235,11 +248,20 @@ def _make_kernel(
             # left-outer contract for unmatched right payloads
             return [pc.take(table.column(c), idx) for c in cols]
 
+        def live(t: "pa.Table") -> "pa.Table":
+            # the ONE live-state rule (cdc/apply.live_state): op != 'd'
+            # keeps every live row (op is never NULL in a CDC frame)
+            return t.filter(pc.not_equal(t.column(OP_COL), "d"))
+
         for rb in batches:
             meta = rb.to_pylist()
             for row in meta:
                 lt = read_conform(json.loads(row["lf"]), l_schema)
                 rt = read_conform(json.loads(row["rf"]), r_schema)
+                if l_live:
+                    lt = live(lt)
+                if r_live:
+                    rt = live(rt)
                 if lt.num_rows == 0 or (rt.num_rows == 0 and join_type == "inner"):
                     continue
                 # surrogate-index join: Arrow's hash join rejects nested
