@@ -225,3 +225,57 @@ def test_colocated_join_empty_sides_and_version_pinning(spark, tmp_path):
     assert colocated_join(l, r).count() == 20
     # version pinning reads the co-bucketed PAST
     assert colocated_join(l, r, right_version=v_empty).count() == 0
+
+
+def test_colocated_join_where_pushdown_prunes_and_filters(spark, tmp_path):
+    """left_where/right_where: files outside the range are NEVER OPENED
+    (proved by corrupting them), the residual is exact, and right_where on
+    a LEFT join has ON-clause semantics (narrows matches, keeps every
+    left row) — the form a post-join WHERE cannot express."""
+    import os
+
+    left_df = spark.range(1000).selectExpr("id AS k", "id AS lsn",
+                                           "concat('l', id) AS lv")
+    right_df = spark.range(1000).selectExpr("id AS k", "id AS score",
+                                            "concat('r', id) AS rv")
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=left_df.schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["lsn"],
+                         sort_cols=["lsn"], target_file_rows=100)
+    r = LakeTable.create(spark, str(tmp_path / "r"), schema=right_df.schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["score"],
+                         sort_cols=["score"], target_file_rows=100)
+    l.append(left_df, commit_key="s")
+    r.append(right_df, commit_key="s")
+
+    # corrupt every file the predicates should skip — left keeps only
+    # lsn>=900 files (corrupt max<900), right keeps only score<=949
+    # files (corrupt min>949): if pruning ever opens one, the query
+    # itself fails
+    skipped = 0
+    for t, col, doomed in (
+        (l, "lsn", lambda b: b[1] < 900),
+        (r, "score", lambda b: b[0] > 949),
+    ):
+        for f in t.current().files:
+            if f.stats and col in f.stats and doomed(f.stats[col]):
+                with open(os.path.join(t.root, f.path), "wb") as fh:
+                    fh.write(b"corrupted - pruning must skip me")
+                skipped += 1
+    assert skipped >= 8
+
+    got = colocated_join(l, r, left_where={"lsn": (900, None)},
+                         right_where={"score": (None, 949)})
+    rows = sorted((x.k, x.lv, x.rv) for x in got.collect())
+    assert rows == [(i, f"l{i}", f"r{i}") for i in range(900, 950)]
+
+    # LEFT join + right_where = ON semantics: every left row in range
+    # survives; rows whose right match fell outside carry NULLs
+    lo = colocated_join(l, r, how="left", left_where={"lsn": (900, None)},
+                        right_where={"score": (None, 949)})
+    assert lo.count() == 100
+    assert lo.where("rv IS NULL").count() == 50
+    # and the predicate columns didn't leak into the output
+    assert set(lo.columns) == {"k", "lsn", "lv", "score", "rv"}
+
+    with pytest.raises(ValueError, match="left_where: not in schema"):
+        colocated_join(l, r, left_where={"nope": (1, 2)})

@@ -68,6 +68,8 @@ def colocated_join(
     left_version: int | None = None,
     right_version: int | None = None,
     cdc: str = "live",
+    left_where: dict | None = None,
+    right_where: dict | None = None,
     batch_rows: int = 1 << 16,
 ) -> DataFrame:
     """Zero-shuffle equi-join of two co-bucketed LakeTables on their
@@ -95,6 +97,19 @@ def colocated_join(
     by plain ``append`` (a raw event log) still holds every version and
     needs ``cdc="raw"``, which joins storage rows as stored.  Non-CDC
     tables are unaffected by the flag.
+
+    ``left_where`` / ``right_where`` push inclusive range predicates
+    (column -> (lo, hi), either bound None — ``read(where=)``'s
+    contract) into the join: files whose manifest [min, max] bounds
+    cannot intersect are never opened (``stats_cols`` skipping), and the
+    exact residual filter runs inside the Arrow kernel BEFORE the join.
+    That pre-join placement is the SQL ON-clause semantics — for a LEFT
+    join, ``right_where`` narrows which right rows can match while every
+    left row survives, which a post-join WHERE cannot express.  Joining
+    one day's / one LSN-span's slice of two co-bucketed tables therefore
+    reads O(matching files) of each and shuffles nothing.  Unknown
+    predicate columns raise (a silently ignored filter would return
+    wrong rows, unlike ``read`` where the residual covers it).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -157,22 +172,53 @@ def colocated_join(
         + [T.StructField(c, ltypes[c], True) for c in lcols]
         + [T.StructField(c, rtypes[c], True) for c in rcols]
     )
-    # a live-filtered CDC side needs op in the scan even when the caller
-    # did not select it as payload; it never reaches the output
-    l_scan = keys + lcols + (
-        [OP_COL] if l_live and OP_COL not in keys + lcols else []
+    from ton_etl_spark.lake.table import (
+        _conform_where_bounds,
+        _file_may_match,
+        _stats_encode,
     )
-    r_scan = keys + rcols + (
-        [OP_COL] if r_live and OP_COL not in keys + rcols else []
-    )
+
+    def prep_where(table, snap, where, side):
+        """Conform + tz-attach the bounds once; returns (filter_list for
+        the kernel, encoded bounds for file skipping)."""
+        if not where:
+            return [], {}
+        unknown = sorted(set(where) - set(snap.schema.fieldNames()))
+        if unknown:
+            raise ValueError(f"{side}_where: not in schema: {unknown}")
+        conformed = _conform_where_bounds(snap.schema, where)
+        tz = table._session_tz_bounds(conformed)
+        enc = {c: (_stats_encode(lo), _stats_encode(hi))
+               for c, (lo, hi) in tz.items()}
+        return [(c, lo, hi) for c, (lo, hi) in tz.items()], enc
+
+    l_filters, l_enc = prep_where(left, lsnap, left_where, "left")
+    r_filters, r_enc = prep_where(right, rsnap, right_where, "right")
+
+    # columns a side must SCAN beyond keys+payload: the live-state op
+    # filter and any predicate column not selected as payload; none of
+    # them reach the output
+    def scan_cols(payload, live, filters):
+        extra = [OP_COL] if live and OP_COL not in keys + payload else []
+        for c, _, _ in filters:
+            if c not in keys + payload + extra:
+                extra.append(c)
+        return keys + payload + extra
+
+    l_scan = scan_cols(lcols, l_live, l_filters)
+    r_scan = scan_cols(rcols, r_live, r_filters)
     l_read = T.StructType([T.StructField(c, ltypes[c], True) for c in l_scan])
     r_read = T.StructType([T.StructField(c, rtypes[c], True) for c in r_scan])
 
-    # metadata only: per-bucket absolute file lists from both manifests
+    # metadata only: per-bucket absolute file lists from both manifests,
+    # stats-skipped against the encoded bounds (optimization, never the
+    # filter — the kernel applies the exact residual)
     rows = []
     for b in range(lsnap.n_buckets):
-        lf = [os.path.join(left.root, f.path) for f in lsnap.files_for([b])]
-        rf = [os.path.join(right.root, f.path) for f in rsnap.files_for([b])]
+        lf = [os.path.join(left.root, f.path)
+              for f in lsnap.files_for([b]) if _file_may_match(f, l_enc)]
+        rf = [os.path.join(right.root, f.path)
+              for f in rsnap.files_for([b]) if _file_may_match(f, r_enc)]
         if not lf:
             continue  # no left rows: contributes nothing to inner OR left
         if not rf and how == "inner":
@@ -189,7 +235,8 @@ def colocated_join(
         "bucket int, lf string, rf string",
     )
     kernel = _make_kernel(
-        l_read, r_read, keys, lcols, rcols, how, batch_rows, l_live, r_live
+        l_read, r_read, keys, lcols, rcols, how, batch_rows, l_live, r_live,
+        l_filters, r_filters,
     )
     return src.mapInArrow(kernel, out_schema)
 
@@ -204,6 +251,8 @@ def _make_kernel(
     batch_rows: int,
     l_live: bool = False,
     r_live: bool = False,
+    l_filters: list | None = None,
+    r_filters: list | None = None,
 ):
     """Build the per-bucket Arrow join kernel.  Captures only plain
     picklable values (Spark StructTypes, name lists); every pyarrow
@@ -253,6 +302,18 @@ def _make_kernel(
             # keeps every live row (op is never NULL in a CDC frame)
             return t.filter(pc.not_equal(t.column(OP_COL), "d"))
 
+        def ranges(t: "pa.Table", filters: list) -> "pa.Table":
+            # residual range filter, pre-join (ON-clause placement);
+            # null comparisons are null => filtered out, matching the
+            # Spark residual in LakeTable.read
+            for col, lo, hi in filters:
+                typ = t.schema.field(col).type
+                if lo is not None:
+                    t = t.filter(pc.greater_equal(t.column(col), pa.scalar(lo, typ)))
+                if hi is not None:
+                    t = t.filter(pc.less_equal(t.column(col), pa.scalar(hi, typ)))
+            return t
+
         for rb in batches:
             meta = rb.to_pylist()
             for row in meta:
@@ -262,6 +323,10 @@ def _make_kernel(
                     lt = live(lt)
                 if r_live:
                     rt = live(rt)
+                if l_filters:
+                    lt = ranges(lt, l_filters)
+                if r_filters:
+                    rt = ranges(rt, r_filters)
                 if lt.num_rows == 0 or (rt.num_rows == 0 and join_type == "inner"):
                     continue
                 # surrogate-index join: Arrow's hash join rejects nested
