@@ -279,3 +279,20 @@ def test_colocated_join_where_pushdown_prunes_and_filters(spark, tmp_path):
 
     with pytest.raises(ValueError, match="left_where: not in schema"):
         colocated_join(l, r, left_where={"nope": (1, 2)})
+
+
+def test_colocated_join_streamed_probe_chunks(spark, tmp_path):
+    """The probe (left) side streams in batch_rows-sized chunks against a
+    resident build side — forcing many tiny chunks must produce exactly
+    the whole-side result for inner AND left (every left row lives in one
+    chunk and sees the full build side)."""
+    l, r = _pair(spark, tmp_path, n_buckets=2)
+    for how in ("inner", "left"):
+        tiny = colocated_join(l, r, how=how, batch_rows=7)
+        want = l.read().join(r.read(), "doc_id", how)
+        assert _rows(tiny.select(*want.columns)) == _rows(want), how
+    # and with a predicate riding the streamed side
+    tiny = colocated_join(l, r, left_where={"doc_id": (100, 199)},
+                          batch_rows=7)
+    want = l.read(where={"doc_id": (100, 199)}).join(r.read(), "doc_id")
+    assert _rows(tiny.select(*want.columns)) == _rows(want)

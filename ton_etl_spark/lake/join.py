@@ -27,12 +27,16 @@ hash join rejects nested non-key columns): the join runs on slim
 (keys + row-index) tables, then payloads are gathered by ``take`` —
 null right indices from a left join gather as NULL rows.
 
-Scale shape: one task per bucket; a task's memory is one bucket's
-selected columns of both sides (the same bound every bucket-level
-maintenance op already assumes — ``n_buckets`` is sized so a bucket
-fits an executor).  Column pruning happens at the pyarrow reader, so
-``left_columns``/``right_columns`` bound the I/O and the memory, not
-just the output width.
+Scale shape: one task per bucket.  The RIGHT side is the build side and
+is resident per task; the LEFT side STREAMS through the join in
+row-group-sized chunks (each chunk joins independently against the full
+right bucket — correct for inner and left-outer alike, since every left
+row appears in exactly one chunk and sees every potential match).  Task
+memory is therefore O(right bucket + one left chunk): put the smaller
+table on the right, and a skewed giant bucket on the left costs I/O,
+not memory.  Column pruning happens at the pyarrow reader, so
+``left_columns``/``right_columns`` bound the I/O and the build size,
+not just the output width.
 
 Reference analog: the per-key enrichment SELECT-JOINs the reference's
 parsers issue against co-stored tables (``parser/db.py:112-256``),
@@ -270,11 +274,22 @@ def _make_kernel(
 
         l_schema, r_schema = arrow_schema(l_read), arrow_schema(r_read)
 
+        def conform(t: "pa.Table", have: set, schema: "pa.Schema") -> "pa.Table":
+            """Conform one file's (or chunk's) columns to the current
+            schema: absent column -> typed NULLs, present column -> cast
+            to the (possibly widened) target type."""
+            arrays = []
+            for field in schema:
+                if field.name in have:
+                    arrays.append(pc.cast(t.column(field.name), field.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, field.type))
+            return pa.table(arrays, schema=schema)
+
         def read_conform(paths: list[str], schema: "pa.Schema") -> "pa.Table":
-            """Concat the bucket's files conformed to the current schema:
-            absent column -> typed NULLs, present column -> cast to the
-            (possibly widened) target type; unselected columns never
-            leave the parquet reader (column pruning at I/O level)."""
+            """Whole-side read (the resident BUILD side).  Unselected
+            columns never leave the parquet reader (column pruning at
+            I/O level)."""
             if not paths:
                 return schema.empty_table()
             parts = []
@@ -282,15 +297,19 @@ def _make_kernel(
                 pf = pq.ParquetFile(p)
                 have = set(pf.schema_arrow.names)
                 want = [n for n in schema.names if n in have]
-                t = pf.read(columns=want)
-                arrays = []
-                for field in schema:
-                    if field.name in have:
-                        arrays.append(pc.cast(t.column(field.name), field.type))
-                    else:
-                        arrays.append(pa.nulls(t.num_rows, field.type))
-                parts.append(pa.table(arrays, schema=schema))
+                parts.append(conform(pf.read(columns=want), have, schema))
             return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+        def stream_conform(paths: list[str], schema: "pa.Schema", rows: int):
+            """Chunked read (the streamed PROBE side): row-group-sized
+            batches, each conformed independently — a skewed giant
+            bucket never materializes whole."""
+            for p in paths:
+                pf = pq.ParquetFile(p)
+                have = set(pf.schema_arrow.names)
+                want = [n for n in schema.names if n in have]
+                for batch in pf.iter_batches(batch_size=rows, columns=want):
+                    yield conform(pa.Table.from_batches([batch]), have, schema)
 
         def gather(table: "pa.Table", cols: list[str], idx) -> list:
             # take with null indices yields typed NULLs — exactly the
@@ -314,41 +333,49 @@ def _make_kernel(
                     t = t.filter(pc.less_equal(t.column(col), pa.scalar(hi, typ)))
             return t
 
+        def join_chunk(lt: "pa.Table", rslim: "pa.Table", rt: "pa.Table"):
+            """Join one probe chunk against the resident build side via
+            the surrogate-index join (Arrow's hash join rejects nested
+            payload columns): join slim (keys + index) tables, then
+            gather payloads by take."""
+            li = pa.array(range(lt.num_rows), pa.int64())
+            lslim = lt.select(keys).append_column("__li", li)
+            j = lslim.join(
+                rslim, keys=keys, join_type=join_type,
+                left_suffix="_l", right_suffix="_r",
+            )
+            if j.num_rows == 0:
+                return
+            jli, jri = j.column("__li"), j.column("__ri")
+            out = pa.table(
+                [pc.take(lt.column(k), jli) for k in keys]
+                + gather(lt, lcols, jli)
+                + gather(rt, rcols, jri),
+                names=keys + lcols + rcols,
+            )
+            yield from out.to_batches(max_chunksize=batch_rows)
+
         for rb in batches:
             meta = rb.to_pylist()
             for row in meta:
-                lt = read_conform(json.loads(row["lf"]), l_schema)
                 rt = read_conform(json.loads(row["rf"]), r_schema)
-                if l_live:
-                    lt = live(lt)
                 if r_live:
                     rt = live(rt)
-                if l_filters:
-                    lt = ranges(lt, l_filters)
                 if r_filters:
                     rt = ranges(rt, r_filters)
-                if lt.num_rows == 0 or (rt.num_rows == 0 and join_type == "inner"):
+                if rt.num_rows == 0 and join_type == "inner":
                     continue
-                # surrogate-index join: Arrow's hash join rejects nested
-                # payload columns, so join slim (keys + index) tables and
-                # gather payloads afterwards
-                li = pa.array(range(lt.num_rows), pa.int64())
                 ri = pa.array(range(rt.num_rows), pa.int64())
-                lslim = lt.select(keys).append_column("__li", li)
                 rslim = rt.select(keys).append_column("__ri", ri)
-                j = lslim.join(
-                    rslim, keys=keys, join_type=join_type,
-                    left_suffix="_l", right_suffix="_r",
-                )
-                if j.num_rows == 0:
-                    continue
-                jli, jri = j.column("__li"), j.column("__ri")
-                out = pa.table(
-                    [pc.take(lt.column(k), jli) for k in keys]
-                    + gather(lt, lcols, jli)
-                    + gather(rt, rcols, jri),
-                    names=keys + lcols + rcols,
-                )
-                yield from out.to_batches(max_chunksize=batch_rows)
+                # each probe chunk joins independently: every left row
+                # lives in exactly one chunk and sees the whole build side
+                for lt in stream_conform(json.loads(row["lf"]), l_schema, batch_rows):
+                    if l_live:
+                        lt = live(lt)
+                    if l_filters:
+                        lt = ranges(lt, l_filters)
+                    if lt.num_rows == 0:
+                        continue
+                    yield from join_chunk(lt, rslim, rt)
 
     return kernel
