@@ -449,3 +449,37 @@ def test_cli_follow_mirror_and_report(spark, tmp_path, capsys):
     assert lines[-1]["cmd"] == "follow" and lines[-1]["batches"] == 1
     assert lines[0]["interval"] == [v0, head]
     assert lines[0]["insert"] > 0
+
+
+def test_cli_maintain_update_set(spark, tmp_path, capsys):
+    """maintain --update-set: in-place predicate UPDATE from the CLI, with
+    the same loud input guards as the delete path."""
+    import pytest
+
+    from ton_etl_spark.lake.table import LakeTable
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "k long, text string"
+    )
+    table = str(tmp_path / "tbl")
+    t = LakeTable.create(spark, table, schema=df.schema, key_cols=["k"],
+                         n_buckets=2)
+    t.append(df, commit_key="seed")
+
+    with pytest.raises(SystemExit, match="require --update-set"):
+        main(["maintain", "--table", table, "--update-in", '{"k": [1]}'])
+    with pytest.raises(SystemExit, match="requires --update-where"):
+        main(["maintain", "--table", table, "--update-set",
+              '{"text": "upper(text)"}'])
+    with pytest.raises(SystemExit, match="update-in must be"):
+        main(["maintain", "--table", table, "--update-set",
+              '{"text": "upper(text)"}', "--update-in", '{"k": "17"}'])
+
+    assert main(["maintain", "--table", table,
+                 "--update-set", '{"text": "upper(text)"}',
+                 "--update-in", '{"k": [3, 7]}',
+                 "--commit-key", "u1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["update"]["updated_rows"] == 2
+    got = {r.k: r.text for r in t.read().collect()}
+    assert got[3] == "T3" and got[7] == "T7" and got[5] == "t5"

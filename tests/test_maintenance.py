@@ -840,3 +840,91 @@ def test_rolling_maintenance_binpack_strategy(spark, tmp_path):
     assert snap.manifests[1] == before[1]  # other group untouched
     assert snap.manifests[3] == before[3]
     assert t.read().count() == 1060
+
+
+def test_update_where_rewrites_only_matching_rows(spark, tmp_path):
+    """update_where: matched rows get the set expressions (cast to the
+    column's type), every other row — including NULL-predicate rows and
+    non-matching rows in touched files — reads back byte-identical;
+    updated_rows is the exact matched count; commit-key re-run is a
+    no-op."""
+    import random
+
+    from ton_etl_spark.lake.maintenance import update_where
+
+    rnd = random.Random(11)
+    rows = [(i, rnd.randint(0, 100) if rnd.random() > 0.1 else None,
+             f"text-{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, score long, text string")
+    t = LakeTable.create(spark, str(tmp_path / "uw"), schema=df.schema,
+                         key_cols=["k"], n_buckets=4, stats_cols=["score"],
+                         sort_cols=["score"], target_file_rows=50)
+    t.append(df, commit_key="seed")
+
+    r = update_where(
+        t, {"text": "concat('REDACTED-', k)", "score": F.lit(-1)},
+        where={"score": (90, None)}, commit_key="u1",
+    )
+    want_hit = [k for k, s, _ in rows if s is not None and s >= 90]
+    assert r["applied"] and r["updated_rows"] == len(want_hit)
+    got = {x.k: (x.score, x.text) for x in t.read().collect()}
+    for k, s, txt in rows:
+        if s is not None and s >= 90:
+            assert got[k] == (-1, f"REDACTED-{k}"), k
+        else:
+            assert got[k] == (s, txt), k  # NULL scores untouched too
+    # idempotent on commit key
+    assert update_where(t, {"text": F.lit("x")}, where={"score": (90, None)},
+                        commit_key="u1")["applied"] is False
+
+
+def test_update_where_file_granular_never_opens_excluded_files(spark, tmp_path):
+    """file_granular: files whose bounds exclude the predicate are carried
+    into the new manifest UNREAD — proven by corrupting them — and kept
+    by path identity."""
+    import os
+
+    from ton_etl_spark.lake.maintenance import update_where
+
+    df = spark.range(1000).selectExpr("id AS k", "id AS lsn",
+                                      "concat('v', id) AS v")
+    t = LakeTable.create(spark, str(tmp_path / "uwf"), schema=df.schema,
+                         key_cols=["k"], n_buckets=2, stats_cols=["lsn"],
+                         sort_cols=["lsn"], target_file_rows=100)
+    t.append(df, commit_key="seed")
+    untouched = []
+    for f in t.current().files:
+        if f.stats and "lsn" in f.stats and f.stats["lsn"][1] < 900:
+            with open(os.path.join(t.root, f.path), "wb") as fh:
+                fh.write(b"corrupt - update must not open me")
+            untouched.append(f.path)
+    assert len(untouched) >= 8
+
+    r = update_where(t, {"v": "upper(v)"}, where={"lsn": (900, None)},
+                     file_granular=True, commit_key="u-fg")
+    assert r["applied"] and r["updated_rows"] == 100
+    kept = {f.path for f in t.current().files}
+    assert set(untouched) <= kept, "excluded files were rewritten"
+    live = t.read(where={"lsn": (900, None)}).collect()
+    assert sorted(x.v for x in live) == sorted(f"V{i}" for i in range(900, 1000))
+
+
+def test_update_where_input_guards(spark, tmp_path):
+    from ton_etl_spark.lake.maintenance import update_where
+
+    df = spark.range(10).selectExpr("id AS k", "id AS v")
+    t = LakeTable.create(spark, str(tmp_path / "uwg"), schema=df.schema,
+                         key_cols=["k"], n_buckets=2)
+    t.append(df, commit_key="s")
+    with pytest.raises(ValueError, match="key columns"):
+        update_where(t, {"k": F.lit(0)}, where_in={"k": [1]})
+    with pytest.raises(ValueError, match="not in schema"):
+        update_where(t, {"nope": F.lit(0)}, where_in={"k": [1]})
+    with pytest.raises(ValueError, match="bounded range"):
+        update_where(t, {"v": F.lit(0)}, where={"v": (None, None)})
+    with pytest.raises(ValueError, match="at least one"):
+        update_where(t, {"v": F.lit(0)})
+    # set expression is cast to the column type (schema never drifts)
+    update_where(t, {"v": "'7'"}, where_in={"k": [3]}, commit_key="c")
+    assert t.current().schema["v"].dataType.simpleString() == "bigint"
+    assert t.read().where("k = 3").collect()[0].v == 7

@@ -156,3 +156,33 @@ def test_round7_census_includes_formerly_dark_oracles():
     ]:
         if qm._current_round() == 7:
             assert t in visible, t
+
+
+def test_rotation_dark_first_guarantee():
+    """Round-7 policy upgrade: the visible window is DARK-FIRST — every
+    pool entry without a recorded row in the previous round's
+    CORRECTNESS file (including entries added since) is visible this
+    round, regardless of how pool growth shifts the positional window
+    (the failure mode that twice displaced verdict-required entries)."""
+    from ton_etl_spark.plans.queries import (
+        _ALL_QUERIES,
+        _ORACLE_SLOTS,
+        _PINNED,
+        _current_round,
+        _recorded_last_round,
+        ORACLES,
+    )
+
+    rnd = _current_round()
+    prev = _recorded_last_round(rnd)
+    if prev is None:
+        pytest.skip("no previous-round CORRECTNESS file to anchor on")
+    pool = [k for k in _ALL_QUERIES if k in ORACLES and k not in _PINNED]
+    dark_last_round = sorted(set(pool) - prev)
+    assert len(dark_last_round) <= _ORACLE_SLOTS, (
+        "pool grew past one round's slot capacity — split the additions "
+        "across rounds or raise the slot count"
+    )
+    visible = list(entrymod.queries())[:50]
+    missing = [k for k in dark_last_round if k not in visible]
+    assert not missing, f"dark-last-round entries displaced: {missing}"

@@ -144,6 +144,35 @@ def _cmd_maintain(args) -> int:
         raise SystemExit("--small-rows requires --binpack")
     if args.purge_tombstones and not (args.delete_where or args.delete_in):
         raise SystemExit("--purge-tombstones requires --delete-where/--delete-in")
+    if (args.update_where or args.update_in) and not args.update_set:
+        raise SystemExit("--update-where/--update-in require --update-set")
+    if args.update_set:
+        from ton_etl_spark.lake.maintenance import update_where
+
+        if not (args.update_where or args.update_in):
+            raise SystemExit("--update-set requires --update-where/--update-in")
+        upd_set = json.loads(args.update_set)
+        if not isinstance(upd_set, dict) or not all(
+            isinstance(v, str) for v in upd_set.values()
+        ):
+            raise SystemExit('--update-set must be {"col": "sql expr"}')
+        upd_ranges = {
+            c: (lo, hi) for c, (lo, hi) in json.loads(args.update_where).items()
+        } if args.update_where else None
+        upd_probes = json.loads(args.update_in) if args.update_in else None
+        if upd_probes is not None and (
+            not isinstance(upd_probes, dict)
+            or not all(isinstance(v, list) for v in upd_probes.values())
+        ):
+            # same scalar-string guard as --delete-in / lookup --in
+            raise SystemExit(
+                '--update-in must be a JSON object of {"col": [values...]}'
+            )
+        out["update"] = update_where(
+            t, upd_set, where=upd_ranges, where_in=upd_probes,
+            commit_key=(args.commit_key + "-upd") if args.commit_key else None,
+            file_granular=args.file_granular,
+        )
     if args.delete_where or args.delete_in:
         ranges = {
             c: (lo, hi) for c, (lo, hi) in json.loads(args.delete_where).items()
@@ -543,6 +572,18 @@ def build_parser() -> argparse.ArgumentParser:
                     "delete is two steps (this, then "
                     "--gc-tombstones-below once the redelivery horizon "
                     "passes) unless you add --purge-tombstones")
+    mt.add_argument("--update-set", default=None, metavar="JSON",
+                    help='in-place UPDATE: {"col": "sql expr"}, applied '
+                    "to rows matching --update-where/--update-in (e.g. "
+                    "compliance redaction: "
+                    '\'{"text": "regexp_replace(text, ..., ...)"}\'); '
+                    "stats-pruned copy-on-write, key columns not settable")
+    mt.add_argument("--update-where", default=None, metavar="JSON",
+                    help='with --update-set: inclusive ranges, e.g. '
+                    '\'{"lsn": [0, 999]}\'')
+    mt.add_argument("--update-in", default=None, metavar="JSON",
+                    help='with --update-set: per-key probes, e.g. '
+                    '\'{"doc_id": [1, 7]}\' (ANDs with --update-where)')
     mt.add_argument("--purge-tombstones", action="store_true",
                     help="with --delete-where/--delete-in: also drop "
                     "matching op='d' tombstone rows in the SAME pass "

@@ -617,6 +617,143 @@ def delete_where(
     return {"applied": ok, "buckets": buckets, "deleted_rows": before - after}
 
 
+def update_where(
+    table: LakeTable,
+    set_exprs: dict,
+    where: dict | None = None,
+    where_in: dict | None = None,
+    commit_key: str | None = None,
+    file_granular: bool = False,
+) -> dict:
+    """Predicate-scoped copy-on-write UPDATE (the Iceberg UPDATE role;
+    reference analog: the targeted UPDATE statements the reference's
+    daily sync issues against already-landed rows,
+    ``datalake_daily_sync.py``).  Rows matching the predicate get
+    ``set_exprs`` applied (column -> Spark Column or SQL expression
+    string, cast back to the column's type so the schema never drifts);
+    every other row — including non-matching rows inside touched files —
+    is carried through byte-identical.
+
+    The flagship use is in-place curation/compliance rewrites at the
+    100 TB operating point: "redact PII in these doc_ids" or "re-score
+    this day's quality column" rewrites only the buckets (or, with
+    ``file_granular=True``, only the FILES) whose manifest stats can
+    match the predicate — same pruning stack as :func:`delete_where`,
+    same predicate contract (``where`` inclusive ranges AND
+    ``where_in`` probe lists; NULL predicate columns never match, so
+    NULL rows are never updated).
+
+    Key columns cannot be set (the new value would belong in a different
+    bucket — that is a delete+insert, not an update).  Envelope columns
+    (op/lsn/ts_ms) CAN be set but rewriting them on a CDC table changes
+    LWW ordering history — the caller owns that; updating payload
+    columns (the redaction case) leaves ordering intact.
+
+    Returns ``{"applied", "buckets", "updated_rows"}`` — ``updated_rows``
+    is the exact matched count (one extra scan of the touched slice;
+    compliance updates want the audited number)."""
+    from ton_etl_spark.lake.table import (
+        _conform_where_bounds,
+        _conform_where_in,
+        _encode_probe_lists,
+        _file_may_match,
+        _file_may_match_in,
+        _stats_encode,
+    )
+
+    where = where or {}
+    where_in = where_in or {}
+    if not set_exprs:
+        raise ValueError("update_where needs at least one set column")
+    snap = table.current()
+    field_types = {f.name: f.dataType for f in snap.schema.fields}
+    unknown = sorted(set(set_exprs) - set(field_types))
+    if unknown:
+        raise ValueError(f"set columns not in schema: {unknown}")
+    bad_keys = sorted(set(set_exprs) & set(snap.key_cols))
+    if bad_keys:
+        raise ValueError(
+            f"cannot set key columns {bad_keys}: the updated row would "
+            "hash to a different bucket — that is a delete+insert"
+        )
+    if any(lo is None and hi is None for lo, hi in where.values()):
+        raise ValueError(
+            "update_where needs bounded ranges; a (None, None) range would "
+            "also update NULL rows, contradicting the NULL-kept contract"
+        )
+    if not where and not where_in:
+        raise ValueError(
+            "update_where needs at least one bounded range or a where_in "
+            "probe list — for a full-table rewrite use rewrite_buckets"
+        )
+    if where:
+        where = _conform_where_bounds(snap.schema, where)
+    if where_in:
+        where_in = _conform_where_in(snap.schema, where_in)
+    if any(len(v) == 0 for v in where_in.values()):
+        return {"applied": False, "buckets": [], "updated_rows": 0}
+    if commit_key is not None and snap.has_commit_key(commit_key):
+        return {"applied": False, "buckets": [], "updated_rows": 0}
+    enc = {
+        c: (_stats_encode(lo), _stats_encode(hi))
+        for c, (lo, hi) in table._session_tz_bounds(where).items()
+    }
+    enc_in: dict[str, list] = (
+        _encode_probe_lists(table._session_tz_converter(), where_in)
+        if where_in
+        else {}
+    )
+    cand = table._probe_buckets(snap, where_in) if where_in else None
+    buckets = sorted({
+        f.bucket for f in snap.files
+        if (cand is None or f.bucket in cand)
+        and _file_may_match(f, enc) and _file_may_match_in(f, enc_in)
+    })
+    if not buckets:
+        return {"applied": False, "buckets": [], "updated_rows": 0}
+    matched = F.lit(True)
+    for col, (lo, hi) in where.items():
+        if lo is not None:
+            matched = matched & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            matched = matched & (F.col(col) <= F.lit(hi))
+    for col, vals in where_in.items():
+        matched = matched & F.col(col).isin(list(vals))
+    matched = F.coalesce(matched, F.lit(False))  # NULL pred col => untouched
+    bset = set(buckets)
+    keep_files = None
+    if file_granular:
+        keep_files = {b: [] for b in buckets}
+        hit_paths = []
+        for f in snap.files:
+            if f.bucket not in bset:
+                continue
+            if _file_may_match(f, enc) and _file_may_match_in(f, enc_in):
+                hit_paths.append(os.path.join(table.root, f.path))
+            else:
+                keep_files[f.bucket].append(f)
+        src = table.spark.read.schema(snap.schema).parquet(*hit_paths)
+    else:
+        src = table.read(buckets=buckets, version=snap.version)
+    updated_rows = src.where(matched).count()
+    proj = []
+    for f in snap.schema.fields:
+        if f.name in set_exprs:
+            e = set_exprs[f.name]
+            e = F.expr(e) if isinstance(e, str) else e
+            proj.append(
+                F.when(matched, e.cast(f.dataType))
+                .otherwise(F.col(f.name)).alias(f.name)
+            )
+        else:
+            proj.append(F.col(f.name))
+    ok = table.overwrite_buckets(
+        src.select(*proj), buckets, commit_key=commit_key, schema=snap.schema,
+        base_version=snap.version, keep_files=keep_files,
+    )
+    return {"applied": ok, "buckets": buckets, "updated_rows": updated_rows}
+
+
 def retention_sweep(
     table: LakeTable,
     where: dict,

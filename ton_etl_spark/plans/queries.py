@@ -2268,6 +2268,56 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
 """
 
+
+# --------------------------------------------------------------------------
+# Engine in-place UPDATE (round 7): the compliance-rewrite path — redact
+# a character class out of a keyed subset of documents with update_where
+# (stats-pruned
+# copy-on-write; rows outside the predicate byte-identical), then read the
+# whole table back.  DuckDB derives the same post-update state with a CASE.
+def q_lake_update_redact(spark, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ton_etl_spark.lake.maintenance import update_where
+    from ton_etl_spark.lake.table import LakeTable
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="lake_ur_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp, "docs"), schema=docs.schema,
+            key_cols=["doc_id"], n_buckets=4, stats_cols=["doc_id"],
+            target_file_rows=128,
+        )
+        t.append(docs, commit_key="seed")
+        r = update_where(
+            t, {"text": "regexp_replace(text, '[aeiou]', '*')"},
+            where={"doc_id": (0, 199)},
+            where_in={"doc_id": _UR_VICTIMS},
+            commit_key="redact",
+        )
+        if not r["applied"]:
+            raise RuntimeError("update_where did not apply")
+        out = t.read().select(
+            "doc_id", F.md5(F.col("text")).alias("text_md5")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_UR_VICTIMS = [3, 17, 42, 101, 150, 198, 7777]  # 7777 outside the range: ANDed away
+
+SQL_LAKE_UPDATE_REDACT = f"""
+SELECT doc_id,
+       CASE WHEN doc_id BETWEEN 0 AND 199
+             AND doc_id IN ({", ".join(str(v) for v in _UR_VICTIMS)})
+            THEN md5(regexp_replace(text, '[aeiou]', '*', 'g'))
+            ELSE md5(text) END AS text_md5
+FROM documents
+"""
+
 SQL_LAKE_FOLLOW_MIRROR = f"""
 SELECT doc_id, md5(text) AS text_md5, 'insert' AS _change_type
 FROM documents WHERE doc_id % 2 = 0
@@ -2383,12 +2433,15 @@ FROM t
 #
 #   * _PINNED (20): engine-core semantics (merge/window/join/set-op/PII
 #     representatives) hold PERMANENT driver rows.
-#   * remaining oracle-backed entries rotate through 28 slots; rows-only
-#     (sketch/hash-seeded) entries rotate through 2 slots.  Each pool is
-#     sorted by name and the visible window slides by exactly the dark
-#     count per round, so an entry dark in round N is visible in round
-#     N+1 — every oracle-backed entry earns a hard CORRECTNESS row at
-#     least every other round.
+#   * remaining oracle-backed entries rotate through 27 slots; rows-only
+#     (sketch/hash-seeded) entries rotate through 2 slots.  The window is
+#     DARK-FIRST: entries with no recorded row in the PREVIOUS round's
+#     CORRECTNESS file (including entries added since) take priority, and
+#     the remainder fills from a name-sorted sliding window — so every
+#     oracle-backed entry earns a hard CORRECTNESS row at least every
+#     other round, and pool growth cannot displace a dark entry past the
+#     cap (the failure mode rounds 6/7 hit with a purely positional
+#     window).
 #   * the round number derives from the CORRECTNESS_r*.json files the
 #     driver has already written (override: $SPARK_GRAFT_ROUND), so the
 #     rotation advances with zero per-round edits.
@@ -2456,6 +2509,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_widen_rebucket": q_lake_widen_rebucket,
     "lake_follow_mirror": q_lake_follow_mirror,
     "lake_colocated_join": q_lake_colocated_join,
+    "lake_update_redact": q_lake_update_redact,
     # rows-only (non-SQL-expressible or sketch-based; pytest verifies)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2520,15 +2574,54 @@ def _rotate(pool: list[str], slots: int, round_no: int) -> list[str]:
     return [pool[(off + i) % n] for i in range(slots)]
 
 
+def _recorded_last_round(round_no: int) -> set[str] | None:
+    """Names that earned a CORRECTNESS row in round ``round_no - 1``
+    (the driver's own file — the ground truth of what was visible), or
+    None when that file doesn't exist (fresh clone / round 1)."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import json as _json
+
+    path = os.path.join(repo, f"CORRECTNESS_r{round_no - 1:02d}.json")
+    try:
+        with open(path) as fh:
+            return set(_json.load(fh))
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _window(pool: list[str], slots: int, rnd: int, prev: set[str] | None) -> list[str]:
+    """This round's visible slice of a rotating pool.  DARK-FIRST: entries
+    with no recorded row last round — including entries ADDED since —
+    take priority, so pool growth can never silently push a
+    dark-last-round entry past the cap (the round-6/7 lesson: a purely
+    positional window re-darkens entries whenever new names sort into
+    it).  The remainder fills from the sliding window for spread; both
+    halves are deterministic.  If the priority set alone overflows the
+    slots (pool grew by more than a round's capacity), the overflow is
+    the alphabetical tail — loud in the local mirror, impossible to
+    miss two rounds running."""
+    pool = sorted(pool)
+    if slots >= len(pool):
+        return pool
+    if prev is None:
+        return _rotate(pool, slots, rnd)
+    prio = [k for k in pool if k not in prev]
+    rest = [k for k in pool if k in prev]
+    filler = [k for k in _rotate(rest, min(slots, len(rest)), rnd)
+              if k not in prio]
+    return (prio + filler)[:slots]
+
+
 def _build_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows_only = [k for k in _ALL_QUERIES if k not in ORACLES]
     oracle_pool = [k for k in _ALL_QUERIES if k in ORACLES and k not in _PINNED]
     assert all(k in ORACLES for k in _PINNED), "pinned entry lost its oracle"
     rnd = _current_round()
+    prev = _recorded_last_round(rnd)
     visible = (
         list(_PINNED)
-        + _rotate(oracle_pool, _ORACLE_SLOTS, rnd)
-        + _rotate(rows_only, _ROWS_ONLY_SLOTS, rnd)
+        + _window(oracle_pool, _ORACLE_SLOTS, rnd, prev)
+        + _window(rows_only, _ROWS_ONLY_SLOTS, rnd, prev)
     )
     assert len(visible) == min(_DRIVER_CAP, len(_ALL_QUERIES))
     dark = sorted(k for k in _ALL_QUERIES if k not in visible)
@@ -2593,6 +2686,7 @@ ORACLES: dict[str, str] = {
     "lake_widen_rebucket": SQL_LAKE_WIDEN_REBUCKET,
     "lake_follow_mirror": SQL_LAKE_FOLLOW_MIRROR,
     "lake_colocated_join": SQL_LAKE_COLOCATED_JOIN,
+    "lake_update_redact": SQL_LAKE_UPDATE_REDACT,
     "media_features": SQL_MEDIA_FEATURES,
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL,
 }
