@@ -1252,3 +1252,129 @@ def test_segment_dedup_properties(spark, texts, seg_words, min_docfreq):
         assert got[i]["n_segs"] == len(segs)
         assert got[i]["n_kept"] == len(kept)
         assert got[i]["clean_text"] == " ".join(kept)
+
+
+def test_pq_adc_exact_on_codebook_grid(spark):
+    """Sharp PQ correctness anchor: vectors built EXACTLY from codebook
+    entries have zero quantization error, so the asymmetric distance must
+    equal the exact squared-L2 (float tolerance) and the ADC top-k must
+    equal the exact top-k."""
+    import numpy as np
+
+    from ton_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train,
+        with_pq_codes,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, m, k = 8, 4, 4
+    d = dim // m
+    base = rng.normal(size=(k * 3, dim)).astype(np.float64)
+    emb0 = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(emb0, dim=dim, m=m, k=k, n_train=64, seed=5)
+    # grid vectors: every subvector IS a centroid
+    grid = []
+    for i in range(40):
+        v = []
+        for mi in range(m):
+            v.extend(books[mi][(i * 7 + mi) % k])
+        grid.append((i, [float(x) for x in v]))
+    gridf = spark.createDataFrame(grid, "vec_id long, embedding array<float>")
+    coded = with_pq_codes(gridf, books)
+    q = [float(x) for x in rng.normal(size=dim)]
+    got = pq_adc_topk(coded, q, books, topk=40).collect()
+    qv = np.asarray(q)
+    exact = {i: float(((np.asarray(v) - qv) ** 2).sum()) for i, v in grid}
+    for r in got:
+        assert abs(r["approx_d2"] - exact[r["vec_id"]]) < 1e-6, r["vec_id"]
+    top_exact = [i for i, _ in sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))][:10]
+    top_adc = [r["vec_id"] for r in got[:10]]
+    assert top_adc == top_exact
+
+
+def test_pq_train_deterministic_and_encode_compresses(spark):
+    import numpy as np
+
+    from ton_etl_spark.operators.similarity import pq_train, with_pq_codes
+
+    rng = np.random.default_rng(13)
+    dim = 16
+    X = rng.normal(size=(300, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = pq_train(emb, dim=dim, m=4, k=8, seed=9)
+    b2 = pq_train(emb, dim=dim, m=4, k=8, seed=9)
+    assert b1 == b2, "training is not deterministic"
+    codes = {r.vec_id: r.pq_code for r in with_pq_codes(emb, b1).collect()}
+    assert all(len(c) == 4 for c in codes.values())  # m bytes per vector
+    codes2 = {r.vec_id: r.pq_code for r in with_pq_codes(emb, b1).collect()}
+    assert codes == codes2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, dim=dim, m=5, k=8)
+    with _pytest.raises(ValueError, match="one byte"):
+        pq_train(emb, dim=dim, m=4, k=1000)
+
+
+def test_ivfpq_index_recall_and_partition_pruning(spark, tmp_path):
+    """IVF-PQ: the materialized (id, code) index partition-prunes to the
+    probed cells — proven by corrupting every non-probed cell's files —
+    and recall vs exact L2 on clustered data stays high even though the
+    raw vectors are gone from the index."""
+    import os
+
+    import numpy as np
+
+    from ton_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probe_cells,
+        ivfpq_ann_topk,
+        pq_train,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 16, 6, 60
+    centers = rng.normal(size=(n_clusters, dim)) * 4.0
+    X = np.vstack(
+        [c + rng.normal(size=(per, dim)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids(emb, n_cells=6, dim=dim, seed=11)
+    books = pq_train(emb, dim=dim, m=8, k=256, n_train=360, seed=5)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, cents, books)
+    idx, meta = read_ivfpq_index(spark, path)
+    assert "embedding" not in idx.columns  # vectors NOT stored
+
+    q = [float(x) for x in (centers[1] + 0.05)]
+    probed = set(ivf_probe_cells(q, cents, nprobe=2))
+    # corrupt every file of every non-probed cell: opening one fails loudly
+    corrupted = 0
+    for root, _dirs, files in os.walk(path):
+        cell_dir = os.path.basename(root)
+        if cell_dir.startswith("ivf_cell="):
+            cell = int(cell_dir.split("=")[1])
+            if cell not in probed:
+                for f in files:
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(root, f), "wb") as fh:
+                            fh.write(b"corrupt: probe must prune me")
+                        corrupted += 1
+    assert corrupted > 0
+
+    got = [r["vec_id"] for r in ivfpq_ann_topk(idx, meta, q, topk=10, nprobe=2).collect()]
+    qv = np.asarray(q)
+    exact = np.argsort(((X - qv) ** 2).sum(axis=1), kind="stable")[:10].tolist()
+    assert len(set(got) & set(exact)) >= 8, (got, exact)

@@ -26,6 +26,10 @@ import json
 import math
 import os
 
+# module-level: pandas_udf type hints (pd.Series) are strings under
+# `from __future__ import annotations` and resolve in MODULE globals —
+# a function-local import leaves them unresolvable (UNSUPPORTED_SIGNATURE)
+import pandas as pd  # noqa: F401
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -535,3 +539,211 @@ def lsh_ann_topk(
         F.col(id_col), F.round(_cosine(F.col(vec_col), q), 6).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVF-PQ): the memory-compression scale path.
+#
+# At the 100 TB operating point the embedding payload itself is the
+# bottleneck: 10^10 vectors x 64 float32 = 2.5 TB that every ANN probe's
+# candidate scan must move.  PQ stores each vector as M one-byte codes
+# (32x smaller at dim 64 / M 8): split the vector into M subvectors,
+# k-means each subspace to K<=256 centroids ("codebooks"), encode each
+# subvector as its nearest centroid id.  A query never decodes: the
+# asymmetric-distance computation (ADC) precomputes the K distances from
+# the query's m-th subvector to subspace m's centroids ONCE (an M x K
+# lookup table, driver-side metadata math), and a stored vector's
+# approximate distance is M table lookups + a sum — done vectorized in
+# one Arrow-batched pandas UDF over the code column.  Composing with IVF
+# (`write_ivfpq_index`) gives the faiss-style IVF-PQ layout: partition
+# pruning picks the probed cells' files, ADC scores only their codes.
+#
+# Everything is deterministic: training samples are hash-picked
+# (xxhash64, no RNG), k-means init is first-K-by-hash, ties break on
+# centroid id; the same corpus + seed always yields the same index.
+# No reference analog; training-data-pipeline operator per the brief.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_train: int = 4096,
+    n_iters: int = 8,
+) -> list:
+    """Train PQ codebooks: ``m`` subspaces x ``k`` centroids each.
+
+    Training pulls a deterministic hash-picked sample of ``n_train``
+    vectors to the driver and runs numpy k-means per subspace — the
+    standard PQ recipe (codebooks need thousands of examples, not the
+    corpus; faiss trains the same way), and the only driver-side data of
+    the whole pipeline.  Returns ``codebooks[m][k][dim//m]`` floats
+    (index metadata, ~m*k*dim/m floats = k*dim)."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not 1 < k <= 256:
+        raise ValueError("k must be in (1, 256] (codes are one byte)")
+    d = dim // m
+    sample = _init_pick(emb, n_train, id_col, vec_col, seed).collect()
+    x = np.asarray([list(r[vec_col]) for r in sample], dtype=np.float64)
+    if x.shape[0] < k:
+        raise ValueError(f"training sample {x.shape[0]} smaller than k={k}")
+    books = []
+    for mi in range(m):
+        sub = x[:, mi * d:(mi + 1) * d]
+        # init: first k DISTINCT subvectors in hash order (duplicates would
+        # seed empty centroids)
+        seen: dict = {}
+        for row in sub:
+            seen.setdefault(row.tobytes(), row)
+            if len(seen) == k:
+                break
+        cents = np.asarray(list(seen.values()), dtype=np.float64)
+        if cents.shape[0] < k:
+            raise ValueError(
+                f"subspace {mi}: only {cents.shape[0]} distinct training "
+                f"subvectors for k={k} — lower k or enlarge n_train"
+            )
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+                # empty centroid: keep its position (deterministic; a
+                # code that never wins simply goes unused)
+        books.append(cents.tolist())
+    return books
+
+
+def _pq_encode_udf(codebooks: list):
+    """Arrow-batched encoder: embedding -> ``m`` one-byte codes as binary.
+    Vectorized numpy per batch (no per-row Python): reshape to
+    (n, m, d), argmin squared-L2 against each subspace's centroids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d = books[0].shape[1]
+
+    @pandas_udf("binary")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        x = x.reshape(len(x), m, d)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for mi in range(m):
+            d2 = ((x[:, mi, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode
+
+
+def with_pq_codes(
+    emb: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Stamp each vector's PQ code (binary, ``m`` bytes) — the write-once
+    encode step.  Persist WITHOUT the raw vector column and the stored
+    index is ~4*dim/m times smaller than the float32 corpus."""
+    return emb.withColumn(code_col, _pq_encode_udf(codebooks)(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    coded: DataFrame,
+    query_vec: list[float],
+    codebooks: list,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: one M x K lookup table
+    from the query (driver metadata math), one vectorized gather+sum per
+    Arrow batch over the codes, then TakeOrderedAndProject for the k
+    winners (no full sort/shuffle).  Returns (id, approx squared-L2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d = books[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m, d)
+    lut = np.stack([
+        ((q[mi][None, :] - books[mi]) ** 2).sum(axis=1) for mi in range(m)
+    ])  # (m, k)
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=float)
+        c = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(len(codes), m)
+        return pd.Series(lut[np.arange(m)[None, :], c].sum(axis=1))
+
+    scored = coded.select(F.col(id_col), adc(F.col(code_col)).alias("approx_d2"))
+    return scored.orderBy(F.col("approx_d2").asc(), F.col(id_col).asc()).limit(topk)
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> None:
+    """Materialize the faiss-style IVF-PQ layout: (id, pq_code) parquet
+    partitioned by IVF cell — the raw vectors are NOT stored, so the
+    index is both partition-prunable (probe -> cells -> files) and
+    ~4*dim/m times smaller than the corpus.  Sidecar-last publish with
+    retract-first on rebuild, same contract as the IVF/LSH indexes."""
+    invalidate_sidecar(path, "_ivfpq_meta.json")
+    df = with_ivf_cells(emb, centroids, vec_col, cell_col)
+    df = with_pq_codes(df, codebooks, vec_col, code_col)
+    df.select(id_col, code_col, cell_col).write.mode("overwrite").partitionBy(
+        cell_col
+    ).parquet(path)
+    publish_sidecar(path, "_ivfpq_meta.json", {
+        "centroids": centroids, "codebooks": codebooks,
+        "id_col": id_col, "cell_col": cell_col, "code_col": code_col,
+    })
+
+
+def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, dict]:
+    with open(os.path.join(path, "_ivfpq_meta.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(path), meta
+
+
+def ivfpq_ann_topk(
+    index_df: DataFrame,
+    index_meta: dict,
+    query_vec: list[float],
+    topk: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ probe: pick the ``nprobe`` nearest cells (driver metadata
+    math), partition-prune to their files, ADC-score only their codes.
+    The scan cost is ~nprobe/n_cells of an already-32x-compressed index."""
+    cells = ivf_probe_cells(query_vec, index_meta["centroids"], nprobe)
+    pruned = index_df.where(F.col(index_meta["cell_col"]).isin(cells))
+    return pq_adc_topk(
+        pruned, query_vec, index_meta["codebooks"], topk=topk,
+        id_col=index_meta["id_col"], code_col=index_meta["code_col"],
+    )
