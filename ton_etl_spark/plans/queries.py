@@ -897,6 +897,33 @@ SQL_ANN_LSH = _ann_lsh_sql()
 _IVF_CELLS, _IVF_NPROBE, _IVF_SEED, _IVF_SCALE = 8, 3, 7, 0.125
 
 
+def q_ann_ivfpq_topk(spark, sf: str) -> DataFrame:
+    """IVF-PQ probe over the embeddings table (rows-only: learned k-means
+    codebooks + ADC are not SQL-expressible; correctness is pytest-gated
+    by the zero-quantization-error exactness anchor and the
+    corrupted-cell pruning proof in tests/test_operators.py)."""
+    from ton_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_ann_topk,
+        pq_train,
+        with_ivf_cells,
+        with_pq_codes,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    cents = ivf_centroids(corpus, n_cells=8, dim=_EMB_DIM, seed=11)
+    books = pq_train(corpus, dim=_EMB_DIM, m=8, k=64, n_train=400, seed=5)
+    idx = with_pq_codes(with_ivf_cells(corpus, cents), books).select(
+        "vec_id", "pq_code", "ivf_cell"
+    )
+    meta = {"centroids": cents, "codebooks": books, "id_col": "vec_id",
+            "cell_col": "ivf_cell", "code_col": "pq_code"}
+    return ivfpq_ann_topk(idx, meta, qv, topk=10, nprobe=3)
+
+
 def q_ann_ivf_topk(spark, sf: str) -> DataFrame:
     from ton_etl_spark.operators.similarity import fixed_centroids, with_ivf_cells
 
@@ -2517,6 +2544,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "dup_clusters_capped": q_dup_clusters_capped,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "media_frames": q_media_frames,
 }
 
