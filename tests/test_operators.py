@@ -1378,3 +1378,52 @@ def test_ivfpq_index_recall_and_partition_pruning(spark, tmp_path):
     qv = np.asarray(q)
     exact = np.argsort(((X - qv) ** 2).sum(axis=1), kind="stable")[:10].tolist()
     assert len(set(got) & set(exact)) >= 8, (got, exact)
+
+
+def test_ivfpq_rerank_restores_exact_topk(spark, tmp_path):
+    """ADC alone misses tail candidates under coarse codebooks; exact
+    re-ranking of the candidate set restores the TRUE top-k, fetching the
+    raw vectors through the LakeTable point-lookup path (bucket-pruned)."""
+    import numpy as np
+
+    from ton_etl_spark.lake.table import LakeTable
+    from ton_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_rerank_topk,
+        pq_train,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 16, 6, 60
+    centers = rng.normal(size=(n_clusters, dim)) * 4.0
+    X = np.vstack(
+        [c + rng.normal(size=(per, dim)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    # raw vectors live in a keyed LakeTable: the re-rank fetch is a
+    # point lookup, not a scan
+    t = LakeTable.create(spark, str(tmp_path / "vecs"), schema=emb.schema,
+                         key_cols=["vec_id"], n_buckets=4)
+    t.append(emb, commit_key="seed")
+
+    cents = ivf_centroids(emb, n_cells=6, dim=dim, seed=11)
+    # deliberately COARSE codebooks (k=16): plain ADC degrades
+    books = pq_train(emb, dim=dim, m=8, k=16, n_train=360, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(emb, path, cents, books)
+    idx, meta = read_ivfpq_index(spark, path)
+
+    q = [float(x) for x in (centers[1] + 0.05)]
+    qv = np.asarray(q)
+    exact = np.argsort(((X - qv) ** 2).sum(axis=1), kind="stable")[:10].tolist()
+    got = [r["vec_id"] for r in
+           ivfpq_rerank_topk(idx, meta, q, t, topk=10, candidates=60,
+                             nprobe=2).collect()]
+    # re-ranked list is the exact top-10 IN ORDER (restricted to probed
+    # cells, which cover the query's cluster)
+    assert got == exact, (got, exact)

@@ -747,3 +747,49 @@ def ivfpq_ann_topk(
         pruned, query_vec, index_meta["codebooks"], topk=topk,
         id_col=index_meta["id_col"], code_col=index_meta["code_col"],
     )
+
+
+def ivfpq_rerank_topk(
+    index_df: DataFrame,
+    index_meta: dict,
+    query_vec: list[float],
+    emb,
+    topk: int = 10,
+    candidates: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the standard recall-restoring step:
+    ADC over the compressed index nominates ``candidates`` ids
+    (partition-pruned, cheap), then ONLY those raw vectors are fetched
+    and scored exactly (squared-L2, same metric as ADC), and the true
+    top-k of the candidate set is returned.
+
+    ``emb`` is the raw-vector store: a DataFrame, or a LakeTable keyed
+    by ``id_col`` — the LakeTable path composes with the engine's point
+    lookup (``read(where_in=)``), so the fetch opens only the buckets
+    (and stats/bloom-surviving files) holding the candidate ids.  The
+    candidate id list is collected to the driver — ~``candidates`` ints,
+    the same metadata-sized probe contract as every point lookup."""
+    cand = ivfpq_ann_topk(
+        index_df, index_meta, query_vec, topk=candidates, nprobe=nprobe
+    )
+    ids = [r[index_meta["id_col"]] for r in cand.collect()]
+    if not ids:
+        src = emb.read() if hasattr(emb, "read") else emb
+        return src.select(
+            F.col(id_col), F.lit(0.0).alias("exact_d2")
+        ).limit(0)
+    if hasattr(emb, "read"):  # LakeTable: bucket/stats/bloom-pruned fetch
+        src = emb.read(where_in={id_col: ids})
+    else:
+        src = emb.where(F.col(id_col).isin(ids))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = src.select(F.col(id_col), d2.alias("exact_d2"))
+    return scored.orderBy(F.col("exact_d2").asc(), F.col(id_col).asc()).limit(topk)
