@@ -1427,3 +1427,61 @@ def test_ivfpq_rerank_restores_exact_topk(spark, tmp_path):
     # re-ranked list is the exact top-10 IN ORDER (restricted to probed
     # cells, which cover the query's cluster)
     assert got == exact, (got, exact)
+
+
+def test_ivfpq_append_matches_fresh_rebuild(spark, tmp_path):
+    """Probe-after-N-appends == probe-after-fresh-rebuild over the same
+    union (quantizers frozen in the sidecar make both paths encode
+    identically); dim mismatch fails loudly BEFORE touching the index."""
+    import numpy as np
+
+    from ton_etl_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ivf_centroids,
+        ivfpq_ann_topk,
+        pq_train,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    X = rng.normal(size=(400, dim)).astype(np.float32) * 2.0
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    base, add1, add2 = frame(0, 200), frame(200, 300), frame(300, 400)
+    cents = ivf_centroids(base, n_cells=6, dim=dim, seed=11)
+    books = pq_train(base, dim=dim, m=8, k=32, n_train=200, seed=5)
+
+    inc_path = str(tmp_path / "inc")
+    write_ivfpq_index(base, inc_path, cents, books)
+    assert append_to_ivfpq_index(add1, inc_path)["appends"] == 1
+    assert append_to_ivfpq_index(add2, inc_path)["appends"] == 2
+
+    fresh_path = str(tmp_path / "fresh")
+    write_ivfpq_index(frame(0, 400), fresh_path, cents, books)
+
+    q = [float(x) for x in X[123]]
+    inc_idx, inc_meta = read_ivfpq_index(spark, inc_path)
+    fr_idx, fr_meta = read_ivfpq_index(spark, fresh_path)
+    got_inc = [(r.vec_id, round(r.approx_d2, 9)) for r in
+               ivfpq_ann_topk(inc_idx, inc_meta, q, topk=15, nprobe=3).collect()]
+    got_fr = [(r.vec_id, round(r.approx_d2, 9)) for r in
+              ivfpq_ann_topk(fr_idx, fr_meta, q, topk=15, nprobe=3).collect()]
+    assert got_inc == got_fr
+    # appended rows really are probe-visible
+    assert any(i >= 200 for i, _ in got_inc)
+
+    import pytest as _pytest
+
+    wrong = spark.createDataFrame([(999, [1.0] * (dim + 1))],
+                                  "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="dim"):
+        append_to_ivfpq_index(wrong, inc_path)
+    # the failed append never retracted the sidecar
+    read_ivfpq_index(spark, inc_path)

@@ -722,6 +722,7 @@ def write_ivfpq_index(
     publish_sidecar(path, "_ivfpq_meta.json", {
         "centroids": centroids, "codebooks": codebooks,
         "id_col": id_col, "cell_col": cell_col, "code_col": code_col,
+        "vec_col": vec_col, "dim": len(centroids[0]),
     })
 
 
@@ -793,3 +794,39 @@ def ivfpq_rerank_topk(
     )
     scored = src.select(F.col(id_col), d2.alias("exact_d2"))
     return scored.orderBy(F.col("exact_d2").asc(), F.col(id_col).asc()).limit(topk)
+
+
+def append_to_ivfpq_index(new_emb: DataFrame, path: str) -> dict:
+    """Incrementally grow a materialized IVF-PQ index: the new vectors are
+    assigned + encoded with the index's OWN sidecar centroids/codebooks
+    and appended as new parquet files under the same cell partitioning —
+    the corpus is never re-read, re-assigned, or re-encoded, so the
+    append costs O(new vectors) regardless of index size (the same
+    contract as ``append_to_lsh_index``; quantizers are frozen at build
+    time, the standard faiss add-after-train semantics — retrain and
+    rebuild when drift warrants it).
+
+    Crash contract (sidecar-last, versioned): retract sidecar → append →
+    re-publish with ``appends`` bumped; a crash mid-append leaves probes
+    failing loudly, recovery is a fresh ``write_ivfpq_index``.
+
+    Returns {"appended": n_rows, "appends": total_append_count}."""
+    with open(os.path.join(path, "_ivfpq_meta.json")) as fh:
+        m = json.load(fh)
+    vec_col = m["vec_col"]
+    bad = new_emb.where(F.size(F.col(vec_col)) != m["dim"]).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"append vectors do not match the index dim={m['dim']} "
+            f"(found a row with a different {vec_col} length)"
+        )
+    invalidate_sidecar(path, "_ivfpq_meta.json")
+    df = with_ivf_cells(new_emb, m["centroids"], vec_col, m["cell_col"])
+    df = with_pq_codes(df, m["codebooks"], vec_col, m["code_col"])
+    n = new_emb.count()
+    df.select(m["id_col"], m["code_col"], m["cell_col"]).write.mode(
+        "append"
+    ).partitionBy(m["cell_col"]).parquet(path)
+    m["appends"] = int(m.get("appends", 0)) + 1
+    publish_sidecar(path, "_ivfpq_meta.json", m)
+    return {"appended": n, "appends": m["appends"]}
