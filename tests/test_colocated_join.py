@@ -296,3 +296,30 @@ def test_colocated_join_streamed_probe_chunks(spark, tmp_path):
                           batch_rows=7)
     want = l.read(where={"doc_id": (100, 199)}).join(r.read(), "doc_id")
     assert _rows(tiny.select(*want.columns)) == _rows(want)
+
+
+def test_colocated_join_inner_auto_builds_on_smaller_side(spark, tmp_path):
+    """Inner joins auto-pick the smaller side (by manifest row counts —
+    free metadata) as the resident build side; the swap is invisible:
+    same columns, same rows, still zero Exchange."""
+    small = spark.range(100).selectExpr("id AS k", "concat('s', id) AS sv")
+    big = spark.range(5000).selectExpr("id AS k", "id * 2 AS bv",
+                                       "array(cast(id AS float)) AS arr")
+    l = LakeTable.create(spark, str(tmp_path / "l"), schema=small.schema,
+                         key_cols=["k"], n_buckets=4)
+    r = LakeTable.create(spark, str(tmp_path / "r"), schema=big.schema,
+                         key_cols=["k"], n_buckets=4)
+    l.append(small, commit_key="s")
+    r.append(big, commit_key="s")
+    got = colocated_join(l, r)  # left is 50x smaller: build side swaps
+    assert got.columns == ["k", "sv", "bv", "arr"]  # caller's order kept
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    want = l.read().join(r.read(), "k")
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    # predicates follow their logical side through the swap
+    got2 = colocated_join(l, r, left_where={"k": (10, 20)},
+                          right_where={"bv": (None, 30)})
+    want2 = (l.read().where("k BETWEEN 10 AND 20")
+             .join(r.read().where("bv <= 30"), "k"))
+    assert _rows(got2.select(*want2.columns)) == _rows(want2)

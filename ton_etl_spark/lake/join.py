@@ -171,6 +171,23 @@ def colocated_join(
             "select/rename via left_columns/right_columns"
         )
 
+    # inner joins are symmetric, and manifest row counts are free driver
+    # metadata — make the SMALLER side the resident build side
+    # automatically (a left join fixes the roles: left must stream).
+    # The recursed call runs with the roles swapped; only the output
+    # column order needs restoring.
+    if how == "inner" and sum(f.rows for f in lsnap.files) < sum(
+        f.rows for f in rsnap.files
+    ):
+        swapped = colocated_join(
+            right, left, how="inner",
+            left_columns=rcols, right_columns=lcols,
+            left_version=right_version, right_version=left_version,
+            cdc=cdc, left_where=right_where, right_where=left_where,
+            batch_rows=batch_rows,
+        )
+        return swapped.select(*keys, *lcols, *rcols)
+
     out_schema = T.StructType(
         [T.StructField(k, ltypes[k], True) for k in keys]
         + [T.StructField(c, ltypes[c], True) for c in lcols]
