@@ -323,3 +323,54 @@ def test_colocated_join_inner_auto_builds_on_smaller_side(spark, tmp_path):
     want2 = (l.read().where("k BETWEEN 10 AND 20")
              .join(r.read().where("bv <= 30"), "k"))
     assert _rows(got2.select(*want2.columns)) == _rows(want2)
+
+
+def test_colocated_join_randomized_differential(spark, tmp_path):
+    """Seeded randomized differential: across random key types, null
+    fractions, duplicate rates, bucket counts, payload shapes (incl.
+    arrays), join types, and random range predicates, colocated_join
+    must equal the corresponding Spark join exactly."""
+    import random
+
+    rnd = random.Random(29)
+    for trial in range(6):
+        nb = rnd.choice([2, 3, 8])
+        key_is_str = rnd.random() < 0.5
+        ktype = "string" if key_is_str else "long"
+
+        def mk_key(i):
+            if rnd.random() < 0.08:
+                return None
+            v = rnd.randint(0, 40)  # small domain: forced duplicates
+            return f"k{v}" if key_is_str else v
+
+        lrows = [(mk_key(i), rnd.randint(0, 10**6),
+                  [float(rnd.randint(0, 9)) for _ in range(3)])
+                 for i in range(rnd.randint(30, 120))]
+        rrows = [(mk_key(i), f"p{rnd.randint(0, 99)}")
+                 for i in range(rnd.randint(10, 120))]
+        ldf = spark.createDataFrame(lrows, f"k {ktype}, num long, vec array<double>")
+        rdf = spark.createDataFrame(rrows, f"k {ktype}, tag string")
+        lt = LakeTable.create(spark, str(tmp_path / f"l{trial}"),
+                              schema=ldf.schema, key_cols=["k"], n_buckets=nb,
+                              stats_cols=["num"])
+        rt = LakeTable.create(spark, str(tmp_path / f"r{trial}"),
+                              schema=rdf.schema, key_cols=["k"], n_buckets=nb)
+        lt.append(ldf, commit_key="s")
+        rt.append(rdf, commit_key="s")
+
+        how = rnd.choice(["inner", "left"])
+        lw = None
+        if rnd.random() < 0.5:
+            lo = rnd.randint(0, 10**6)
+            lw = {"num": (lo, lo + rnd.randint(0, 10**6))}
+        got = colocated_join(lt, rt, how=how, left_where=lw,
+                             batch_rows=rnd.choice([4, 1 << 16]))
+        lread = lt.read()
+        if lw:
+            (lo, hi) = lw["num"]
+            lread = lread.where(f"num >= {lo} AND num <= {hi}")
+        want = lread.join(rt.read(), "k", how)
+        assert _rows(got.select(*want.columns)) == _rows(want), (
+            trial, how, nb, ktype, lw
+        )
