@@ -354,7 +354,14 @@ def mirror_changes(
     but still record the commit key — the mirror's history stays an
     exact interval chain.  Additive source schema evolution flows
     through ``append``'s schema merge; earlier mirror rows read back
-    with NULLs in the new columns, the changelog contract."""
+    with NULLs in the new columns, the changelog contract.
+
+    Retention: the mirror is an append-only log and grows without bound
+    by design; once downstream consumers have drained a horizon, trim it
+    with the standard maintenance tools (``delete_where`` on a
+    monotonically increasing source column such as ``lsn``, plus
+    ``compact_small_files`` / ``expire_snapshots`` — the
+    ``retention_sweep`` pattern the curation decisions table uses)."""
 
     def _sink_batch(ch: DataFrame, from_v: int, to_v: int) -> None:
         sink.append(ch, commit_key=f"follow={from_v}-{to_v}")
