@@ -822,9 +822,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
 def test_connected_components_one_job_per_round(spark):
     """The convergence checksum is folded into the round's checkpoint
-    materialization: each alternation round costs exactly ONE Spark job
-    (plus the single setup job that materializes raw+canon) — the r6
-    two-jobs-per-round shape is a regression."""
+    materialization: each contraction round costs exactly ONE Spark job
+    (round 1's job also materializes the raw-edge checkpoint), and the
+    round count stays SMALL — the r8 kernel contracts whole local
+    subgraphs per round, so a 41-node path must finish in 2 rounds
+    (natural-partition contraction + single-task endgame), not the ~6+
+    rounds of hop-at-a-time star alternation."""
     from ton_etl_spark.operators.graph import connected_components
 
     sc = spark.sparkContext
@@ -840,8 +843,11 @@ def test_connected_components_one_job_per_round(spark):
         stats: dict = {}
         res = connected_components(df, stats=stats)
         jobs = sc.statusTracker().getJobIdsForGroup("cc_job_count")
-        assert stats["rounds"] >= 2  # a 41-node path needs real alternation
-        assert len(jobs) == stats["rounds"] + 1, (
+        assert stats["rounds"] == 2, (
+            f"{stats['rounds']} rounds for a 41-node path — the local-DSU "
+            "contraction should collapse it in natural + single-task rounds"
+        )
+        assert len(jobs) == stats["rounds"], (
             f"{len(jobs)} jobs for {stats['rounds']} rounds — checksum no "
             "longer folded into the round's materialization"
         )
@@ -849,6 +855,49 @@ def test_connected_components_one_job_per_round(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         sc.setJobGroup("", "")
+
+
+def test_connected_components_multi_partition_rounds(spark, monkeypatch):
+    """Force the distributed keyed-round path (the 100 TB shape): with the
+    single-task endgame disabled and tiny per-task sizing, the symmetrize
+    → hash-partition → local-DSU rounds alone must converge to the exact
+    components via the checksum fixpoint, on adversarial shapes."""
+    import random
+
+    import ton_etl_spark.operators.graph as graph
+
+    monkeypatch.setattr(graph, "_SINGLE_TASK_EDGES", 0)
+    monkeypatch.setattr(graph, "_EDGES_PER_TASK", 8)
+    rng = random.Random(99)
+    edges = (
+        [(i, i + 1) for i in range(80)]                      # long path
+        + [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+        + [(300, i) for i in range(300, 330)]                # star
+        + [(7, 7), (500, 500)]                               # self-loops
+    )
+    want = _uf_components([(a, b) for a, b in edges if a != b])
+    want[500] = 500  # self-loop-only node -> singleton (7 is on the path)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r["id"]: r["component"]
+        for r in graph.connected_components(df, stats=stats).collect()
+    }
+    assert got == want
+    assert stats["rounds"] >= 2  # genuinely exercised the keyed rounds
+
+
+def test_connected_components_string_ids(spark):
+    """The kernel factorizes generically: string node ids must work and
+    pick the lexicographically-smallest member as the component id."""
+    from ton_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "a"), ("m", "m")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "a", "a": "a", "m": "m"}
 
 
 def test_pack_chunks_duplicate_order_values_still_tile(spark):

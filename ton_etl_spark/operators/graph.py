@@ -3,16 +3,29 @@ pipeline: near-dup PAIRS (minhash/simhash/embedding LSH output) only say
 "these two match"; choosing one representative per duplicate *cluster*
 needs the components of the match graph.
 
-Algorithm: alternating large-star / small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
-O(log n) rounds regardless of component diameter, unlike naive min-label
-propagation which needs diameter rounds (a 10^6-long chain of pairwise
-near-dups would take 10^6 rounds).  Each round is one groupBy + one join
-on the node id; no collect, no driver-side graph.  Lineage is cut every
-round (iterative self-referential plans otherwise grow exponentially in
-Catalyst) with a LAZY checkpoint the round's convergence checksum
-materializes — one Spark job per round; ``checkpoint_dir=`` upgrades the
-cuts to reliable checkpoints for cluster fault tolerance.
+Algorithm (round-8 optimization rewrite): per-partition vectorized
+union-find contraction.  Each round replaces every partition's edge set
+with the star forest of its LOCAL connected components (root = smallest
+node id in the local component) — a connectivity-preserving rewrite that
+contracts whole locally-reachable subgraphs at once, where the previous
+large-star/small-star alternation (Kiveris et al., SoCC'14) moved one hop
+per round through ~5 exchanges.  Round 1 runs on the data's NATURAL
+partitioning (zero shuffle: a join/scan upstream already co-locates most
+duplicate clusters); later rounds hash-partition the SYMMETRIZED edge set
+by node id (one exchange), so every node sees its full adjacency and any
+remaining path at least halves in depth per round — O(log d) rounds worst
+case, 2–3 in practice.  As soon as the contracted edge count fits one
+task (``SPARK_GRAFT_CC_SINGLE_TASK_EDGES``), the final round runs the
+kernel on a single partition and yields the exact global star forest
+directly — the tree-reduce endgame: distributed while the data is big,
+one bounded task for the last few million rows.  Per-round work in the
+Python workers is pure vectorized numpy/pandas (hash factorize +
+scatter-min label propagation with pointer jumping) — no per-row Python.
+
+Each round still costs exactly ONE Spark job: lineage is cut with a LAZY
+checkpoint that the round's convergence checksum materializes;
+``checkpoint_dir=`` upgrades the cuts to reliable checkpoints for cluster
+fault tolerance.
 
 No reference analog; first-class training-data operator per the task
 brief.  Cluster-representative selection after components is a plain
@@ -21,61 +34,104 @@ brief.  Cluster-representative selection after components is a plain
 
 from __future__ import annotations
 
+import os
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _canon(edges: DataFrame) -> DataFrame:
-    """Undirected edge set as (big, small) pairs, self-loops dropped."""
-    a, b = F.col("__a"), F.col("__b")
-    return (
-        edges.where(a != b)
-        .select(F.greatest(a, b).alias("__a"), F.least(a, b).alias("__b"))
-        .distinct()
-    )
-
-
-def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node u: connect every STRICTLY LARGER neighbor to
-    m = min(neighborhood ∪ {u}).  Operates on the symmetrized adjacency."""
-    adj = edges.unionByName(
-        edges.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
-    )
-    m = adj.groupBy("__a").agg(F.min("__b").alias("__mn")).select(
-        "__a", F.least(F.col("__mn"), F.col("__a")).alias("__m")
-    )
-    return (
-        adj.join(m, on="__a")
-        .where(F.col("__b") > F.col("__a"))
-        .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
-        .where(F.col("__a") != F.col("__b"))
-        .distinct()
-    )
+# When the contracted edge count drops to this many rows, finish with one
+# single-partition kernel call (exact global star forest in one task).
+# 4M edges ≈ 64 MB of id pairs ≈ 1 s of vectorized kernel — small enough
+# that one task beats another distributed round's scheduling + shuffle.
+_SINGLE_TASK_EDGES = int(os.environ.get("SPARK_GRAFT_CC_SINGLE_TASK_EDGES", 4_000_000))
+# Sizing for multi-partition rounds: edges per kernel task.  2M rows
+# ≈ 32 MB input ≈ a few hundred MB peak in the worker (factorize + labels)
+# — the same order as an AQE advisory partition.  Both knobs are
+# env-overridable for cluster deployments.
+_EDGES_PER_TASK = int(os.environ.get("SPARK_GRAFT_CC_EDGES_PER_TASK", 2_000_000))
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """For each node u over its SMALLER neighbors N (edges arrive as
-    (big=u, small)): connect every v in N ∪ {u} to m = min(N).
+def _local_stars(a, b):
+    """Exact connected components of the edge arrays ``(a, b)`` — returns
+    ``(member, root)`` arrays with root = smallest node id of the member's
+    component, member != root.  Vectorized min-label propagation with
+    pointer jumping and supervertex contraction; the factorization is
+    hash-based (pd.factorize) + one small argsort so that label order
+    matches node-id order (smaller label index ⇔ smaller node id)."""
+    import numpy as np
+    import pandas as pd
 
-    Output is already in canonical (big, small) orientation: every emitted
-    edge points at __m = min(N(u)), which is strictly smaller than the
-    first component (__m <= every v in N < u, and the __a != __b filter
-    removes the v == __m equality), and ``distinct`` has been applied — so
-    wrapping the result in ``_canon`` again would only re-derive the same
-    rows through one more full exchange."""
-    m = edges.groupBy("__a").agg(F.min("__b").alias("__m"))
-    with_m = edges.join(m, on="__a")
-    out = with_m.select(F.col("__b").alias("__a"), F.col("__m").alias("__b")).unionByName(
-        with_m.select(F.col("__a"), F.col("__m").alias("__b"))
-    )
-    return out.where(F.col("__a") != F.col("__b")).distinct()
+    both = np.concatenate([a, b])
+    codes, uniq = pd.factorize(both, sort=False)
+    uniq = np.asarray(uniq)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    codes = rank[codes]
+    nodes = uniq[order]
+    ea, eb = codes[: len(a)], codes[len(a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while len(ea):
+        lab = label.copy()
+        # pull the smaller label across every edge, both directions
+        np.minimum.at(lab, ea, label[eb])
+        np.minimum.at(lab, eb, label[ea])
+        # pointer jumping: labels only decrease, so this terminates
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        label = lab
+        # contract: re-express edges between current roots, drop internal
+        ea, eb = label[ea], label[eb]
+        keep = ea != eb
+        ea, eb = ea[keep], eb[keep]
+    root = nodes[label]
+    keep = nodes != root
+    return nodes[keep], root[keep]
+
+
+def _dsu_kernel(emit_roots: bool):
+    """mapInPandas kernel: one local-star contraction over the partition.
+    ``emit_roots=True`` (final single-partition round) additionally emits
+    (root, root) rows so the output is the complete (id → component) map
+    for every connected node."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        heads_a, heads_b = [], []
+        for pdf in batches:
+            if len(pdf):
+                heads_a.append(pdf["__a"].to_numpy())
+                heads_b.append(pdf["__b"].to_numpy())
+        if not heads_a:
+            return
+        member, root = _local_stars(
+            np.concatenate(heads_a), np.concatenate(heads_b)
+        )
+        if emit_roots:
+            roots = np.unique(root)
+            member = np.concatenate([member, roots])
+            root = np.concatenate([root, roots])
+        yield pd.DataFrame({"__a": member, "__b": root})
+
+    return kernel
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """(row count, order-independent multiset hash).  SUM of per-row hashes
+    (decimal — no overflow, no ANSI trap) rather than XOR: kernel rounds
+    can emit the same star edge from two partitions, and XOR would cancel
+    even-multiplicity rows into a blind spot."""
     r = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.bit_xor(F.xxhash64(F.col("__a"), F.col("__b"))), F.lit(0)
+            F.sum(F.xxhash64(F.col("__a"), F.col("__b")).cast("decimal(20,0)")),
+            F.lit(0).cast("decimal(30,0)"),
         ).alias("h"),
     ).first()
     return int(r["n"]), int(r["h"])
@@ -93,13 +149,12 @@ def connected_components(
     ``component`` is the smallest node id in the node's connected
     component (root rows ``id == component`` included; a node whose only
     edges are self-loops is its own singleton component).  Raises if the
-    alternation has not converged after ``max_iter`` rounds (far beyond
-    the O(log n) bound for any realistic graph).
+    contraction has not converged after ``max_iter`` rounds (far beyond
+    the O(log d) bound for any realistic graph).
 
     Lineage cuts are LAZY (``eager=False``): each round's convergence
     checksum is the action that materializes that round's checkpoint, so
-    a round costs exactly ONE Spark job — the checksum is folded into the
-    round's own materialization instead of running as a second scan.
+    a round costs exactly ONE Spark job.
 
     ``checkpoint_dir`` switches the per-round lineage cuts from
     ``localCheckpoint`` (executor-resident blocks — one lost executor on
@@ -107,9 +162,8 @@ def connected_components(
     ``checkpoint`` into that directory (HDFS/object store on a cluster).
     Each round's frame is persisted before the reliable cut so the
     checkpoint save reads the cached blocks instead of recomputing the
-    round; the previous round's cache is dropped as soon as the next
-    round lands.  Costs one extra save job per round — the fault-
-    tolerance trade, quantified in BENCH.md.
+    round; a round's cache is released once its checkpoint has
+    materialized and a newer round has landed.
 
     ``stats`` (optional dict) receives ``{"rounds": k}`` for job-count
     assertions in tests."""
@@ -129,52 +183,90 @@ def connected_components(
         while len(pinned) > keep_last:
             pinned.pop(0).unpersist()
 
-    # checkpoint the RAW edges once: both the canon seed and the singleton
-    # backfill below consume them, and the input is often an expensive plan
-    # (an LSH pipeline) that must not execute twice
-    raw = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
-    raw = raw.localCheckpoint(eager=False) if not reliable else _cut(raw)
+    # checkpoint the RAW edges once: both the round-1 contraction and the
+    # singleton backfill below consume them, and the input is often an
+    # expensive plan (an LSH pipeline) that must not execute twice
+    raw = _cut(edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b")))
     all_nodes = (
         raw.select(F.col("__a").alias("id"))
         .unionByName(raw.select(F.col("__b").alias("id")))
         .where(F.col("id").isNotNull())
         .distinct()
     )
-    e = _cut(_canon(raw))
+    pair_schema = raw.schema
+    a, b = F.col("__a"), F.col("__b")
+    live = raw.where(a.isNotNull() & b.isNotNull() & (a != b))
+    kern = _dsu_kernel(emit_roots=False)
+    # round 1: contract on the data's NATURAL partitioning — no shuffle
+    e = _cut(live.mapInPandas(kern, pair_schema))
     # this first checksum is the action that materializes BOTH the raw and
-    # canon checkpoints; its count doubles as the emptiness check
+    # round-1 checkpoints; its count doubles as the emptiness check and
+    # sizes the next round
     prev = _checksum(e)
-    rounds = 0
-    if prev[0] == 0:
-        # every node is a singleton (self-loop-only inputs)
-        if stats is not None:
-            stats["rounds"] = 0
-        return all_nodes.withColumn("component", F.col("id"))
-    for _ in range(max_iter):
-        # _small_star output is canonical + distinct (see its docstring):
-        # no _canon pass per round, one exchange fewer
-        e = _cut(_small_star(_large_star(e)))
-        cur = _checksum(e)  # materializes the round's checkpoint
-        rounds += 1
-        # raw stays pinned (the singleton backfill still reads it);
-        # earlier rounds' caches are dead once the new round landed
-        if reliable:
-            _drop_pins(keep_last=2)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    rounds = 1
+    if reliable:
+        _drop_pins(keep_last=2)
+    exact = False
+    n_parts = None
+    if prev[0] > 0:
+        for _ in range(max_iter):
+            if prev[0] <= _SINGLE_TASK_EDGES:
+                # endgame: one bounded task computes the exact global
+                # star forest of the contracted graph
+                e = _cut(
+                    e.coalesce(1).mapInPandas(
+                        _dsu_kernel(emit_roots=True), pair_schema
+                    )
+                )
+                _checksum(e)  # materializes the final checkpoint
+                rounds += 1
+                if reliable:
+                    _drop_pins(keep_last=1)
+                exact = True
+                break
+            # symmetrize so each node's full adjacency co-locates under
+            # the hash partition on __a; kernel handles duplicates free
+            sym = e.unionByName(
+                e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+            )
+            # partition count: power-of-2 quantized and MONOTONE
+            # non-increasing across rounds — a count that wobbles ±1 row
+            # must not change the partitioning, or co-location (and the
+            # emitted multiset) never stabilizes and the fixpoint check
+            # can oscillate with period 2
+            needed = max(2, -(-2 * prev[0] // _EDGES_PER_TASK))
+            needed = 1 << (needed - 1).bit_length()
+            n_parts = needed if n_parts is None else min(n_parts, needed)
+            e = _cut(sym.repartition(n_parts, "__a").mapInPandas(kern, pair_schema))
+            cur = _checksum(e)
+            rounds += 1
+            if reliable:
+                _drop_pins(keep_last=2)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds"
+            )
     if stats is not None:
         stats["rounds"] = rounds
-    # fixpoint is a forest of stars (big, root); components = star edges
-    # plus each root itself, plus singletons whose only edges were
-    # self-loops (dropped by _canon but still 'appearing in edges')
-    nodes = e.select(F.col("__a").alias("id"), F.col("__b").alias("component"))
-    roots = e.select(F.col("__b").alias("id")).distinct().withColumn(
-        "component", F.col("id")
-    )
-    connected = nodes.unionByName(roots).distinct()
+    if prev[0] == 0:
+        # every node is a singleton (self-loop-only / empty inputs)
+        return all_nodes.withColumn("component", F.col("id"))
+    if exact:
+        # the final kernel emitted the complete (id, component) map for
+        # connected nodes — no distinct, no root reconstruction
+        connected = e.select(F.col("__a").alias("id"), F.col("__b").alias("component"))
+    else:
+        # checksum-fixpoint exit (graph never contracted under the
+        # single-task threshold): the stable set is a star forest, but
+        # kernel rounds may emit a star edge from two partitions — dedup
+        nodes = e.select(F.col("__a").alias("id"), F.col("__b").alias("component"))
+        roots = e.select(F.col("__b").alias("id")).distinct().withColumn(
+            "component", F.col("id")
+        )
+        connected = nodes.unionByName(roots).distinct()
     singles = all_nodes.join(
         connected.select("id"), on="id", how="left_anti"
     ).withColumn("component", F.col("id"))
