@@ -611,69 +611,171 @@ def embedding_near_dups(
     → exact cosine only on candidates sharing ≥1 table bucket.
 
     ``dim`` is REQUIRED — the hyperplanes must match the vector length
-    (``zip_with`` against a shorter plane would null-pad and silently
-    bucket everything together).
+    (a row whose vector is NULL or of a different length cannot be
+    bucketed and is excluded, the same exclusion the old ``zip_with``
+    null-padding produced).
 
     The multi-table construction is the cosine analog of minhash banding:
     per-plane agreement probability is 1 - θ/π, so one k-plane table finds
     a cosine-0.95 pair with prob ~0.43 (k=8) but 8 independent tables lift
-    recall to ~0.99.  Scale shape mirrors ``minhash_lsh_pairs``: bucket
-    entries carry ONLY (id, table, bucket) through the self-join shuffle;
-    the dim-sized vectors join back for the sparse survivors only.
+    recall to ~0.99.
+
+    Round-8 optimization (guide §4.2/§2.3): bucketing and the exact-cosine
+    verification are vectorized numpy kernels instead of interpreted JVM
+    higher-order folds, and verification happens INSIDE each (tbl, bucket)
+    group — the candidate pairs never materialize as a JVM self-join, so
+    the per-pair shuffle (15.8M rows at sf1.0) and its dropDuplicates
+    exchange disappear; only the ~2% surviving pairs are deduplicated
+    across tables.  Bit-equivalence with the old JVM fold (and with the
+    DuckDB oracle) is preserved by accumulating dot products and norms in
+    float64 SEQUENTIALLY over the dimension axis — the exact IEEE754
+    operation order of ``aggregate(zip_with(...))`` — and by replicating
+    Spark's NaN-is-largest comparison semantics (a NaN cosine passes the
+    threshold, a NaN plane-dot sets the sign bit).
 
     ``max_bucket_size`` is the same degenerate-bucket guard as minhash's:
-    a web-scale embedding corpus has pathological mass points (all-zero
-    vectors from failed encodes, template pages sharing one embedding)
-    whose bucket would go quadratic in the self-join; buckets above the
-    cap are dropped — members of a mass point are better routed to exact
-    dedup on the vector hash.  The count+semi-join shares the self-join's
-    (tbl, bucket) partitioning, so the guard adds no extra exchange.
+    buckets above the cap are dropped BEFORE the group shuffle (count +
+    semi-join sharing the (tbl, bucket) partitioning), and the group
+    kernel short-circuits oversized groups before touching their vectors.
     Default off: the pinned oracle queries reproduce the uncapped sketch.
+    Per-group work is O(m²·dim) vectorized with O(chunk·m) memory — the
+    inherent cost of the uncapped semantics; the capped twin is the
+    production operating point.
     """
-    from ton_etl_spark.operators.similarity import _hyperplane_bucket, _cosine
+    import numpy as np
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
 
-    entries = emb.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _hyperplane_bucket(
-                            F.col(vec_col), n_planes, seed + 7919 * t, dim
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
+    from ton_etl_spark.operators.similarity import _hyperplanes
+
+    # (n_tables, n_planes, dim) float64 — identical constants to the old
+    # JVM literals and the DuckDB oracle (repr round-trips IEEE754 exactly)
+    planes = np.stack(
+        [
+            np.array(_hyperplanes(dim, n_planes, seed + 7919 * t), dtype=np.float64)
+            for t in range(n_tables)
+        ]
+    )
+
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    id_field = src.schema[id_col]
+    vec_field = src.schema[vec_col]
+    entries_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("tbl", IntegerType()),
+            StructField("bucket", LongType()),
+            StructField(vec_col, vec_field.dataType),
+        ]
+    )
+
+    def bucket_kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        shifts = _np.arange(n_planes, dtype=_np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf[vec_col].to_numpy()
+            ok = _np.array(
+                [v is not None and len(v) == dim for v in cells], dtype=bool
             )
-        ).alias("tb"),
-    ).select(F.col(id_col), F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+            if not ok.any():
+                continue
+            ids = pdf[id_col].to_numpy()[ok]
+            keep = [c for c, k in zip(cells, ok) if k]
+            vecs = _np.stack([_np.asarray(c, dtype=_np.float64) for c in keep])
+            frames = []
+            for t in range(n_tables):
+                # sequential-d accumulation == the JVM fold's IEEE754 order
+                acc = _np.zeros((len(vecs), n_planes))
+                for d in range(dim):
+                    acc += vecs[:, d: d + 1] * planes[t, :, d][None, :]
+                # Spark comparison semantics: NaN >= 0 is TRUE
+                bits = (acc >= 0) | _np.isnan(acc)
+                bucket = (bits.astype(_np.int64) << shifts[None, :]).sum(axis=1)
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "tbl": _np.full(len(ids), t, dtype=_np.int32),
+                            "bucket": bucket,
+                            vec_col: keep,
+                        }
+                    )
+                )
+            yield _pd.concat(frames, ignore_index=True)
+
+    entries = src.mapInPandas(bucket_kernel, entries_schema)
     if max_bucket_size is not None:
         entries = drop_oversized_groups(entries, ["tbl", "bucket"], max_bucket_size)
-    a, b = entries.alias("a"), entries.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+
+    out_schema = StructType(
+        [
+            StructField("id_a", id_field.dataType),
+            StructField("id_b", id_field.dataType),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    # exact-cosine verification in pure double math (float*float products
-    # would differ from a double-math oracle at the ~1e-8 level — enough to
-    # flip a 6-dp rounding boundary)
-    vec_dbl = F.col(vec_col).cast("array<double>")
-    vec_a = emb.select(F.col(id_col).alias("id_a"), vec_dbl.alias("vec_a"))
-    vec_b = emb.select(F.col(id_col).alias("id_b"), vec_dbl.alias("vec_b"))
-    cand = pairs.join(vec_a, "id_a").join(vec_b, "id_b").select(
-        "id_a", "id_b", _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
-    )
-    return cand.where(F.col("cosine") >= min_cosine)
+
+    def verify_group(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        m = len(pdf)
+        empty = _pd.DataFrame(
+            {
+                "id_a": pdf[id_col].iloc[:0],
+                "id_b": pdf[id_col].iloc[:0],
+                "cosine": _pd.Series([], dtype="float64"),
+            }
+        )
+        if m < 2 or (max_bucket_size is not None and m > max_bucket_size):
+            return empty
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        vecs = _np.stack(
+            [_np.asarray(c, dtype=_np.float64) for c in pdf[vec_col].to_numpy()]
+        )
+        # norms once per vector (the fold computed them per pair, but the
+        # value is a pure function of the vector): acc + v*v, sequential
+        nrm2 = _np.zeros(m)
+        for d in range(dim):
+            nrm2 += vecs[:, d] * vecs[:, d]
+        nrm = _np.sqrt(nrm2)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked pairwise dots: memory O(chunk·m), never O(m²)
+        chunk = max(1, 2_000_000 // m)
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            dot = _np.zeros((e - s, m))
+            for d in range(dim):
+                dot += vecs[s:e, d: d + 1] * vecs[:, d][None, :]
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (nrm[s:e, None] * nrm[None, :])
+            # strict upper triangle on the id-sorted order == id_a < id_b;
+            # Spark semantics again: a NaN cosine passes the threshold
+            tri = _np.arange(m)[None, :] > _np.arange(s, e)[:, None]
+            tri &= ids[None, :] != ids[s:e, None]
+            mask = tri & ((cos >= min_cosine) | _np.isnan(cos))
+            ai, bj = _np.nonzero(mask)
+            out_a.append(ids[s + ai])
+            out_b.append(ids[bj])
+            out_c.append(cos[ai, bj])
+        if not out_a:
+            return empty
+        return _pd.DataFrame(
+            {
+                "id_a": _np.concatenate(out_a),
+                "id_b": _np.concatenate(out_b),
+                "cosine": _np.concatenate(out_c),
+            }
+        )
+
+    pairs = entries.groupBy("tbl", "bucket").applyInPandas(verify_group, out_schema)
+    # a true near-dup collides in several tables; the cosine is a pure
+    # function of the pair, so whichever row survives is identical
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 # --------------------------------------------------------------------------
