@@ -887,6 +887,39 @@ def test_connected_components_multi_partition_rounds(spark, monkeypatch):
     assert stats["rounds"] >= 2  # genuinely exercised the keyed rounds
 
 
+def test_minhash_fold_kernel_matches_jvm_xxhash(spark):
+    """The numpy permutation fold must reproduce Spark's
+    ``least-over-xxhash64(h, lit(seed+i))`` bit-for-bit — including NULL
+    sigs for empty/NULL/punctuation-only text — or every stored minhash
+    index silently diverges from fresh signatures."""
+    from pyspark.sql import functions as F
+
+    from ton_etl_spark.operators.dedup import minhash_signatures, shingles
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog twice over"),
+            (2, None), (3, ""), (4, "...!!!"), (5, "one"),
+            (6, "x " * 200), (7, "exactly three words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_hashes, seed = 32, 42
+    got = {r["doc_id"]: r["sig"] for r in minhash_signatures(df, seed=seed).collect()}
+    # reference: the round-7 JVM aggregate/zip_with fold, inline
+    base = F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s, F.lit(seed)))
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * n_hashes)
+    sig = F.when(
+        F.size(base) > 0,
+        F.aggregate(
+            base, init,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(h, F.lit(seed + i)) for i in range(n_hashes)]),
+                lambda a, b: F.least(a, b),
+            ),
+        ),
+    )
+    want = {r["doc_id"]: r["sig"] for r in df.select("doc_id", sig.alias("sig")).collect()}
+    assert got == want
+
+
 def test_connected_components_string_ids(spark):
     """The kernel factorizes generically: string node ids must work and
     pick the lexicographically-smallest member as the component id."""

@@ -27,6 +27,98 @@ from ton_etl_spark.functions.text import fingerprint, words
 # deterministic per-permutation seeds for minhash
 _MERSENNE = (1 << 61) - 1
 
+# XXH64 constants (public spec; identical to Spark's catalyst XXH64)
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+
+
+def _minhash_fold_kernel(n_hashes: int, seed: int, id_name: str):
+    """mapInArrow kernel computing minhash signatures from base shingle
+    hashes: sig[i] = min over shingles of ``xxhash64(h, lit(seed+i))``,
+    reproduced bit-exactly in vectorized uint64 numpy (guide §4.2 — the
+    JVM form was a 32-wide interpreted fold whose generated code also
+    dominated the query's one-shot compile time).  Spark's two-arg
+    ``xxhash64(h, lit)`` chains ``inner = hashLong(h, 42)`` then
+    ``hashInt(lit, inner)`` (an int literal) — replicated below and locked
+    by a bit-equality test against ``F.xxhash64``.  NULL/empty shingle
+    arrays yield a NULL sig, as before."""
+    import numpy as np
+
+    u64 = np.uint64
+    lit_is_int = all(-(2**31) <= seed + i < 2**31 for i in range(n_hashes))
+
+    def _rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    def _fmix(h):
+        h = h ^ (h >> u64(33)); h = h * u64(_XXP2)
+        h = h ^ (h >> u64(29)); h = h * u64(_XXP3)
+        return h ^ (h >> u64(32))
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        with np.errstate(over="ignore"):
+            if lit_is_int:
+                # hashInt(seed+i, inner): K[i] folds the constant input
+                ks = np.array(
+                    [(((seed + i) & 0xFFFFFFFF) * _XXP1) & (2**64 - 1) for i in range(n_hashes)],
+                    dtype=np.uint64,
+                )
+            else:  # pragma: no cover - long literals (|seed| >= 2^31)
+                ks = np.array(
+                    [(_rotl(u64((seed + i) & (2**64 - 1)) * u64(_XXP2), 31) * u64(_XXP1))
+                     for i in range(n_hashes)],
+                    dtype=np.uint64,
+                )
+            for b in batches:
+                ids = b.column(b.schema.get_field_index(id_name))
+                hcol = b.column(b.schema.get_field_index("__h"))
+                lens = pc.fill_null(pc.list_value_length(hcol), 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                flat = pc.list_flatten(hcol).to_numpy(zero_copy_only=False)
+                flat = flat.astype(np.int64).view(np.uint64)
+                pos = lens > 0
+                n_pos = int(pos.sum())
+                if n_pos:
+                    # inner = hashLong(h, 42) — Spark's default seed
+                    h = u64(42) + u64(_XXP5) + u64(8)
+                    k1 = _rotl(flat * u64(_XXP2), 31) * u64(_XXP1)
+                    inner = _rotl(h ^ k1, 27) * u64(_XXP1) + u64(_XXP4)
+                    inner = _fmix(inner)
+                    if lit_is_int:
+                        base = inner + u64(_XXP5) + u64(4)
+                    else:  # pragma: no cover
+                        base = inner + u64(_XXP5) + u64(8)
+                    starts = np.zeros(n_pos, dtype=np.int64)
+                    np.cumsum(lens[pos], out=starts)
+                    starts = np.concatenate(([0], starts[:-1]))
+                    rot, pa_, pb_ = (23, _XXP2, _XXP3) if lit_is_int else (27, _XXP1, _XXP4)
+                    minima = np.empty((n_pos, n_hashes), dtype=np.int64)
+                    for i in range(n_hashes):
+                        x = _rotl(base ^ ks[i], rot) * u64(pa_) + u64(pb_)
+                        perm = _fmix(x).view(np.int64)
+                        minima[:, i] = np.minimum.reduceat(perm, starts)
+                else:
+                    minima = np.empty((0, n_hashes), dtype=np.int64)
+                sizes = np.where(pos, n_hashes, 0)
+                offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+                np.cumsum(sizes, out=offsets[1:])
+                sig = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(minima.reshape(-1), type=pa.int64()),
+                    mask=pa.array(~pos),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, sig], names=[id_name, "sig"]
+                )
+
+    return kernel
+
 
 # Bounded registry of persisted signature DataFrames: the band self-join and
 # pair verification reuse the signatures, so they must be cached for the
@@ -220,45 +312,37 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of the i-th
-    permutation hash.  Each shingle STRING is hashed exactly once; the
-    n_hashes permutations re-hash the resulting 64-bit value (hashing a
-    long is ~10× cheaper than re-hashing the string n_hashes times).
-
-    The n_hashes mins fold in ONE traversal of the shingle-hash array
-    (aggregate with an n_hashes-wide accumulator, zip_with/least per
-    element) instead of n_hashes independent transform+array_min passes —
-    measured 1.5× at sf0.1, same trick as the single-pass simhash
-    rewrite.  Signatures are bit-identical to the multi-pass form (min is
-    commutative) for NON-EMPTY shingle sets; a NULL/empty shingle array —
-    which ``shingles`` now emits for NULL, empty, or all-punctuation text —
-    yields ``sig = NULL`` (the multi-pass ``array_min`` NULL, NOT the
-    fold's untouched Long.MAX accumulator — a shared sentinel sig would
-    make every shingle-less doc band-collide with every other).  All array
-    ops; one narrow pass, no shuffle.  The words array is staged as its
+    permutation hash.  Each shingle STRING is hashed exactly once (JVM
+    xxhash64, one narrow pass); the n_hashes permutation re-hashes of the
+    resulting 64-bit values and the per-permutation minima run in a
+    vectorized numpy mapInArrow kernel that reproduces Spark's
+    ``xxhash64(h, lit(seed+i))`` bit-for-bit (round-8 optimization: the
+    previous 32-wide interpreted aggregate/zip_with fold was both the
+    slowest stage and — through its enormous generated code — most of the
+    query's one-shot compile time).  A NULL/empty shingle array yields
+    ``sig = NULL`` (a shared sentinel sig would make every shingle-less
+    doc band-collide with every other).  The words array is staged as its
     own projection so the tokenizer regex runs ONCE per row — the shingle
     CASE references it four times, and CollapseProject keeps a multiply-
     referenced non-cheap expression in its own Project."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
     ws = words(F.col(text_col)).alias("__ws")
     sh = shingles_of_words(F.col("__ws"), k_shingle).alias("__sh")
     base = F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed))).alias("__h")
-    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * n_hashes)
-    sig = F.when(
-        F.size(F.col("__h")) > 0,
-        F.aggregate(
-            F.col("__h"),
-            init,
-            lambda acc, h: F.zip_with(
-                acc,
-                F.array(*[F.xxhash64(h, F.lit(seed + i)) for i in range(n_hashes)]),
-                lambda a, b: F.least(a, b),
-            ),
-        ),
-    )
-    return (
+    staged = (
         docs.select(F.col(id_col), ws)
         .select(F.col(id_col), sh)
         .select(F.col(id_col), base)
-        .select(F.col(id_col), sig.alias("sig"))
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, staged.schema[id_col].dataType),
+            StructField("sig", ArrayType(LongType()), True),
+        ]
+    )
+    return staged.mapInArrow(
+        _minhash_fold_kernel(n_hashes, seed, id_col), out_schema
     )
 
 

@@ -16,13 +16,24 @@ from pyspark.sql import Window as W
 def lww_snapshot(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
     """One row per key: the last-writer (max by order_by) row.
 
-    Callers must make ``order_by`` a TOTAL order within each key (include a
-    unique tiebreaker such as the lsn/event id) — on exact ties row_number
-    picks a shuffle-order-dependent winner."""
-    w = W.partitionBy(*keys).orderBy(*[c.desc() for c in order_by])
-    cols = df.columns
+    Implemented as ``max_by`` over the order struct rather than a
+    ``row_number`` window (round-8 optimization, guide §2.3): the hash
+    aggregate partially reduces map-side — a key's millions of events
+    reach the exchange as one candidate per input partition — and nothing
+    is sorted, where the window shuffled and sorted every row.  Winner is
+    identical whenever ``order_by`` is a total order within each key.
+
+    Callers must make ``order_by`` a TOTAL order within each key (include
+    a unique tiebreaker such as the lsn/event id) — on exact ties the
+    winner is shuffle-order-dependent (true of the row_number form too).
+    Rows whose order key is NULL lose against any non-NULL row (the
+    row_number form's ``desc``-nulls-last gave them the same fate)."""
+    ord_expr = F.struct(*[c.alias(f"__o{i}") for i, c in enumerate(order_by)])
+    payload = F.struct(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).select(*cols)
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by(payload, ord_expr).alias("__win"))
+        .select("__win.*")
     )
 
 
