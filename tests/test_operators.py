@@ -1378,6 +1378,42 @@ def test_pq_adc_exact_on_codebook_grid(spark):
     assert top_adc == top_exact
 
 
+def test_pq_null_rows_fail_loudly(spark):
+    """A NULL embedding reaching the PQ encoder, or a NULL pq_code reaching
+    ADC, must raise a contract-stating ValueError instead of an opaque
+    numpy TypeError (ADVICE r7)."""
+    import numpy as np
+    import pytest
+
+    from ton_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train,
+        with_pq_codes,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    X = rng.normal(size=(40, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(emb, dim=dim, m=4, k=4, seed=1)
+    with_null = emb.unionByName(
+        spark.createDataFrame([(999, None)], "vec_id long, embedding array<float>")
+    )
+    with pytest.raises(Exception, match="NULL or wrong-length embedding"):
+        with_pq_codes(with_null, books).collect()
+    coded = with_pq_codes(emb, books)
+    broken = coded.withColumn(
+        "pq_code",
+        F.when(F.col("vec_id") == 0, F.lit(None).cast("binary")).otherwise(F.col("pq_code")),
+    )
+    q = [0.0] * dim
+    with pytest.raises(Exception, match="NULL or wrong-length pq_code"):
+        pq_adc_topk(broken, q, books, topk=5).collect()
+
+
 def test_pq_train_deterministic_and_encode_compresses(spark):
     import numpy as np
 

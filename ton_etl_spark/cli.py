@@ -269,8 +269,8 @@ def _cmd_follow(args) -> int:
     (``mirror_changes``, interval commit keys).  Without: print one JSON
     line per interval batch (row counts by ``_change_type``).  The file
     cursor makes restarts resume where the last fully-processed interval
-    ended; ``--until-idle`` + ``--poll-interval`` run an operational tail
-    that exits once the source goes quiet."""
+    ended; ``--idle-polls`` + ``--poll-interval`` run an operational tail
+    that exits after that many consecutive quiet polls."""
     from ton_etl_spark.lake.incremental import (
         follow_changes,
         make_changelog_sink,

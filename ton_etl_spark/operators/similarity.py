@@ -638,6 +638,12 @@ def _pq_encode_udf(codebooks: list):
 
     @pandas_udf("binary")
     def encode(vecs: pd.Series) -> pd.Series:
+        bad = sum(1 for v in vecs if v is None or len(v) != m * d)
+        if bad:
+            raise ValueError(
+                f"pq encode: {bad} row(s) with NULL or wrong-length embedding "
+                f"(expected {m * d} floats); PQ rows must carry full vectors"
+            )
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if x.size == 0:
             return pd.Series([], dtype=object)
@@ -691,6 +697,12 @@ def pq_adc_topk(
     def adc(codes: pd.Series) -> pd.Series:
         if len(codes) == 0:
             return pd.Series([], dtype=float)
+        bad = sum(1 for c in codes if c is None or len(c) != m)
+        if bad:
+            raise ValueError(
+                f"pq adc: {bad} row(s) with NULL or wrong-length pq_code "
+                f"(expected {m} bytes); re-encode the index before probing"
+            )
         c = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(len(codes), m)
         return pd.Series(lut[np.arange(m)[None, :], c].sum(axis=1))
 
