@@ -34,20 +34,106 @@ _XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
 )
 
 
-def _minhash_fold_kernel(n_hashes: int, seed: int, id_name: str):
-    """mapInArrow kernel computing minhash signatures from base shingle
-    hashes: sig[i] = min over shingles of ``xxhash64(h, lit(seed+i))``,
-    reproduced bit-exactly in vectorized uint64 numpy (guide §4.2 — the
-    JVM form was a 32-wide interpreted fold whose generated code also
-    dominated the query's one-shot compile time).  Spark's two-arg
-    ``xxhash64(h, lit)`` chains ``inner = hashLong(h, 42)`` then
-    ``hashInt(lit, inner)`` (an int literal) — replicated below and locked
-    by a bit-equality test against ``F.xxhash64``.  NULL/empty shingle
-    arrays yield a NULL sig, as before."""
+def _xxh64_bytes_vec(flat, starts, lens, seed: int):
+    """Vectorized XXH64 over n variable-length byte strings stored in one
+    flat uint8 buffer (``starts``/``lens`` in bytes) — bit-identical to
+    Spark's catalyst ``XXH64.hashUnsafeBytes(..., seed)`` (32-byte stripe
+    accumulators, 8-byte chunks, 4-byte chunk, byte tail, avalanche).
+    Strings are gathered into a zero-padded (n, Lpad) matrix; callers
+    split pathological length outliers into their own call so one long
+    string cannot inflate the whole matrix."""
+    import numpy as np
+
+    U = np.uint64
+    P1, P2, P3, P4, P5 = (U(_XXP1), U(_XXP2), U(_XXP3), U(_XXP4), U(_XXP5))
+
+    def rotl(x, r):
+        r = U(r)
+        return (x << r) | (x >> (U(64) - r))
+
+    def fmix(h):
+        h = h ^ (h >> U(33)); h = h * P2
+        h = h ^ (h >> U(29)); h = h * P3
+        return h ^ (h >> U(32))
+
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = lens.astype(np.int64)
+    maxlen = int(lens.max())
+    if maxlen > 512 and n > 1:
+        # split off the long tail so its pad width is paid only by it
+        longm = lens > 512
+        out = np.empty(n, dtype=np.uint64)
+        for m in (longm, ~longm):
+            if m.any():
+                out[m] = _xxh64_bytes_vec(flat, starts[m], lens[m], seed)
+        return out
+    Lpad = max(8, ((maxlen + 7) // 8) * 8)
+    mat = np.zeros((n, Lpad), dtype=np.uint8)
+    if int(lens.sum()):
+        row = np.repeat(np.arange(n), lens)
+        col = np.arange(len(row)) - np.repeat(np.cumsum(lens) - lens, lens)
+        mat[row, col] = flat[np.repeat(starts, lens) + col]
+    w64 = mat.view("<u8")
+    w32 = mat.view("<u4")
+    seed = U(seed & (2**64 - 1))
+    big = lens >= 32
+    it = np.where(big, lens // 32, 0).astype(np.int64)
+    v1 = np.full(n, seed + P1 + P2, dtype=np.uint64)
+    v2 = np.full(n, seed + P2, dtype=np.uint64)
+    v3 = np.full(n, seed, dtype=np.uint64)
+    v4 = np.full(n, seed - P1, dtype=np.uint64)
+    for s in range(int(it.max())):
+        act = it > s
+        b4 = s * 4
+        v1 = np.where(act, rotl(v1 + w64[:, b4 + 0] * P2, 31) * P1, v1)
+        v2 = np.where(act, rotl(v2 + w64[:, b4 + 1] * P2, 31) * P1, v2)
+        v3 = np.where(act, rotl(v3 + w64[:, b4 + 2] * P2, 31) * P1, v3)
+        v4 = np.where(act, rotl(v4 + w64[:, b4 + 3] * P2, 31) * P1, v4)
+    merged = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+    for v in (v1, v2, v3, v4):
+        merged = (merged ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+    h = np.where(big, merged, seed + P5) + lens.astype(np.uint64)
+    rows = np.arange(n)
+    consumed_w = it * 4
+    n8 = (lens - it * 32) // 8
+    for j in range(int(n8.max())):
+        act = n8 > j
+        k1 = w64[rows, np.minimum(consumed_w + j, Lpad // 8 - 1)]
+        h = np.where(act, rotl(h ^ (rotl(k1 * P2, 31) * P1), 27) * P1 + P4, h)
+    off4 = it * 32 + n8 * 8
+    has4 = (lens - off4) >= 4
+    k4 = w32[rows, np.minimum(off4 // 4, Lpad // 4 - 1)].astype(np.uint64)
+    h = np.where(has4, rotl(h ^ (k4 * P1), 23) * P2 + P3, h)
+    offb = off4 + np.where(has4, 4, 0)
+    ntail = lens - offb
+    for t in range(int(ntail.max())):
+        act = ntail > t
+        b = mat[rows, np.minimum(offb + t, Lpad - 1)].astype(np.uint64)
+        h = np.where(act, rotl(h ^ (b * P5), 11) * P1, h)
+    return fmix(h)
+
+
+def _minhash_sig_kernel(n_hashes: int, k_shingle: int, seed: int, id_name: str):
+    """mapInArrow kernel computing full minhash signatures from the words
+    array: vectorized shingle-string construction (Arrow
+    ``binary_join_element_wise`` over k shifted zero-copy slices of the
+    flat words buffer, whole-doc join for docs shorter than k words),
+    bit-exact vectorized XXH64 of the shingle bytes (``_xxh64_bytes_vec``
+    — Spark's ``xxhash64(s, lit(seed))`` chains hashBytes then hashInt),
+    the n_hashes permutation re-hashes, and per-document minima via
+    ``minimum.reduceat``.  Replaces the round-7 JVM pipeline (interpreted
+    sequence/slice/array_join per position + a 32-wide aggregate fold)
+    whose generated code also dominated the query's one-shot compile time
+    (guide §4.2).  Two deliberate equivalences: per-doc shingle
+    DE-DUPLICATION is skipped — duplicate shingles hash equal and cannot
+    change a minimum — and NULL/empty words arrays yield a NULL sig, as
+    before.  Locked by a bit-equality test against the inline JVM form."""
     import numpy as np
 
     u64 = np.uint64
-    lit_is_int = all(-(2**31) <= seed + i < 2**31 for i in range(n_hashes))
+    lit_is_int = -(2**31) <= seed < 2**31
 
     def _rotl(x, r):
         return (x << u64(r)) | (x >> u64(64 - r))
@@ -57,65 +143,132 @@ def _minhash_fold_kernel(n_hashes: int, seed: int, id_name: str):
         h = h ^ (h >> u64(29)); h = h * u64(_XXP3)
         return h ^ (h >> u64(32))
 
+    def _lit_chain(inner):
+        """xxhash64(s, lit(seed)): hashInt/hashLong of the literal with the
+        string hash as running seed."""
+        if lit_is_int:
+            h = inner + u64(_XXP5) + u64(4)
+            h = h ^ (u64((seed & 0xFFFFFFFF) * _XXP1 & (2**64 - 1)))
+            return _fmix(_rotl(h, 23) * u64(_XXP2) + u64(_XXP3))
+        h = inner + u64(_XXP5) + u64(8)  # pragma: no cover - long literals
+        k1 = _rotl(u64(seed & (2**64 - 1)) * u64(_XXP2), 31) * u64(_XXP1)
+        return _fmix(_rotl(h ^ k1, 27) * u64(_XXP1) + u64(_XXP4))
+
+    def _str_arr_np(arr):
+        """(flat uint8, starts, lens) views of a pyarrow StringArray."""
+        import numpy as np
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset: arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            if arr.buffers()[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        return data, buf_off[:-1], np.diff(buf_off)
+
     def kernel(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        ks = np.array(
+            [(((seed + i) & 0xFFFFFFFF) * _XXP1) & (2**64 - 1) for i in range(n_hashes)]
+            if all(-(2**31) <= seed + i < 2**31 for i in range(n_hashes))
+            else [
+                int(_rotl(u64((seed + i) & (2**64 - 1)) * u64(_XXP2), 31) * u64(_XXP1))
+                for i in range(n_hashes)
+            ],
+            dtype=np.uint64,
+        )
+        perm_is_int = all(-(2**31) <= seed + i < 2**31 for i in range(n_hashes))
+        rot, pa_, pb_ = (23, _XXP2, _XXP3) if perm_is_int else (27, _XXP1, _XXP4)
         with np.errstate(over="ignore"):
-            if lit_is_int:
-                # hashInt(seed+i, inner): K[i] folds the constant input
-                ks = np.array(
-                    [(((seed + i) & 0xFFFFFFFF) * _XXP1) & (2**64 - 1) for i in range(n_hashes)],
-                    dtype=np.uint64,
-                )
-            else:  # pragma: no cover - long literals (|seed| >= 2^31)
-                ks = np.array(
-                    [(_rotl(u64((seed + i) & (2**64 - 1)) * u64(_XXP2), 31) * u64(_XXP1))
-                     for i in range(n_hashes)],
-                    dtype=np.uint64,
-                )
             for b in batches:
                 ids = b.column(b.schema.get_field_index(id_name))
-                hcol = b.column(b.schema.get_field_index("__h"))
-                lens = pc.fill_null(pc.list_value_length(hcol), 0).to_numpy(
+                wcol = b.column(b.schema.get_field_index("__ws"))
+                if isinstance(wcol, pa.ChunkedArray):  # pragma: no cover
+                    wcol = wcol.combine_chunks()
+                nrows = len(wcol)
+                lens_w = pc.fill_null(pc.list_value_length(wcol), 0).to_numpy(
                     zero_copy_only=False
                 ).astype(np.int64)
-                flat = pc.list_flatten(hcol).to_numpy(zero_copy_only=False)
-                flat = flat.astype(np.int64).view(np.uint64)
-                pos = lens > 0
+                long_rows = lens_w >= k_shingle
+                short_rows = (lens_w > 0) & ~long_rows
+                pos = long_rows | short_rows
+                # ---- shingle hashes for docs with >= k words ------------
+                flatw = wcol.flatten()
+                N = len(flatw)
+                h_long = np.empty(0, dtype=np.uint64)
+                seg_counts = lens_w[long_rows] - (k_shingle - 1)
+                if N >= k_shingle and seg_counts.size:
+                    ncand = N - (k_shingle - 1)
+                    parts = [flatw.slice(j, ncand) for j in range(k_shingle)]
+                    cands = pc.binary_join_element_wise(*parts, " ")
+                    # candidate j is real iff it does not cross a doc
+                    # boundary: its in-doc position <= n_d - k
+                    docidx = np.repeat(np.arange(nrows), lens_w)[:ncand]
+                    off0 = np.concatenate(([0], np.cumsum(lens_w)))[:-1]
+                    in_doc = np.arange(ncand) - off0[docidx]
+                    valid = in_doc <= (lens_w[docidx] - k_shingle)
+                    good = cands.filter(pa.array(valid))
+                    data, starts, blens = _str_arr_np(good)
+                    h_long = _xxh64_bytes_vec(data, starts, blens, 42)
+                # ---- whole-doc shingle for 0 < n < k docs ---------------
+                h_short = np.empty(0, dtype=np.uint64)
+                if short_rows.any():
+                    whole = pc.binary_join(
+                        wcol.filter(pa.array(short_rows)), " "
+                    )
+                    data, starts, blens = _str_arr_np(whole)
+                    h_short = _xxh64_bytes_vec(data, starts, blens, 42)
+                # ---- base = xxhash64(s, lit(seed)) ----------------------
+                base_long = _lit_chain(h_long)
+                base_short = _lit_chain(h_short)
+                # ---- permutations + per-doc minima ----------------------
                 n_pos = int(pos.sum())
-                if n_pos:
-                    # inner = hashLong(h, 42) — Spark's default seed
-                    h = u64(42) + u64(_XXP5) + u64(8)
-                    k1 = _rotl(flat * u64(_XXP2), 31) * u64(_XXP1)
-                    inner = _rotl(h ^ k1, 27) * u64(_XXP1) + u64(_XXP4)
-                    inner = _fmix(inner)
-                    if lit_is_int:
-                        base = inner + u64(_XXP5) + u64(4)
-                    else:  # pragma: no cover
-                        base = inner + u64(_XXP5) + u64(8)
-                    starts = np.zeros(n_pos, dtype=np.int64)
-                    np.cumsum(lens[pos], out=starts)
-                    starts = np.concatenate(([0], starts[:-1]))
-                    rot, pa_, pb_ = (23, _XXP2, _XXP3) if lit_is_int else (27, _XXP1, _XXP4)
-                    minima = np.empty((n_pos, n_hashes), dtype=np.int64)
-                    for i in range(n_hashes):
-                        x = _rotl(base ^ ks[i], rot) * u64(pa_) + u64(pb_)
-                        perm = _fmix(x).view(np.int64)
-                        minima[:, i] = np.minimum.reduceat(perm, starts)
-                else:
-                    minima = np.empty((0, n_hashes), dtype=np.int64)
+                minima = np.empty((n_pos, n_hashes), dtype=np.int64)
+                # row order within `pos`: interleave long/short by original
+                # row position
+                pos_idx = np.nonzero(pos)[0]
+                is_long_at = long_rows[pos_idx]
+                if base_long.size:
+                    starts_l = np.concatenate(
+                        ([0], np.cumsum(seg_counts)[:-1])
+                    )
+                    # inner = hashLong(base, 42) per shingle-hash
+                    hh = u64(42) + u64(_XXP5) + u64(8)
+                    k1 = _rotl(base_long * u64(_XXP2), 31) * u64(_XXP1)
+                    inner_l = _fmix(_rotl(hh ^ k1, 27) * u64(_XXP1) + u64(_XXP4))
+                    pb = inner_l + u64(_XXP5) + (u64(4) if perm_is_int else u64(8))
+                if base_short.size:
+                    hh = u64(42) + u64(_XXP5) + u64(8)
+                    k1 = _rotl(base_short * u64(_XXP2), 31) * u64(_XXP1)
+                    inner_s = _fmix(_rotl(hh ^ k1, 27) * u64(_XXP1) + u64(_XXP4))
+                    sb = inner_s + u64(_XXP5) + (u64(4) if perm_is_int else u64(8))
+                for i in range(n_hashes):
+                    if base_long.size:
+                        perm = _fmix(
+                            _rotl(pb ^ ks[i], rot) * u64(pa_) + u64(pb_)
+                        ).view(np.int64)
+                        minima[is_long_at, i] = np.minimum.reduceat(perm, starts_l)
+                    if base_short.size:
+                        perm_s = _fmix(
+                            _rotl(sb ^ ks[i], rot) * u64(pa_) + u64(pb_)
+                        ).view(np.int64)
+                        minima[~is_long_at, i] = perm_s
                 sizes = np.where(pos, n_hashes, 0)
-                offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+                offsets = np.zeros(nrows + 1, dtype=np.int32)
                 np.cumsum(sizes, out=offsets[1:])
                 sig = pa.ListArray.from_arrays(
                     pa.array(offsets, type=pa.int32()),
                     pa.array(minima.reshape(-1), type=pa.int64()),
                     mask=pa.array(~pos),
                 )
-                yield pa.RecordBatch.from_arrays(
-                    [ids, sig], names=[id_name, "sig"]
-                )
+                yield pa.RecordBatch.from_arrays([ids, sig], names=[id_name, "sig"])
 
     return kernel
 
@@ -312,29 +465,20 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of the i-th
-    permutation hash.  Each shingle STRING is hashed exactly once (JVM
-    xxhash64, one narrow pass); the n_hashes permutation re-hashes of the
-    resulting 64-bit values and the per-permutation minima run in a
-    vectorized numpy mapInArrow kernel that reproduces Spark's
-    ``xxhash64(h, lit(seed+i))`` bit-for-bit (round-8 optimization: the
-    previous 32-wide interpreted aggregate/zip_with fold was both the
-    slowest stage and — through its enormous generated code — most of the
-    query's one-shot compile time).  A NULL/empty shingle array yields
-    ``sig = NULL`` (a shared sentinel sig would make every shingle-less
-    doc band-collide with every other).  The words array is staged as its
-    own projection so the tokenizer regex runs ONCE per row — the shingle
-    CASE references it four times, and CollapseProject keeps a multiply-
-    referenced non-cheap expression in its own Project."""
+    permutation hash.  Round-8 optimization (guide §4.2): the tokenizer
+    regex stays a single JVM projection, and EVERYTHING downstream —
+    shingle-string construction, the base string hash, the n_hashes
+    permutation re-hashes, the per-document minima — runs in one
+    vectorized Arrow/numpy kernel (`_minhash_sig_kernel`) that reproduces
+    Spark's ``xxhash64`` bit-for-bit.  The previous JVM pipeline
+    (interpreted sequence/slice/array_join per shingle position plus a
+    32-wide aggregate/zip_with fold) was both the slowest stage and, via
+    its generated code size, most of the query's one-shot compile time.
+    A NULL/empty words array yields ``sig = NULL`` (a shared sentinel sig
+    would make every shingle-less doc band-collide with every other)."""
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    ws = words(F.col(text_col)).alias("__ws")
-    sh = shingles_of_words(F.col("__ws"), k_shingle).alias("__sh")
-    base = F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed))).alias("__h")
-    staged = (
-        docs.select(F.col(id_col), ws)
-        .select(F.col(id_col), sh)
-        .select(F.col(id_col), base)
-    )
+    staged = docs.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
     out_schema = StructType(
         [
             StructField(id_col, staged.schema[id_col].dataType),
@@ -342,7 +486,7 @@ def minhash_signatures(
         ]
     )
     return staged.mapInArrow(
-        _minhash_fold_kernel(n_hashes, seed, id_col), out_schema
+        _minhash_sig_kernel(n_hashes, k_shingle, seed, id_col), out_schema
     )
 
 
