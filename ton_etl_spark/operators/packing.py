@@ -65,7 +65,15 @@ def token_stream_offsets(
     d = d.withColumn(
         "__pre", F.sum("__n_tok").over(in_seg) - F.col("__n_tok")
     )
-    seg_totals = d.groupBy(group_col, "__seg").agg(F.sum("__n_tok").alias("__seg_tok"))
+    # segment totals from the WINDOWED frame, not a second scan of the
+    # source: the inclusive prefix (__pre + __n_tok) of a segment's last
+    # row IS the segment sum, and max over monotone prefixes selects it —
+    # same exact integer value as sum(__n_tok), one less source scan and
+    # the groupBy reuses the window's (group, seg) exchange (round-8
+    # optimization, guide §2.4)
+    seg_totals = d.groupBy(group_col, "__seg").agg(
+        F.max(F.col("__pre") + F.col("__n_tok")).alias("__seg_tok")
+    )
     seg_order = (
         Window.partitionBy(group_col)
         .orderBy("__seg")

@@ -85,11 +85,67 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.select(
-        F.col(id_col),
-        F.round(_cosine(F.col(vec_col), q), 6).alias("cosine"),
+    """Exact cosine top-k against a constant query vector.
+
+    Round-8 optimization (guide §4.2): scoring runs in a vectorized
+    mapInPandas kernel instead of interpreted higher-order folds,
+    reproducing the JVM expression bit-for-bit: the dot accumulates
+    float64(v) * q_d sequentially over dimensions (zip_with promoted the
+    float element to double), while the corpus norm squares the RAW
+    float32 element first (the un-cast ``_norm`` multiplied in float) and
+    accumulates the widened product; the query norm is a pure-double fold.
+    Rows whose vector is NULL or of a different length score NULL cosine
+    (the old zip_with null-padding), NaNs propagate.  The final
+    round/order/limit stays JVM-side, so the plan remains
+    TakeOrderedAndProject — no full sort, no shuffle."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    nq = 0.0
+    for x in q:  # sequential double fold, exactly _norm over the literal
+        nq += x * x
+    nq = math.sqrt(nq)
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    out_schema = StructType(
+        [
+            StructField(id_col, src.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qa = np.array(q, dtype=np.float64)
+        for pdf in batches:
+            cells = pdf[vec_col].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in cells], dtype=bool
+            )
+            out = np.full(len(cells), np.nan)
+            if ok.any():
+                v32 = np.stack(
+                    [np.asarray(c, dtype=np.float32) for c, m in zip(cells, ok) if m]
+                )
+                dot = np.zeros(len(v32))
+                na = np.zeros(len(v32))
+                for d in range(dim):
+                    col64 = v32[:, d].astype(np.float64)
+                    dot += col64 * qa[d]
+                    # float32 multiply THEN widen — the un-cast JVM fold
+                    na += (v32[:, d] * v32[:, d]).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[ok] = dot / (np.sqrt(na) * nq)
+            cos = pd.Series(out)
+            cos[~ok] = None
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine": cos})
+
+    scored = src.mapInPandas(kernel, out_schema).select(
+        F.col(id_col), F.round(F.col("cosine"), 6).alias("cosine")
     )
     # TakeOrderedAndProject: no full shuffle. Tie-break on id for determinism.
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
