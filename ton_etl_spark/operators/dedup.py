@@ -603,14 +603,21 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     verified = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = _jaccard_estimate(F.col("sig_a"), F.col("sig_b"), n_hashes)
-    out = verified.select("id_a", "id_b", est.alias("jaccard_est")).where(
-        F.col("jaccard_est") >= min_jaccard_est
+    # dedup AFTER the threshold filter (round-8, guide §2.4): a pair
+    # band-collides in up to ``bands`` tables, but the estimate is a pure
+    # function of the pair, so deduping the sparse SURVIVORS is equivalent
+    # to deduping every candidate — and one exchange over the candidate
+    # set disappears (the ≤bands-fold duplicate verify work is bounded and
+    # map-side, the removed shuffle was not)
+    out = (
+        verified.select("id_a", "id_b", est.alias("jaccard_est"))
+        .where(F.col("jaccard_est") >= min_jaccard_est)
+        .dropDuplicates(["id_a", "id_b"])
     )
     if return_sigs:
         return out, sigs
