@@ -279,3 +279,63 @@ def test_pii_redaction_is_pure_projection(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF fallback — regexp stays JVM-side
     assert "*(1) Project" in plan  # the '*' marks whole-stage codegen
+
+
+def test_tokenizer_staged_once_in_doc_queries(spark, sf_dir):
+    """Round-8 staging lock: the doc-family queries evaluate the word
+    tokenizer regex in exactly ONE projection; the per-feature references
+    are column refs, not clones of the regex tree.  (The inline forms
+    re-ran the regex per reference wherever the clone sat in a position
+    codegen subexpression elimination cannot deduplicate — conditional
+    when-branches in lang_id, the Generate node in the contamination
+    postings — measured 2.1x on doc_lang_counts at 50k docs.)"""
+    from ton_etl_spark.plans.queries import QUERIES
+
+    for name in ("doc_token_stats", "doc_quality", "doc_lang_counts",
+                 "doc_repetition"):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        n = plan.count("regexp_extract_all")
+        assert n == 1, f"{name}: tokenizer appears {n}x in the plan"
+    # pack_chunks: the windowed subtree has two consumers (join probe +
+    # seg-totals aggregate), so the plan TEXT shows the tokenizer twice —
+    # but the branches are canonically identical and AQE must reuse the
+    # one exchange, so the scan + tokenizer EXECUTE once.  The explicit
+    # NULL-key pre-drop in token_stream_offsets is what keeps the branches
+    # identical; this lock catches anything that breaks the symmetry.
+    df = QUERIES["pack_chunks"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final.splitlines()[0]
+    assert "ReusedExchange" in final, "pack_chunks exchange reuse regressed"
+
+
+def test_pack_chunks_deferred_drop_is_exact(spark):
+    """The round-8 deferred zero-token drop (filter above the cumsum
+    windows instead of pushed into the scan) must be row-identical to the
+    pre-filter form for every degenerate count: zero, NULL and negative
+    ``n_tok`` values, NULL group and NULL order keys."""
+    from pyspark.sql import Window
+    from ton_etl_spark.operators.packing import token_stream_offsets
+
+    rows = [
+        (1, 5, "a"), (2, 0, "a"), (3, None, "a"), (4, -7, "a"), (5, 3, "a"),
+        (6, 2, None), (None, 4, "b"), (7, 1, "b"), (8, 0, "b"), (9, 9, "b"),
+        (10, 6, "c"), (11, None, "c"), (12, -1, "c"),  # c: trailing junk
+        (13, 2, "d"), (14, 0, "d"),  # d: zero-token LAST row in segment
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, n long, source string")
+    for seg_width in (1, 4, 4096):
+        got = token_stream_offsets(docs, F.col("n"), seg_width=seg_width)
+        w = Window.partitionBy("source").orderBy("doc_id")
+        # reference = the pre-round-8 shape: filter first, plain cumsum.
+        # NULL group/order rows never match the operator's inner seg_base
+        # join (its standing contract), so the reference drops them too.
+        want = (
+            docs.withColumn("__n_tok", F.col("n").cast("long"))
+            .where(F.col("__n_tok") > 0)
+            .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+            .withColumn("__off", F.sum("__n_tok").over(w) - F.col("__n_tok"))
+        )
+        g = {r["doc_id"]: (r["__n_tok"], r["__off"]) for r in got.collect()}
+        e = {r["doc_id"]: (r["__n_tok"], r["__off"]) for r in want.collect()}
+        assert g == e, f"seg_width={seg_width}: {g} != {e}"

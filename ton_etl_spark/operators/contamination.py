@@ -22,12 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ton_etl_spark.operators.dedup import shingles
+from ton_etl_spark.functions.text import words
+from ton_etl_spark.operators.dedup import shingles_of_words
 
 
 def _gram_postings(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__g")
+    # tokenizer staged once (round-8): the inline ``shingles(text)`` form
+    # clones the regex into each of its four references inside the
+    # generator expression (see shingles_of_words)
+    return docs.select(F.col(id_col), words(F.col(text_col)).alias("__ws")).select(
+        F.col(id_col), F.explode(shingles_of_words(F.col("__ws"), k)).alias("__g")
     )
 
 

@@ -48,11 +48,31 @@ def token_stream_offsets(
     """Each doc's exclusive running-token offset within its group's stream
     (deterministic ``order_col`` order), via the two-level cumsum above.
     Adds columns ``__n_tok`` and ``__off``; drops zero/NULL-token docs
-    (they occupy no stream positions)."""
-    d = docs.withColumn("__n_tok", n_tok.cast("long")).where(F.col("__n_tok") > 0)
+    (they occupy no stream positions).
+
+    The drop happens AFTER the cumsum windows, not before (round-8, guide
+    §4.2): a pre-window ``where`` gets alias-substituted through the
+    ``__n_tok`` projection by filter pushdown, so the default word-count
+    tokenizer regex ran twice per row (once in the pushed scan filter over
+    every row, once in the projection).  Dropped rows cannot perturb the
+    windows: non-positive/NULL counts are staged as NULL, which ``sum``
+    and ``max`` skip — bit-identical offsets for the surviving rows."""
+    d = docs.select("*", n_tok.cast("long").alias("__n_raw")).withColumn(
+        "__n_tok", F.when(F.col("__n_raw") > 0, F.col("__n_raw"))
+    ).drop("__n_raw")
     # floor, not cast (truncate-toward-zero): negative order values must
     # still map to monotone segment ids
     d = d.withColumn("__seg", F.floor(F.col(order_col) / F.lit(seg_width)).cast("long"))
+    # NULL group/order rows can never match the inner seg_base join below
+    # (NULL keys join nothing) — that drop has always been the operator's
+    # contract.  Doing it EXPLICITLY before the window makes the two
+    # consumers of this subtree (the join probe and the seg-totals
+    # aggregate) canonically identical, so the scan + tokenizer + shuffle
+    # execute ONCE via exchange reuse; without it, join constraint
+    # inference adds IsNotNull(__seg) to the probe branch only and the
+    # asymmetry defeats ReuseExchange (round-8, guide §2.4: one scan of
+    # the corpus, not two).
+    d = d.where(F.col(group_col).isNotNull() & F.col("__seg").isNotNull())
     # ROWS frame, not the default RANGE: RANGE is peer-inclusive, so two
     # rows sharing (group, order) would each absorb BOTH token counts and
     # claim overlapping stream positions (and diverge from the SQL oracle's
@@ -65,6 +85,9 @@ def token_stream_offsets(
     d = d.withColumn(
         "__pre", F.sum("__n_tok").over(in_seg) - F.col("__n_tok")
     )
+    # the deferred drop (see docstring): sits ABOVE the window, so it is
+    # not pushed into the scan and the tokenizer stays a single projection
+    d = d.where(F.col("__n_tok").isNotNull())
     # segment totals from the WINDOWED frame, not a second scan of the
     # source: the inclusive prefix (__pre + __n_tok) of a segment's last
     # row IS the segment sum, and max over monotone prefixes selects it —

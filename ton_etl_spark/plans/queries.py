@@ -534,11 +534,15 @@ FROM documents GROUP BY 1
 def q_doc_token_stats(spark, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     t = F.col("text")
-    return d.select(
+    # stage the tokenizer once (round-8, guide §4.2): the inline form clones
+    # the regex into ~5 references, and the aggregate/filter HOF copies sit
+    # outside codegen subexpression elimination — measured re-runs per row
+    ws = F.col("__ws")
+    return d.select("doc_id", t, TXT.words(t).alias("__ws")).select(
         "doc_id",
-        TXT.word_count(t).alias("n_words"),
-        F.round(TXT.avg_word_len(t), 6).alias("avg_word_len"),
-        F.round(TXT.stopword_ratio(t), 6).alias("stopword_ratio"),
+        TXT.word_count_of_words(ws).alias("n_words"),
+        F.round(TXT.avg_word_len_of_words(ws), 6).alias("avg_word_len"),
+        F.round(TXT.stopword_ratio_of_words(ws), 6).alias("stopword_ratio"),
         F.round(TXT.punct_ratio(t), 6).alias("punct_ratio"),
     )
 
@@ -567,8 +571,21 @@ FROM w
 # 23. Language ID — training-data op (profile-argmax heuristic)
 def q_doc_lang_counts(spark, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
+    # three staged projections (round-8): tokenizer once, then the four
+    # profile scores as real columns, then the argmax when-chain over cheap
+    # column refs.  The inline ``lang_id(text)`` form cloned the regex ~26
+    # times through the nested when-branches (plan audit) — the worst
+    # multi-evaluation site in the repo.
+    staged = d.select(TXT.words(F.col("text")).alias("__ws"))
+    scores = TXT.lang_scores(F.col("__ws"))
+    scored = staged.select(
+        *[s.alias(f"__s_{lang}") for lang, s in scores]
+    )
+    guess = TXT.lang_id_of_scores(
+        [(lang, F.col(f"__s_{lang}")) for lang, _ in scores]
+    )
     return (
-        d.select(TXT.lang_id(F.col("text")).alias("lang_guess"))
+        scored.select(guess.alias("lang_guess"))
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
@@ -604,7 +621,11 @@ SELECT lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lang GROUP BY 1
 #     double arithmetic both sides)
 def q_doc_quality(spark, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", F.round(TXT.quality_score(F.col("text")), 6).alias("quality"))
+    t = F.col("text")
+    # tokenizer staged once (round-8; see q_doc_token_stats)
+    return d.select("doc_id", t, TXT.words(t).alias("__ws")).select(
+        "doc_id", F.round(TXT.quality_score_of_words(F.col("__ws"), t), 6).alias("quality")
+    )
 
 
 SQL_QUALITY = f"""
@@ -1449,10 +1470,13 @@ WHERE v.event_type = 'view'
 #     LSH-pruned candidates-then-verify form, whose pruning is hash-seeded
 #     and therefore pytest-verified instead.
 def q_ngram_jaccard_allpairs(spark, sf: str) -> DataFrame:
-    from ton_etl_spark.operators.dedup import shingles
+    from ton_etl_spark.operators.dedup import shingles_of_words
 
     d = load_table(spark, sf, "documents")
-    sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("sh"))
+    # tokenizer staged once (round-8; see ngram_jaccard_pairs)
+    sh = d.select(F.col("doc_id"), TXT.words(F.col("text")).alias("__ws")).select(
+        F.col("doc_id"), shingles_of_words(F.col("__ws"), 3).alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1680,9 +1704,11 @@ FROM kept GROUP BY source
 #     spam scores high, prose near 0.  Pure array algebra, no shuffle.
 def q_doc_repetition(spark, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    return d.select(
+    t = F.col("text")
+    # tokenizer staged once (round-8; see q_doc_token_stats)
+    return d.select("doc_id", t, TXT.words(t).alias("__ws")).select(
         "doc_id",
-        F.round(TXT.repetition_ratio(F.col("text"), 3), 6).alias("rep_ratio"),
+        F.round(TXT.repetition_ratio_of_words(F.col("__ws"), t, 3), 6).alias("rep_ratio"),
     )
 
 
@@ -1720,12 +1746,19 @@ def q_curated_corpus(spark, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     t = F.col("text")
-    gated = d.where(
-        (TXT.quality_score(t) >= 0.5)
-        & (TXT.repetition_ratio(t, 3) <= 0.2)
-        & (TXT.word_count(t) >= 10)
+    # tokenizer staged once (round-8).  The gate predicates still get
+    # alias-substituted below the staging projection by filter pushdown
+    # (same per-row cost as the old inline form — no regression), but the
+    # window partition key and the aggregate word count now reuse the one
+    # staged array instead of re-tokenizing the survivors.
+    ws = F.col("__ws")
+    staged = d.select("doc_id", "source", t, TXT.words(t).alias("__ws"))
+    gated = staged.where(
+        (TXT.quality_score_of_words(ws, t) >= 0.5)
+        & (TXT.repetition_ratio_of_words(ws, t, 3) <= 0.2)
+        & (TXT.word_count_of_words(ws) >= 10)
     )
-    w = W.partitionBy(TXT.fingerprint(t)).orderBy("doc_id")
+    w = W.partitionBy(TXT.fingerprint_of_words(ws)).orderBy("doc_id")
     deduped = (
         gated.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -1734,7 +1767,7 @@ def q_curated_corpus(spark, sf: str) -> DataFrame:
     sampled = sample_mixture(deduped, {}, salt=_CURATE_SALT, default_rate=0.5)
     return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(TXT.word_count(t)).alias("n_words"),
+        F.sum(TXT.word_count_of_words(ws)).alias("n_words"),
         F.sum("doc_id").alias("ids_sum"),
     )
 
