@@ -30,6 +30,11 @@ def _prewarm_session(spark: SparkSession) -> None:
        JIT-compiled the regex/digest/agg/window machinery every workload
        shares.  Round-8 A/B: one-shot exact_dedup_docs 1.7 s -> 0.5 s
        (its entire one-shot overhead was java.util.regex + MD5 warmup).
+    3. Join/sort/limit machinery: a broadcast hash join, a sort-merge
+       join, a TakeOrderedAndProject and an explode over the same tiny
+       range tables, warming the broadcast relation build, the external
+       sorter, shuffle read/write and Generate paths that every
+       join-shaped query hits first.
 
     Disable with SPARK_GRAFT_PY_PREWARM=0 (the test suite does: its many
     short-lived sessions never amortize the warm)."""
@@ -68,6 +73,20 @@ def _prewarm_session(spark: SparkSession) -> None:
         ).write.format("noop").mode("overwrite").save()
         w = W.partitionBy("g").orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
         staged.select(F.sum(F.size(F.col("ws"))).over(w).alias("c")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+        left = spark.range(100_000, numPartitions=n).select(
+            F.col("id"), (F.col("id") % 997).alias("k"), F.sequence(F.lit(0), F.lit(2)).alias("arr")
+        )
+        dim = spark.range(997).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        left.join(F.broadcast(dim), "k").groupBy("k").agg(F.sum("v")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        left.join(dim.hint("merge"), "k").select("id", "v").orderBy(
+            F.desc("v"), "id"
+        ).limit(10).write.format("noop").mode("overwrite").save()
+        left.select("id", F.explode("arr").alias("e")).groupBy("e").count().write.format(
             "noop"
         ).mode("overwrite").save()
     except Exception:
