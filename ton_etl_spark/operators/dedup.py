@@ -115,7 +115,9 @@ def _xxh64_bytes_vec(flat, starts, lens, seed: int):
     return fmix(h)
 
 
-def _minhash_sig_kernel(n_hashes: int, k_shingle: int, seed: int, id_name: str):
+def _minhash_sig_kernel(
+    n_hashes: int, k_shingle: int, seed: int, id_name: str, min_words: int = 0
+):
     """mapInArrow kernel computing full minhash signatures from the words
     array: vectorized shingle-string construction (Arrow
     ``binary_join_element_wise`` over k shifted zero-copy slices of the
@@ -129,7 +131,15 @@ def _minhash_sig_kernel(n_hashes: int, k_shingle: int, seed: int, id_name: str):
     (guide §4.2).  Two deliberate equivalences: per-doc shingle
     DE-DUPLICATION is skipped — duplicate shingles hash equal and cannot
     change a minimum — and NULL/empty words arrays yield a NULL sig, as
-    before.  Locked by a bit-equality test against the inline JVM form."""
+    before.  Locked by a bit-equality test against the inline JVM form.
+
+    ``min_words > 0`` drops rows with fewer words INSIDE the kernel
+    (NULL counts as 0) — equivalent to the JVM pre-filter
+    ``where(size(words(text)) >= min_words)`` but free: a filter
+    expression on ``words(text)`` is pushed below the staged projection
+    and the balance exchange by Catalyst, re-running the tokenizer regex
+    serially in the narrow scan stage (measured ~1 s at the 50k-doc
+    scale); the kernel already holds the word counts."""
     import numpy as np
 
     u64 = np.uint64
@@ -196,6 +206,14 @@ def _minhash_sig_kernel(n_hashes: int, k_shingle: int, seed: int, id_name: str):
                 lens_w = pc.fill_null(pc.list_value_length(wcol), 0).to_numpy(
                     zero_copy_only=False
                 ).astype(np.int64)
+                if min_words > 0:
+                    keep = lens_w >= min_words
+                    if not keep.all():
+                        kmask = pa.array(keep)
+                        ids = ids.filter(kmask)
+                        wcol = wcol.filter(kmask)
+                        lens_w = lens_w[keep]
+                        nrows = len(wcol)
                 long_rows = lens_w >= k_shingle
                 short_rows = (lens_w > 0) & ~long_rows
                 pos = long_rows | short_rows
@@ -476,9 +494,24 @@ def minhash_signatures(
     its generated code size, most of the query's one-shot compile time.
     A NULL/empty words array yields ``sig = NULL`` (a shared sentinel sig
     would make every shingle-less doc band-collide with every other)."""
+    staged = docs.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+    return _minhash_signatures_of_words(staged, id_col, n_hashes, k_shingle, seed)
+
+
+def _minhash_signatures_of_words(
+    staged: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    k_shingle: int = 3,
+    seed: int = 42,
+    min_words: int = 0,
+) -> DataFrame:
+    """``minhash_signatures`` over an ALREADY-TOKENIZED (id, __ws) frame —
+    callers that also need a min-length filter pass ``min_words`` so the
+    tokenizer regex runs once per row and the filter is a vectorized mask
+    inside the kernel (see ``_minhash_sig_kernel``)."""
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    staged = docs.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
     out_schema = StructType(
         [
             StructField(id_col, staged.schema[id_col].dataType),
@@ -486,7 +519,7 @@ def minhash_signatures(
         ]
     )
     return staged.mapInArrow(
-        _minhash_sig_kernel(n_hashes, k_shingle, seed, id_col), out_schema
+        _minhash_sig_kernel(n_hashes, k_shingle, seed, id_col, min_words), out_schema
     )
 
 
@@ -572,10 +605,20 @@ def minhash_lsh_pairs(
     """
     if min_words is None:
         min_words = k_shingle
-    if min_words > 0:
-        docs = docs.where(F.size(words(F.col(text_col))) >= min_words)
-    docs = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed)
+    # Widen FIRST, tokenize ONCE (round-8): the min-length filter used to
+    # run ``words(text)`` inside the narrow scan stage — ~1 s of serial
+    # regex on a one-row-group file — and the signature stage re-ran the
+    # regex after the widen.  The tokenizer is now one projection above
+    # the balance exchange, and the min-length filter is a vectorized
+    # mask inside the signature kernel (a JVM filter on ``words(text)``
+    # would be pushed back below the exchange by Catalyst, recreating
+    # both problems).  Same rows, bit-identical sigs.
+    staged = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words(F.col(text_col)).alias("__ws")
+    )
+    sigs = _minhash_signatures_of_words(
+        staged, id_col, n_hashes, k_shingle, seed, min_words=min_words
+    )
     # The signatures are reused three times (both sides of the band
     # self-join via ReusedExchange, plus the pair verification below);
     # persist so shingling+hashing runs once per doc.  The cache lives in a
@@ -1108,13 +1151,18 @@ def write_minhash_index(
     invalidate_sidecar(path, "_minhash_meta.json")
     if min_words is None:
         min_words = k_shingle
-    if min_words > 0:
-        docs = docs.where(F.size(words(F.col(text_col))) >= min_words)
-    docs = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col)))
+    # tokenize once above the balance exchange; min_words filters inside
+    # the kernel (same fusion as minhash_lsh_pairs — a JVM filter on
+    # words(text) is pushed below the exchange and re-runs the regex)
+    staged = _widen_if_narrow(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words(F.col(text_col)).alias("__ws")
+    )
     # plain persist + unpersist, NOT the bounded registry: both consumers
     # are the eager writes below, so the cache has no reason to outlive
     # this function (and must not evict a live lazy sigs computation)
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k_shingle, seed).persist()
+    sigs = _minhash_signatures_of_words(
+        staged, id_col, n_hashes, k_shingle, seed, min_words=min_words
+    ).persist()
     try:
         sigs.where(F.col("sig").isNotNull()).write.mode("overwrite").parquet(
             _os.path.join(path, "sigs")
@@ -1166,13 +1214,13 @@ def append_to_minhash_index(
 
     with open(_os.path.join(path, "_minhash_meta.json")) as fh:
         m = _json.load(fh)
-    docs = new_docs
-    if m["min_words"] > 0:
-        docs = docs.where(F.size(words(F.col(m["text_col"]))) >= m["min_words"])
-    docs = docs.select(F.col(m["id_col"]), F.col(m["text_col"]))
+    staged = new_docs.select(
+        F.col(m["id_col"]), words(F.col(m["text_col"])).alias("__ws")
+    )
     invalidate_sidecar(path, "_minhash_meta.json")
-    sigs = minhash_signatures(
-        docs, m["id_col"], m["text_col"], m["n_hashes"], m["k_shingle"], m["seed"]
+    sigs = _minhash_signatures_of_words(
+        staged, m["id_col"], m["n_hashes"], m["k_shingle"], m["seed"],
+        min_words=m["min_words"],
     ).persist()
     try:
         live = sigs.where(F.col("sig").isNotNull())
@@ -1209,13 +1257,11 @@ def probe_minhash_index(
     with open(_os.path.join(path, "_minhash_meta.json")) as fh:
         m = _json.load(fh)
     id_col, text_col = m["id_col"], m["text_col"]
-    docs = new_docs
-    if m["min_words"] > 0:
-        docs = docs.where(F.size(words(F.col(text_col))) >= m["min_words"])
     new_sigs = _persist_scoped(
-        minhash_signatures(
-            docs.select(F.col(id_col), F.col(text_col)),
-            id_col, text_col, m["n_hashes"], m["k_shingle"], m["seed"],
+        _minhash_signatures_of_words(
+            new_docs.select(F.col(id_col), words(F.col(text_col)).alias("__ws")),
+            id_col, m["n_hashes"], m["k_shingle"], m["seed"],
+            min_words=m["min_words"],
         )
     )
     new_entries = band_entries_of(new_sigs, id_col, m["n_hashes"], m["bands"])
