@@ -990,7 +990,10 @@ def embedding_near_dups(
         ]
     )
 
-    src = emb.select(F.col(id_col), F.col(vec_col))
+    # balance the narrow scan (guide §2.5): a one-row-group embeddings
+    # file plans as ONE task, serializing the bucketing kernel; the
+    # exchange moves only (id, vec) and is a no-op at cluster scale
+    src = _widen_if_narrow(emb.select(F.col(id_col), F.col(vec_col)))
     id_field = src.schema[id_col]
     vec_field = src.schema[vec_col]
     entries_schema = StructType(

@@ -57,6 +57,14 @@ def token_stream_offsets(
     every row, once in the projection).  Dropped rows cannot perturb the
     windows: non-positive/NULL counts are staged as NULL, which ``sum``
     and ``max`` skip — bit-identical offsets for the surviving rows."""
+    from ton_etl_spark.operators.dedup import _widen_if_narrow
+
+    # balance the scan before the (typically tokenizer-bearing) __n_tok
+    # projection (guide §2.5): a one-row-group corpus file plans as ONE
+    # task and the regex would run serially; no-op at cluster scale, and
+    # applied below the projection so both window consumers still share
+    # one canonical subtree (the ReuseExchange lock)
+    docs = _widen_if_narrow(docs)
     d = docs.select("*", n_tok.cast("long").alias("__n_raw")).withColumn(
         "__n_tok", F.when(F.col("__n_raw") > 0, F.col("__n_raw"))
     ).drop("__n_raw")
