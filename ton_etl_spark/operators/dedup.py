@@ -339,14 +339,46 @@ def _widen_if_narrow(df: DataFrame) -> DataFrame:
     return df
 
 
+def _local_input_bytes(df: DataFrame) -> int:
+    """Total size of a frame's local input files, or -1 when unknown
+    (non-local scheme, no file source).  Cheap: the file listing is
+    already cached by the scan relation."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return -1
+        total = 0
+        for f in files:
+            if not f.startswith("file:"):
+                return -1
+            total += _os.path.getsize(f[5:])
+        return total
+    except Exception:  # pragma: no cover - defensive
+        return -1
+
+
+# balance pays off for a CHEAP per-row pass only above this input size
+# (A/B: md5 dedup at 0.6 MB is 0.25 s unwidened vs 0.42 s widened — the
+# exchange dominates; at 6 MB it is 1.06 s vs 0.5 s — the serial scan
+# dominates).  Heavy kernels (minhash/embedding) widen unconditionally.
+_WIDEN_MIN_BYTES = int(__import__("os").environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES", 4 << 20))
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: fingerprint →
     representative = min id, plus group size.  One hash-agg shuffle."""
-    # no _widen_if_narrow here: one md5 per row is cheaper than the
-    # repartition it would buy (measured 2× slower widened at sf0.1)
+    # size-gated balance: one md5 per row is cheap, so the exchange is
+    # only worth paying when the serial one-row-group scan carries enough
+    # bytes (see _WIDEN_MIN_BYTES A/B)
+    src = docs.select(F.col(id_col), F.col(text_col))
+    b = _local_input_bytes(docs)
+    if b >= _WIDEN_MIN_BYTES:
+        src = _widen_if_narrow(src)
     fp = fingerprint(F.col(text_col))
     return (
-        docs.select(F.col(id_col), fp.alias("fp"))
+        src.select(F.col(id_col), fp.alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -406,6 +438,10 @@ def segment_dedup(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
     )
+    # deliberately NOT balanced: an A/B of the exact_dedup-style gated
+    # widen measured no win at any scale (0.41-0.51 s vs 0.49-0.59 s at
+    # the 10x shape) — the split/segment build is light next to the
+    # docfreq explode, and the extra exchange only adds cost
     base = (
         docs.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
         .select(
