@@ -36,6 +36,11 @@ import sys
 def _spark(args):
     from ton_etl_spark.session import get_spark
 
+    # a one-shot CLI command never amortizes the session pre-warm (a few
+    # seconds of worker-pool fork + JIT warm jobs that pay off over a
+    # long-lived query session); default it off here, overridable with
+    # SPARK_GRAFT_PY_PREWARM=1 for CLI sessions that will run many jobs
+    os.environ.setdefault("SPARK_GRAFT_PY_PREWARM", "0")
     master = args.master or os.environ.get("SPARK_MASTER") or "local[*]"
     return get_spark(app_name=f"ton_etl_spark.{args.cmd}", master=master)
 
