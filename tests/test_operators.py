@@ -920,6 +920,37 @@ def test_minhash_fold_kernel_matches_jvm_xxhash(spark):
     assert got == want
 
 
+def test_minhash_kernel_min_words_matches_jvm_prefilter(spark):
+    """The in-kernel ``min_words`` mask (round-8: the JVM pre-filter on
+    ``words(text)`` was pushed below the balance exchange by Catalyst and
+    re-ran the tokenizer serially) must keep EXACTLY the rows the old
+    ``where(size(words(text)) >= min_words)`` kept, with bit-identical
+    sigs — including the edge classes: NULL text, empty text,
+    punctuation-only (0 words), 1-2 words (below k_shingle), exactly
+    min_words, and long docs."""
+    from pyspark.sql import functions as F
+
+    from ton_etl_spark.operators.dedup import (
+        _minhash_signatures_of_words,
+        minhash_signatures,
+    )
+    from ton_etl_spark.functions.text import words
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog twice over"),
+            (2, None), (3, ""), (4, "...!!!"), (5, "one"), (6, "two words"),
+            (7, "exactly three words"), (8, "x " * 200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mw in (1, 2, 3, 5):
+        staged = df.select(F.col("doc_id"), words(F.col("text")).alias("__ws"))
+        got = {
+            r["doc_id"]: r["sig"]
+            for r in _minhash_signatures_of_words(staged, min_words=mw).collect()
+        }
+        old = df.where(F.size(words(F.col("text"))) >= mw)
+        want = {r["doc_id"]: r["sig"] for r in minhash_signatures(old).collect()}
+        assert got == want, f"min_words={mw}"
+
+
 def test_connected_components_string_ids(spark):
     """The kernel factorizes generically: string node ids must work and
     pick the lexicographically-smallest member as the component id."""
